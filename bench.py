@@ -1,0 +1,178 @@
+"""Benchmark harness.
+
+Headline metric (BASELINE.json): compaction + Z-order throughput over a
+synthetic pre-tokenized table — tokens/sec and files-rewritten/sec — plus
+per-query wall times for the queries() surface at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "tokens_per_sec": ..., ...}
+
+Scaling evidence (north rule, N vs 4N executors): run
+  python bench.py --scaling
+to execute the identical maintenance job at local[8] and local[32] and
+report throughput at both plus efficiency — results land in
+BENCH/BASELINE.md via tools/record_scaling.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# bench-table size: ~n_docs * avg(max_tok)/2 tokens
+N_DOCS = int(os.environ.get("KDI_BENCH_DOCS", "150000"))
+MAX_TOK = int(os.environ.get("KDI_BENCH_MAX_TOK", "512"))
+N_SMALL_FILES = int(os.environ.get("KDI_BENCH_FILES", "96"))
+
+BENCH_QUERIES = [
+    "compact_scan",
+    "zorder_scan",
+    "merge_upsert",
+    "manifest_stats",
+    "ingest_e2e",
+    "pricing_summary",
+    "revenue_by_nation",
+    "salted_join",
+    "top_orders_per_customer",
+    "event_sessions",
+    "exact_dedup_docs",
+    "lang_id",
+    "token_counts",
+    "ann_topk",
+    "minhash_near_dups",
+]
+
+
+def build_bench_table(spark, root: str):
+    from kafka_delta_ingest_spark.datagen import make_small_file_table
+
+    if os.path.exists(root):
+        shutil.rmtree(root)
+    return make_small_file_table(
+        spark, root, n_docs=N_DOCS, n_files=N_SMALL_FILES, seed=42,
+        partition_by_source=True, max_tok=MAX_TOK,
+    )
+
+
+def run_maintenance(spark, root: str) -> dict:
+    """The headline job: bin-packed compaction then Z-order clustering of
+    the full table, scan-integrity verified, metrics recorded."""
+    from pyspark.sql import functions as F
+
+    from kafka_delta_ingest_spark.maintenance.compact import compact
+    from kafka_delta_ingest_spark.maintenance.zorder import cluster
+
+    table = build_bench_table(spark, root)
+    snap = table.snapshot()
+    total_tokens = (
+        snap.scan(spark).select(F.sum("n_tok").alias("s")).collect()[0]["s"]
+    )
+    n_files_before = len(snap.files)
+
+    t0 = time.time()
+    cm = compact(spark, table, target_file_bytes=128 * 1024 * 1024, job_id="bench-compact")
+    t_compact = time.time() - t0
+
+    t1 = time.time()
+    zm = cluster(
+        spark, table, dims=["n_tok", "doc_id"], curve="zorder",
+        target_file_bytes=128 * 1024 * 1024, job_id="bench-zorder",
+    )
+    t_zorder = time.time() - t1
+    wall = time.time() - t0
+
+    files_rewritten = cm["files_rewritten"] + zm["files_rewritten"]
+    return {
+        "total_tokens": int(total_tokens),
+        "files_before": n_files_before,
+        "files_rewritten": files_rewritten,
+        "compact_sec": round(t_compact, 3),
+        "zorder_sec": round(t_zorder, 3),
+        "maintenance_sec": round(wall, 3),
+        # each op streams every token through once: 2 passes
+        "tokens_per_sec": round(2 * total_tokens / wall, 1),
+        "files_rewritten_per_sec": round(files_rewritten / wall, 2),
+    }
+
+
+def run_queries(spark) -> dict:
+    import __spark_entry__ as entrymod
+
+    timings = {}
+    qs = entrymod.queries()
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.time()
+        try:
+            df = fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:  # noqa: BLE001
+            timings[name] = f"error: {e}"[:120]
+    return timings
+
+
+def one_run(cores: int, tag: str) -> dict:
+    from kafka_delta_ingest_spark.session import get_spark
+
+    spark = get_spark(app_name=f"kdi-bench-{tag}", cores=cores,
+                      shuffle_partitions=cores)
+    root = f"/tmp/kdi_bench_table_{tag}"
+    m = run_maintenance(spark, root)
+    shutil.rmtree(root, ignore_errors=True)
+    return m
+
+
+def main():
+    if "--scaling" in sys.argv:
+        # north-rule evidence: same job at N and 4N parallelism
+        from pyspark.sql import SparkSession
+
+        results = {}
+        for cores in (8, 32):
+            m = one_run(cores, f"c{cores}")
+            results[f"local[{cores}]"] = m
+            SparkSession.builder.getOrCreate().stop()
+            time.sleep(2)
+        n, n4 = results["local[8]"], results["local[32]"]
+        eff = (n4["tokens_per_sec"] / n["tokens_per_sec"]) / 4.0
+        out = {
+            "metric": "compaction+zorder scaling N=8 -> 4N=32",
+            "local8_tokens_per_sec": n["tokens_per_sec"],
+            "local32_tokens_per_sec": n4["tokens_per_sec"],
+            "scaling_efficiency": round(eff, 3),
+            "detail": results,
+        }
+        print(json.dumps(out))
+        return
+
+    from kafka_delta_ingest_spark.session import get_spark
+
+    spark = get_spark(app_name="kdi-bench", cores=CPUS, shuffle_partitions=CPUS)
+    root = "/tmp/kdi_bench_table"
+    m = run_maintenance(spark, root)
+    queries = run_queries(spark)
+    shutil.rmtree(root, ignore_errors=True)
+    out = {
+        "metric": "compaction+zorder throughput (tokens/sec) on synthetic "
+        "pre-tokenized table; per-query wall times at sf dir",
+        "value": m["maintenance_sec"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        **m,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,84 @@
+"""spark-submit entry point for table maintenance — the CLI analogue of
+the reference's ``kafka-delta-ingest ingest`` command surface
+(/root/reference/src/main.rs:313-465), reshaped for maintenance
+transactions.
+
+Usage:
+  spark-submit --py-files kafka_delta_ingest_spark.zip jobs/maintain.py \
+      --table /data/tokens --op compact --target-file-bytes 134217728 \
+      --job-id nightly-compact
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser(description="kdi-spark table maintenance")
+    p.add_argument("--table", required=True)
+    p.add_argument(
+        "--op",
+        required=True,
+        choices=["compact", "zorder", "hilbert", "manifest", "expire", "gc", "stats"],
+    )
+    p.add_argument("--target-file-bytes", type=int, default=128 * 1024 * 1024)
+    p.add_argument("--dims", default="source,n_tok,doc_id")
+    p.add_argument("--retain-last", type=int, default=10)
+    p.add_argument("--grace-seconds", type=float, default=3600.0)
+    p.add_argument("--job-id", default=None)
+    p.add_argument("--verify", action="store_true")
+    args = p.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from kafka_delta_ingest_spark.table.format import Table
+
+    spark = SparkSession.builder.getOrCreate()
+    table = Table(args.table)
+
+    if args.op == "compact":
+        from kafka_delta_ingest_spark.maintenance.compact import compact
+
+        out = compact(
+            spark, table, target_file_bytes=args.target_file_bytes,
+            job_id=args.job_id, verify=args.verify,
+        )
+    elif args.op in ("zorder", "hilbert"):
+        from kafka_delta_ingest_spark.maintenance.zorder import cluster
+
+        out = cluster(
+            spark, table, dims=args.dims.split(","), curve=args.op,
+            target_file_bytes=args.target_file_bytes, job_id=args.job_id,
+            verify=args.verify,
+        )
+    elif args.op == "manifest":
+        from kafka_delta_ingest_spark.maintenance.manifest import rewrite_manifests
+
+        out = rewrite_manifests(spark, table, job_id=args.job_id or "manifest")
+    elif args.op == "expire":
+        from kafka_delta_ingest_spark.maintenance.expire import expire_snapshots
+
+        out = expire_snapshots(table, retain_last=args.retain_last)
+    elif args.op == "gc":
+        from kafka_delta_ingest_spark.maintenance.expire import gc_orphans
+
+        out = gc_orphans(spark, table, grace_s=args.grace_seconds)
+    elif args.op == "stats":
+        snap = table.snapshot()
+        out = {
+            "version": snap.version,
+            "files": len(snap.files),
+            "rows": snap.num_records(),
+            "bytes": snap.total_bytes(),
+        }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,100 @@
+"""Snapshot expiry + orphan-file GC (north-rule op B4).
+
+Mirrors the reference's checkpoint-then-cleanup cadence
+(/root/reference/src/delta_helpers.rs:42-68: every 10th version write a
+checkpoint and delete obsolete log JSON):
+
+- ``expire_snapshots``: keep the last ``retain_last`` versions readable;
+  write a checkpoint at the oldest retained version so history before it
+  collapses, then delete older commit JSONs. Time travel to expired
+  versions becomes unavailable (exactly Delta/Iceberg semantics).
+- ``gc_orphans``: files on disk − files referenced by any readable version
+  − staged-but-uncommitted files younger than ``grace_s``. The membership
+  check runs as a Spark **left-anti join** between the disk listing and the
+  referenced-path set so it scales to 10^8 paths (both sides are
+  DataFrames; no driver-side set beyond the log itself).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import SparkSession
+
+from kafka_delta_ingest_spark.table.format import CHECKPOINT_INTERVAL, Table
+
+
+def expire_snapshots(table: Table, retain_last: int = CHECKPOINT_INTERVAL) -> dict:
+    head = table.latest_version()
+    cutoff = head - retain_last + 1
+    if cutoff <= 0:
+        return {"expired": 0, "head": head}
+    # checkpoint at the cutoff so snapshots >= cutoff stay resolvable
+    if not os.path.exists(table._checkpoint_path(cutoff)):
+        table._write_checkpoint(cutoff)
+    expired = 0
+    for v in range(0, cutoff):
+        p = table._version_path(v)
+        if os.path.exists(p):
+            os.unlink(p)
+            expired += 1
+    # old checkpoints below cutoff are also obsolete
+    for name in os.listdir(table.log_dir):
+        if name.startswith("checkpoint-v") and name.endswith(".parquet"):
+            cv = int(name[len("checkpoint-v") : len("checkpoint-v") + 20])
+            if cv < cutoff:
+                os.unlink(os.path.join(table.log_dir, name))
+    return {"expired": expired, "head": head, "oldest_readable": cutoff}
+
+
+def gc_orphans(
+    spark: SparkSession,
+    table: Table,
+    grace_s: float = 3600.0,
+    dry_run: bool = False,
+) -> dict:
+    """Delete data files referenced by no readable snapshot.
+
+    ``grace_s`` protects in-flight staged commits: files newer than the
+    grace window are never collected (the reference's equivalent safety is
+    that uncommitted parquet buffers live only in memory; ours live staged
+    on disk until the log commit)."""
+    t0 = time.time()
+    now = time.time()
+    on_disk: list[tuple[str, float]] = []
+    for dirpath, _dirs, files in os.walk(table.data_dir):
+        for fn in files:
+            p = os.path.join(dirpath, fn)
+            rel = os.path.relpath(p, table.root)
+            on_disk.append((rel, os.path.getmtime(p)))
+    referenced = table.all_referenced_paths()
+
+    if not on_disk:
+        return {"deleted": 0, "kept": 0, "duration_s": time.time() - t0}
+
+    disk_df = spark.createDataFrame(on_disk, "path string, mtime double")
+    ref_df = spark.createDataFrame([(p,) for p in referenced] or [("",)], "path string")
+    orphans = (
+        disk_df.join(ref_df, "path", "left_anti")
+        .where(disk_df.mtime < now - grace_s)
+        .select("path")
+        .collect()
+    )
+    deleted = 0
+    for row in orphans:
+        p = os.path.join(table.root, row["path"])
+        if not dry_run and os.path.exists(p):
+            os.unlink(p)
+            deleted += 1
+    # prune now-empty data dirs (cosmetic)
+    if not dry_run:
+        for dirpath, dirs, files in os.walk(table.data_dir, topdown=False):
+            if not dirs and not files and dirpath != table.data_dir:
+                os.rmdir(dirpath)
+    return {
+        "deleted": deleted if not dry_run else 0,
+        "candidates": len(orphans),
+        "kept": len(on_disk) - len(orphans),
+        "duration_s": time.time() - t0,
+    }

@@ -1,0 +1,278 @@
+"""Z-order / Hilbert-curve clustering (north-rule op B2).
+
+Multi-dimensional clustering so manifest min/max stats (the machinery of
+/root/reference/src/writer.rs:655-707) actually prune scans: after
+clustering on (source, n_tok, doc_id-hash), a predicate on any dim touches
+a small fraction of files.
+
+Plan shape (scale-first):
+  scan(snapshot) → dim normalization (JVM: width_bucket / xxhash64, using
+  manifest min/max — **no extra pass over the data**) → one vectorized
+  Arrow pandas_udf computing the bit-interleaved key over numpy uint64
+  (the only Python in the engine; per north rule) →
+  repartitionByRange(n_out, zkey) sized to target_file_bytes →
+  sortWithinPartitions(zkey) → write → atomic replace commit
+  (data_change=False; scan must be token-array identical).
+
+``repartitionByRange`` samples the key to build balanced range bounds, so
+output files are even-sized regardless of data skew — the clustering
+analogue of the reference's file-size targeting (src/lib.rs:1127-1145).
+"""
+
+from __future__ import annotations
+
+import math
+import time
+import uuid
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from kafka_delta_ingest_spark.plans.bin_packing import DEFAULT_TARGET_FILE_BYTES
+from kafka_delta_ingest_spark.table.format import Snapshot, Table, Transaction
+from kafka_delta_ingest_spark.table.stats import compute_add_entries
+
+# 63 bits of key: bits-per-dim by dimensionality
+_BITS_FOR_DIMS = {1: 62, 2: 31, 3: 21, 4: 15}  # 1-dim capped so 1<<bits fits a long
+
+
+# ---------------------------------------------------------------- morton
+def _spread2(x: np.ndarray) -> np.ndarray:
+    """Spread 31-bit ints so there is a 0 bit between consecutive bits."""
+    x = x.astype(np.uint64) & np.uint64(0x7FFFFFFF)
+    x = (x | (x << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
+    x = (x | (x << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+    x = (x | (x << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    x = (x | (x << np.uint64(2))) & np.uint64(0x3333333333333333)
+    x = (x | (x << np.uint64(1))) & np.uint64(0x5555555555555555)
+    return x
+
+
+def _spread3(x: np.ndarray) -> np.ndarray:
+    """Spread 21-bit ints with two 0 bits between consecutive bits."""
+    x = x.astype(np.uint64) & np.uint64(0x1FFFFF)
+    x = (x | (x << np.uint64(32))) & np.uint64(0x1F00000000FFFF)
+    x = (x | (x << np.uint64(16))) & np.uint64(0x1F0000FF0000FF)
+    x = (x | (x << np.uint64(8))) & np.uint64(0x100F00F00F00F00F)
+    x = (x | (x << np.uint64(4))) & np.uint64(0x10C30C30C30C30C3)
+    x = (x | (x << np.uint64(2))) & np.uint64(0x1249249249249249)
+    return x
+
+
+def morton_key(coords: list[np.ndarray]) -> np.ndarray:
+    """Bit-interleave k equal-width coordinate arrays into one uint64."""
+    k = len(coords)
+    if k == 1:
+        return coords[0].astype(np.uint64)
+    if k == 2:
+        return _spread2(coords[0]) | (_spread2(coords[1]) << np.uint64(1))
+    if k == 3:
+        return (
+            _spread3(coords[0])
+            | (_spread3(coords[1]) << np.uint64(1))
+            | (_spread3(coords[2]) << np.uint64(2))
+        )
+    # generic (rare): per-bit loop, vectorized across rows
+    bits = _BITS_FOR_DIMS.get(k, 63 // k)
+    out = np.zeros_like(coords[0], dtype=np.uint64)
+    for b in range(bits):
+        for d, c in enumerate(coords):
+            out |= ((c.astype(np.uint64) >> np.uint64(b)) & np.uint64(1)) << np.uint64(
+                b * k + d
+            )
+    return out
+
+
+# ---------------------------------------------------------------- hilbert
+def hilbert_key(coords: list[np.ndarray], bits: int) -> np.ndarray:
+    """Skilling's transpose→Hilbert-index algorithm, vectorized across rows
+    (loops are over bits×dims only). Public-domain algorithm
+    ("Programming the Hilbert curve", J. Skilling, 2004)."""
+    n = len(coords)
+    X = [c.astype(np.uint64).copy() for c in coords]
+    M = np.uint64(1) << np.uint64(bits - 1)
+    # inverse undo excess work
+    Q = M
+    while Q > np.uint64(1):
+        P = Q - np.uint64(1)
+        for i in range(n):
+            mask = (X[i] & Q) != 0
+            # invert low bits of X[0] where bit set
+            X[0] = np.where(mask, X[0] ^ P, X[0])
+            # exchange low bits of X[i] and X[0] where bit not set
+            t = (X[0] ^ X[i]) & P
+            t = np.where(mask, np.uint64(0), t)
+            X[0] ^= t
+            X[i] ^= t
+        Q >>= np.uint64(1)
+    # gray encode
+    for i in range(1, n):
+        X[i] ^= X[i - 1]
+    t = np.zeros_like(X[0])
+    Q = M
+    while Q > np.uint64(1):
+        t = np.where((X[n - 1] & Q) != 0, t ^ (Q - np.uint64(1)), t)
+        Q >>= np.uint64(1)
+    for i in range(n):
+        X[i] ^= t
+    # interleave transposed bits into a single index (row-major bit order)
+    out = np.zeros_like(X[0])
+    for b in range(bits - 1, -1, -1):
+        for i in range(n):
+            out = (out << np.uint64(1)) | ((X[i] >> np.uint64(b)) & np.uint64(1))
+    return out
+
+
+def make_curve_udf(n_dims: int, curve: str = "zorder"):
+    """Build the vectorized Arrow UDF computing the clustering key from
+    pre-bucketed integer coordinates (the engine's single pandas UDF)."""
+    bits = _BITS_FOR_DIMS.get(n_dims, max(1, 63 // n_dims))
+
+    @pandas_udf(T.LongType())
+    def curve_key(*cols: pd.Series) -> pd.Series:
+        coords = [c.to_numpy(dtype=np.int64, na_value=0).astype(np.uint64) for c in cols]
+        coords = [c & np.uint64((1 << bits) - 1) for c in coords]
+        if curve == "hilbert":
+            key = hilbert_key(coords, bits)
+        else:
+            key = morton_key(coords)
+        # keep inside signed-long positive range for range partitioning
+        return pd.Series((key & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64))
+
+    return curve_key
+
+
+# ----------------------------------------------------------- dim bucketing
+def dim_to_coord(
+    col_name: str, dtype: T.DataType, bits: int, lo=None, hi=None
+) -> Column:
+    """Normalize a dimension to a [0, 2^bits) integer, JVM-side.
+
+    Numeric dims: equi-width bucket over [lo, hi] taken from **manifest
+    stats** (no data pass). String/other dims: xxhash64 → uniform bits.
+    """
+    c = F.col(col_name)
+    nbuckets = 1 << bits
+    if isinstance(
+        dtype, (T.IntegerType, T.LongType, T.ShortType, T.ByteType, T.FloatType, T.DoubleType)
+    ) and lo is not None and hi is not None and hi > lo:
+        frac = (c.cast("double") - F.lit(float(lo))) / F.lit(float(hi - lo))
+        b = F.floor(frac * F.lit(nbuckets)).cast("long")
+        return F.greatest(F.lit(0), F.least(F.lit(nbuckets - 1), b))
+    return F.pmod(F.xxhash64(c), F.lit(nbuckets)).cast("long")
+
+
+def cluster_keyed_df(
+    df: DataFrame,
+    dims: list[str],
+    curve: str,
+    stats_ranges: dict[str, tuple] | None = None,
+) -> DataFrame:
+    """Attach the clustering key column ``_ckey`` to a DataFrame."""
+    bits = _BITS_FOR_DIMS.get(len(dims), max(1, 63 // len(dims)))
+    ranges = stats_ranges or {}
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    coords = []
+    for d in dims:
+        lo, hi = ranges.get(d, (None, None))
+        coords.append(dim_to_coord(d, schema[d], bits, lo, hi))
+    udf = make_curve_udf(len(dims), curve)
+    return df.withColumn("_ckey", udf(*coords))
+
+
+def _manifest_ranges(snap: Snapshot, dims: list[str]) -> dict[str, tuple]:
+    """Global [min,max] per numeric dim from manifest stats — metadata only."""
+    out: dict[str, tuple] = {}
+    for d in dims:
+        los = [f.stats.get("min", {}).get(d) for f in snap.files]
+        his = [f.stats.get("max", {}).get(d) for f in snap.files]
+        los = [x for x in los if isinstance(x, (int, float))]
+        his = [x for x in his if isinstance(x, (int, float))]
+        if los and his:
+            out[d] = (min(los), max(his))
+    return out
+
+
+def cluster(
+    spark: SparkSession,
+    table: Table,
+    dims: list[str],
+    curve: str = "zorder",  # or "hilbert"
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+    job_id: str | None = None,
+    verify: bool = False,
+) -> dict:
+    """Rewrite the whole table clustered by the space-filling-curve key.
+
+    Returns metrics incl. rows/bytes/duration (ledger-style)."""
+    job_id = job_id or f"{curve}-{uuid.uuid4().hex[:8]}"
+    t0 = time.time()
+    snap = table.snapshot()
+    old_paths = snap.file_paths(absolute=False)
+    if not old_paths:
+        return {"job_id": job_id, "rows": 0, "bytes": 0, "files_written": 0, "duration_s": 0.0}
+
+    fp_before = None
+    if verify:
+        from kafka_delta_ingest_spark.functions.verify import content_fingerprint
+
+        fp_before = content_fingerprint(snap.scan(spark))
+
+    total_bytes = snap.total_bytes()
+    n_out = max(1, math.ceil(total_bytes / target_file_bytes))
+
+    df = snap.scan(spark)
+    keyed = cluster_keyed_df(df, dims, curve, _manifest_ranges(snap, dims))
+
+    absd, _ = table.new_data_dir()
+    range_cols = (
+        [F.col(c) for c in snap.partition_cols] + [F.col("_ckey")]
+        if snap.partition_cols
+        else [F.col("_ckey")]
+    )
+    out = (
+        keyed.repartitionByRange(n_out, *range_cols)
+        .sortWithinPartitions(*range_cols)
+        .drop("_ckey")
+    )
+    w = out.write.mode("overwrite")
+    if snap.partition_cols:
+        w = w.partitionBy(*snap.partition_cols)
+    w.parquet(absd)
+
+    adds = compute_add_entries(spark, table.root, absd, snap.schema, snap.partition_cols)
+    v = table.commit(
+        Transaction(
+            operation=f"cluster-{curve}",
+            adds=adds,
+            removes=old_paths,
+            data_change=False,
+            metadata={"job_id": job_id, "dims": dims, "n_out": n_out},
+        ),
+        expected_schema=snap.schema,
+    )
+
+    if verify and fp_before is not None:
+        from kafka_delta_ingest_spark.functions.verify import content_fingerprint
+
+        after = content_fingerprint(table.snapshot().scan(spark))
+        if after != fp_before:
+            raise AssertionError("clustering changed scan contents")
+
+    rows = sum(a.num_records for a in adds)
+    bts = sum(a.size for a in adds)
+    return {
+        "job_id": job_id,
+        "version": v,
+        "curve": curve,
+        "dims": dims,
+        "files_rewritten": len(old_paths),
+        "files_written": len(adds),
+        "rows": rows,
+        "bytes": bts,
+        "duration_s": time.time() - t0,
+    }

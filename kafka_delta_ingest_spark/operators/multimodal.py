@@ -1,0 +1,115 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+The decode step is STUBBED (no image/audio libs in this container): the
+default codec is a deterministic fake that derives "features" from the
+byte content, so the Spark-side plumbing — schema, batch shape, partition
+behavior — is real and tested, and a real codec (PIL/librosa/ffmpeg) drops
+in by replacing one function."""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                    T.StructField("n_frames", T.IntegerType(), True),
+                    T.StructField("mime", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("n_bytes", T.IntegerType(), True),
+        T.StructField("features", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def real_decode(payload: bytes, kind: str) -> np.ndarray:
+    """Real decoder — requires PIL / soundfile / av, not present here."""
+    raise NotImplementedError(
+        "media decoding requires image/audio libraries not present in this "
+        "environment; use fake_decode or plug a codec in extract_features"
+    )
+
+
+def fake_decode(payload: bytes, kind: str, n_features: int = 8) -> np.ndarray:
+    """Deterministic stand-in: features are byte-statistics of the payload.
+    Stable across runs and partitionings — used by tests and the bench."""
+    if payload is None or len(payload) == 0:
+        return np.zeros(n_features, dtype=np.float32)
+    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
+    chunks = np.array_split(arr, n_features)
+    return np.array([float(c.mean()) if len(c) else 0.0 for c in chunks], dtype=np.float32)
+
+
+def extract_features(
+    df: DataFrame,
+    decode: Callable[[bytes, str], np.ndarray] = fake_decode,
+    batch_hint: int = 1024,
+) -> DataFrame:
+    """Arrow-batched feature extraction over media rows.
+
+    ``mapInPandas`` streams record batches through the codec — payloads
+    never materialize on the driver, and each task handles its partition's
+    batches independently (embarrassingly parallel at any scale)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                None if p is None else decode(bytes(p), k).tolist()
+                for p, k in zip(pdf["payload"], pdf["kind"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": [0 if p is None else len(p) for p in pdf["payload"]],
+                    "features": feats,
+                }
+            )
+
+    return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def synthetic_media_df(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fake media rows (payload = seeded bytes)."""
+    rows = []
+    state = seed
+    for i in range(n):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        size = 64 + state % 1024
+        payload = bytes(((state >> (j % 48)) + j) % 256 for j in range(size))
+        kind = ["image", "audio", "video"][i % 3]
+        meta = (
+            (64, 64, None, None, "image/png")
+            if kind == "image"
+            else (None, None, 16000, None, "audio/wav")
+            if kind == "audio"
+            else (None, None, None, 30, "video/mp4")
+        )
+        rows.append((f"m-{i:06d}", kind, payload, meta))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -1,0 +1,179 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- ``cosine_sim``: pure ``F.zip_with``/``F.aggregate`` expression — JVM
+  vectorized, no Python, and directly mirrored by DuckDB's
+  ``list_cosine_similarity`` in the oracle.
+- ``ann_bruteforce``: exact top-k; queries are **broadcast** so the corpus
+  never shuffles — the right baseline plan at any corpus size.
+- ``ann_lsh``: random-hyperplane LSH buckets (deterministic planes from a
+  seeded LCG, computed as SQL literals — no Python at run time); candidates
+  only within matching buckets across ``n_tables`` hash tables, then exact
+  re-rank. The scale path: shuffle is per-bucket, corpus scanned once.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def ann_bruteforce(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query. Queries broadcast; one corpus scan."""
+    j = corpus.crossJoin(F.broadcast(queries))
+    scored = j.select(
+        F.col(q_id),
+        F.col(c_id),
+        cosine_sim(
+            F.col(q_vec).cast("array<double>"), F.col(c_vec).cast("array<double>")
+        ).alias("cos"),
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("cos"), F.col(c_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(q_id, c_id, "cos", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-gaussian hyperplanes via an LCG + Box-Muller —
+    reproducible across runs/cluster sizes, no numpy state."""
+    state = seed or 1
+    out = []
+
+    def nxt() -> float:
+        nonlocal state
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        return (state >> 11) / float(1 << 52)  # uniform [0,1)
+
+    for _ in range(n_planes):
+        plane = []
+        for _ in range(dim):
+            u1, u2 = max(nxt(), 1e-12), nxt()
+            plane.append(math.sqrt(-2.0 * math.log(u1)) * math.cos(2 * math.pi * u2))
+        out.append(plane)
+    return out
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-of-dot-product bit per plane, packed into one long."""
+    bits = [
+        F.when(
+            dot(vec.cast("array<double>"), F.array(*[F.lit(x) for x in p])) >= 0,
+            F.lit(1).cast("long"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        * F.lit(1 << i).cast("long")
+        for i, p in enumerate(planes)
+    ]
+    return sum(bits[1:], bits[0])
+
+
+def ann_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: exact re-rank within the union of LSH buckets the
+    query falls into across ``n_tables`` independent tables."""
+    c_buckets, q_buckets = [], []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed=42 + 1000 * t)
+        c_buckets.append(F.xxhash64(F.lit(t), lsh_bucket(F.col(c_vec), planes)))
+        q_buckets.append(F.xxhash64(F.lit(t), lsh_bucket(F.col(q_vec), planes)))
+    corpus_b = corpus.select(
+        F.col(c_id), F.col(c_vec), F.explode(F.array(*c_buckets)).alias("_bucket")
+    )
+    queries_b = queries.select(
+        F.col(q_id), F.col(q_vec), F.explode(F.array(*q_buckets)).alias("_bucket")
+    )
+    cand = corpus_b.join(F.broadcast(queries_b), "_bucket").dropDuplicates([q_id, c_id])
+    scored = cand.select(
+        F.col(q_id),
+        F.col(c_id),
+        cosine_sim(
+            F.col(q_vec).cast("array<double>"), F.col(c_vec).cast("array<double>")
+        ).alias("cos"),
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("cos"), F.col(c_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(q_id, c_id, "cos", "rank")
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    n_tables: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine >= threshold, candidates
+    from LSH self-buckets (high-threshold dedup: near-identical vectors
+    collide in nearly all tables)."""
+    buckets = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed=99 + 1000 * t)
+        buckets.append(F.xxhash64(F.lit(t), lsh_bucket(F.col(vec_col), planes)))
+    b = df.select(F.col(id_col), F.col(vec_col), F.explode(F.array(*buckets)).alias("_bucket"))
+    cand = (
+        b.alias("l")
+        .join(
+            b.alias("r"),
+            (F.col("l._bucket") == F.col("r._bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col(f"l.{vec_col}").alias("_va"),
+            F.col(f"r.{vec_col}").alias("_vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn(
+            "cos",
+            cosine_sim(F.col("_va").cast("array<double>"), F.col("_vb").cast("array<double>")),
+        )
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

@@ -1,0 +1,109 @@
+"""Text analysis operators for training-data curation, all as built-in
+``pyspark.sql.functions`` expressions (JVM codegen; no Python). Each is
+also expressible in ANSI SQL so the DuckDB oracle can replay it."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count; empty/blank → 0."""
+    c = F.col(text) if isinstance(text, str) else text
+    trimmed = F.trim(c)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def _occurrences(c: Column, needle: str) -> Column:
+    """Count of non-overlapping occurrences via length arithmetic —
+    identical semantics in Spark and DuckDB (length/replace only)."""
+    return (F.length(c) - F.length(F.replace(c, F.lit(needle), F.lit("")))) / F.lit(
+        len(needle)
+    )
+
+
+# marker words per language: high-frequency function words padded with
+# spaces so they match whole words only (n-gram heuristic language ID)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of ", " to ", " is "],
+    "de": [" der ", " die ", " und ", " ist ", " das "],
+    "fr": [" le ", " la ", " et ", " les ", " est "],
+    "es": [" el ", " los ", " es ", " una ", " y "],
+}
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    c = F.col(text) if isinstance(text, str) else text
+    padded = F.concat(F.lit(" "), F.lower(c), F.lit(" "))
+    return {
+        lang: sum((_occurrences(padded, m) for m in markers), F.lit(0.0))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(text: Column | str) -> Column:
+    """Pick the language with the max marker score; 'und' if all zero.
+    Ties break by fixed language order (en, de, fr, es) — mirrored in the
+    oracle SQL with the same comparison chain."""
+    scores = lang_scores(text)
+    langs = list(LANG_MARKERS)
+    best_lang = F.lit("und")
+    best_score = F.lit(0.0)
+    for lang in reversed(langs):  # earlier langs win ties (checked last)
+        s = scores[lang]
+        cond = s > best_score if lang != langs[0] else s >= best_score
+        # strictly-greater for later langs, >= handled by ordering below
+        best_lang = F.when(s > best_score, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(s > best_score, s).otherwise(best_score)
+    # second pass ensures earlier languages win exact ties
+    final_lang = F.lit("und")
+    final_score = F.lit(0.0)
+    for lang in langs:
+        s = scores[lang]
+        final_lang = F.when(s > final_score, F.lit(lang)).otherwise(final_lang)
+        final_score = F.when(s > final_score, s).otherwise(final_score)
+    return final_lang
+
+
+def quality_score(text: Column | str) -> Column:
+    """Heuristic quality in [0,1]: blend of alpha ratio, stopword presence,
+    sane mean word length, and length saturation. Deterministic, pure SQL."""
+    c = F.col(text) if isinstance(text, str) else text
+    n = F.length(c).cast("double")
+    alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", "")).cast("double")
+    alpha_ratio = F.when(n > 0, alpha / n).otherwise(F.lit(0.0))
+    words = token_count(c).cast("double")
+    mean_wlen = F.when(words > 0, n / words).otherwise(F.lit(0.0))
+    wlen_ok = F.when((mean_wlen >= 3.0) & (mean_wlen <= 12.0), F.lit(1.0)).otherwise(
+        F.lit(0.0)
+    )
+    stop = sum(
+        (_occurrences(F.concat(F.lit(" "), F.lower(c), F.lit(" ")), m)
+         for m in LANG_MARKERS["en"]),
+        F.lit(0.0),
+    )
+    stop_ratio = F.when(words > 0, stop / words).otherwise(F.lit(0.0))
+    stop_ok = F.least(stop_ratio * F.lit(5.0), F.lit(1.0))
+    len_sat = F.least(n / F.lit(500.0), F.lit(1.0))
+    return (
+        F.lit(0.4) * alpha_ratio
+        + F.lit(0.2) * wlen_ok
+        + F.lit(0.2) * stop_ok
+        + F.lit(0.2) * len_sat
+    )
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Canonical form for fingerprints/dedup: lowercase, collapse runs of
+    whitespace, trim."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def doc_fingerprint(text: Column | str) -> Column:
+    """Deterministic content fingerprint: md5 of the normalized text —
+    identical hex in Spark and DuckDB, so the oracle can verify it."""
+    return F.md5(normalize_text(text).cast("binary"))

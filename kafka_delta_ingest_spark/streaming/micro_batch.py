@@ -1,0 +1,135 @@
+"""The reference's main ingest loop (/root/reference/src/lib.rs:388-523)
+as a Spark pipeline: deserialize → transform → coerce → buffer-dedupe →
+partitioned write + DLQ side output → atomic commit with per-partition
+txn offsets.
+
+Two entry points:
+- ``IngestPipeline.ingest_batch``: one micro-batch = one transaction — the
+  batch analogue of complete_record_batch + complete_file
+  (src/lib.rs:889-1024). Exactly-once via offset dedupe (A10) + txn
+  offsets in the commit (A18); re-delivering the same batch is a no-op.
+- ``start_stream_ingest``: Structured Streaming ``foreachBatch`` wrapper —
+  the micro-batch trigger (processing-time, like the reference's
+  allowed_latency flush, src/lib.rs:1102-1145) with our table's commit
+  protocol as the sink.
+
+Input contract (the Kafka-message analogue): columns
+  ``value: string`` (JSON payload), ``_partition int``, ``_offset long``,
+  optional ``_topic string``, ``_ts long``.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from kafka_delta_ingest_spark.ingest.buffers import (
+    dedupe_against_ledger,
+    watermarks_to_app_txns,
+)
+from kafka_delta_ingest_spark.ingest.coercions import coerce_json
+from kafka_delta_ingest_spark.ingest.dead_letters import (
+    DEAD_LETTER_SCHEMA,
+    split_dead_letters,
+)
+from kafka_delta_ingest_spark.ingest.transforms import Transformer
+from kafka_delta_ingest_spark.table.format import Table, Transaction
+from kafka_delta_ingest_spark.table.writer import stage_dataframe
+
+
+class IngestPipeline:
+    def __init__(
+        self,
+        table: Table,
+        app_id: str,
+        transforms: dict[str, str] | None = None,
+        dlq_table: Table | None = None,
+    ):
+        self.table = table
+        self.app_id = app_id
+        self.transformer = Transformer(transforms or {})
+        self.dlq_table = dlq_table
+
+    def stored_offsets(self) -> dict[int, int]:
+        """Per-partition last committed offsets from the table's app txns
+        (the seek_consumer analogue, src/lib.rs:1049-1084)."""
+        prefix = f"{self.app_id}-"
+        snap = self.table.snapshot()
+        return {
+            int(k[len(prefix) :]): v
+            for k, v in snap.app_txns.items()
+            if k.startswith(prefix)
+        }
+
+    def ingest_batch(self, spark: SparkSession, batch: DataFrame) -> dict:
+        """Process one batch of messages; returns metrics
+        (IngestMetrics analogue, src/metrics.rs:24-218)."""
+        t0 = time.time()
+        snap = self.table.snapshot()
+
+        fresh, watermarks = dedupe_against_ledger(
+            spark, batch, self.stored_offsets()
+        )
+        meta_cols = [c for c in ("_partition", "_offset", "_topic", "_ts") if c in batch.columns]
+        coerced = coerce_json(fresh, snap.schema, json_col="value", keep_cols=meta_cols)
+        transformed = self.transformer.apply(coerced)
+        good, dead = split_dead_letters(transformed)
+        good = good.drop(*meta_cols)
+
+        app_txns = watermarks_to_app_txns(watermarks, self.app_id)
+        if not app_txns:
+            return {"rows": 0, "dead": 0, "skipped_all": True, "duration_s": time.time() - t0}
+
+        _, adds = stage_dataframe(
+            spark, self.table, good, snap.partition_cols, snap.schema
+        )
+        # never commit empty (ref: no empty version bumps, lib.rs:1102-1124)
+        n_dead = 0
+        if self.dlq_table is not None:
+            dead_rows = dead.count()
+            if dead_rows:
+                dsnap = self.dlq_table.snapshot()
+                _, dadds = stage_dataframe(
+                    spark, self.dlq_table, dead, dsnap.partition_cols, dsnap.schema
+                )
+                self.dlq_table.commit(
+                    Transaction(operation="dead-letters", adds=dadds)
+                )
+                n_dead = dead_rows
+
+        v = self.table.commit(
+            Transaction(operation="ingest", adds=adds, app_txns=app_txns),
+            expected_schema=snap.schema,
+        )
+        return {
+            "version": v,
+            "rows": sum(a.num_records for a in adds),
+            "bytes": sum(a.size for a in adds),
+            "dead": n_dead,
+            "watermarks": app_txns,
+            "duration_s": time.time() - t0,
+        }
+
+
+def start_stream_ingest(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    pipeline: IngestPipeline,
+    checkpoint_dir: str,
+    trigger_seconds: int = 10,
+):
+    """Structured Streaming wrapper: every micro-batch runs through the same
+    exactly-once transaction path (foreachBatch + txn-offset dedupe makes
+    replays after failure idempotent)."""
+
+    def handle(batch_df: DataFrame, batch_id: int):
+        pipeline.ingest_batch(spark, batch_df)
+
+    return (
+        stream_df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )

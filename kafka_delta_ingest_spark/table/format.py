@@ -1,0 +1,484 @@
+"""From-scratch snapshot-log table format (Delta-log-shaped, Iceberg-style).
+
+A table is a directory::
+
+    <root>/
+      data/<commit-uuid>/[part=val/...]part-*.parquet   # written by Spark, never renamed
+      _log/v00000000000000000042.json                   # one commit per version
+      _log/checkpoint-v00000000000000000040.parquet     # every CHECKPOINT_INTERVAL-th
+      _log/_last_checkpoint                             # pointer
+      _ledger/<job-id>/...                              # per-bin lineage (ledger.py)
+
+Commit protocol mirrors kafka-delta-ingest exactly, recast for a local /
+object-store filesystem:
+
+- **atomic CAS** on version-file creation (reference: optimistic commit with
+  retry on ``VersionAlreadyExists``, /root/reference/src/lib.rs:964-1024 and
+  retry budget src/lib.rs:73). Here the CAS is ``os.link`` (create-exclusive)
+  of a fully-written temp file onto ``v{N}.json``.
+- **pre-commit validation** re-reads the log head and checks (a) app txn
+  offsets have not regressed (``ConflictingOffsets``,
+  /root/reference/src/lib.rs:1148-1170, src/offsets.rs:150-157), (b) files a
+  replace-commit removes are still live (snapshot isolation for rewrites),
+  (c) table schema unchanged (``DeltaSchemaChanged``,
+  /root/reference/src/writer.rs:369-386).
+- **Add actions** carry ``path, size, partition_values, num_records, stats``
+  (/root/reference/src/writer.rs:1030-1066); ``Txn``-style app offsets are a
+  ``{app_id-partition: offset}`` map (/root/reference/src/delta_helpers.rs:29-40).
+- **checkpoints** every 10th version collapse the log into one parquet file
+  and allow old-json cleanup (/root/reference/src/delta_helpers.rs:42-68).
+
+Data files are written directly to their final location under a per-commit
+uuid directory and made visible only by the log commit — no renames, which
+is the only design that works on object stores at 10^6-file scale.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any, Iterable
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+VERSION_DIGITS = 20
+CHECKPOINT_INTERVAL = 10  # ref src/delta_helpers.rs:46
+DEFAULT_COMMIT_RETRIES = 64  # ref src/lib.rs:73 uses 10_000_000; we bound sanely
+HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"  # ref src/writer.rs:43
+
+
+class TableError(Exception):
+    pass
+
+
+class ConflictingOffsetsError(TableError):
+    """App txn offsets in the log moved past ours (ref src/lib.rs:1152-1158)."""
+
+
+class ConcurrentDeleteError(TableError):
+    """A file this replace-commit removes is no longer live."""
+
+
+class SchemaChangedError(TableError):
+    """Table schema drifted since the transaction's base snapshot
+    (ref src/writer.rs:369-386, src/lib.rs:954-961)."""
+
+
+class CommitConflictError(TableError):
+    """CAS retry budget exhausted."""
+
+
+@dataclass
+class FileEntry:
+    """One live data file — the Add action payload (ref src/writer.rs:1030-1066)."""
+
+    path: str  # relative to table root
+    size: int
+    num_records: int
+    partition_values: dict[str, str] = field(default_factory=dict)
+    # stats: {"min": {col: v}, "max": {col: v}, "null_count": {col: n}}
+    # arrays carry null_count only (ref src/writer.rs:676-681)
+    stats: dict[str, dict[str, Any]] = field(default_factory=dict)
+
+    def to_json(self) -> dict:
+        return {
+            "path": self.path,
+            "size": self.size,
+            "num_records": self.num_records,
+            "partition_values": self.partition_values,
+            "stats": self.stats,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "FileEntry":
+        return FileEntry(
+            path=d["path"],
+            size=d["size"],
+            num_records=d["num_records"],
+            partition_values=d.get("partition_values", {}),
+            stats=d.get("stats", {}),
+        )
+
+
+@dataclass
+class Transaction:
+    """Actions for one atomic commit (ref src/delta_helpers.rs:15-27)."""
+
+    operation: str  # append | replace | merge | expire | manifest-rewrite | create
+    adds: list[FileEntry] = field(default_factory=list)
+    removes: list[str] = field(default_factory=list)  # relative paths
+    app_txns: dict[str, int] = field(default_factory=dict)  # "<app>-<part>" -> offset
+    data_change: bool = True  # False for pure rewrites (compaction/cluster)
+    base_version: int | None = None  # snapshot the planner read; None = head
+    metadata: dict[str, Any] = field(default_factory=dict)
+
+
+class Snapshot:
+    """Immutable view of the table at one version. Readers pin this — a
+    rewrite committing v+1 never changes what a pinned snapshot scans
+    (snapshot isolation; ref readers pin Delta versions,
+    tests/helpers/mod.rs:396-405)."""
+
+    def __init__(
+        self,
+        table: "Table",
+        version: int,
+        files: dict[str, FileEntry],
+        schema: T.StructType,
+        partition_cols: list[str],
+        app_txns: dict[str, int],
+    ):
+        self.table = table
+        self.version = version
+        self._files = files
+        self.schema = schema
+        self.partition_cols = partition_cols
+        self.app_txns = app_txns
+
+    @property
+    def files(self) -> list[FileEntry]:
+        return list(self._files.values())
+
+    def file_paths(self, absolute: bool = True) -> list[str]:
+        ps = sorted(self._files)
+        if absolute:
+            return [os.path.join(self.table.root, p) for p in ps]
+        return ps
+
+    def num_records(self) -> int:
+        return sum(f.num_records for f in self._files.values())
+
+    def total_bytes(self) -> int:
+        return sum(f.size for f in self._files.values())
+
+    def scan(
+        self,
+        spark: SparkSession,
+        columns: list[str] | None = None,
+        predicate=None,
+        predicate_stats: "list[tuple[str, str, Any]] | None" = None,
+    ) -> DataFrame:
+        """Read the pinned file list as a DataFrame.
+
+        ``predicate_stats`` is a list of simple ``(col, op, literal)``
+        conjuncts used for *file-level* pruning against manifest min/max
+        before Spark ever lists the files (our analogue of Delta data
+        skipping over stats written per ref src/writer.rs:655-707).
+        ``predicate`` (a Column) is additionally applied row-level and gets
+        pushed into the parquet scan by Catalyst.
+        """
+        paths = self.file_paths()
+        if predicate_stats:
+            from kafka_delta_ingest_spark.plans.pruning import prune_files
+
+            kept = prune_files(self.files, predicate_stats)
+            paths = [os.path.join(self.table.root, f.path) for f in kept]
+        if not paths:
+            return spark.createDataFrame([], self.schema)
+        from kafka_delta_ingest_spark.table.scan import read_files
+
+        df = read_files(spark, paths, self.schema, self.partition_cols)
+        if predicate is not None:
+            df = df.filter(predicate)
+        if columns:
+            df = df.select(*columns)
+        return df
+
+
+class Table:
+    def __init__(self, root: str):
+        self.root = root
+        self.log_dir = os.path.join(root, "_log")
+        self.data_dir = os.path.join(root, "data")
+
+    # ---------------------------------------------------------------- paths
+    def _version_path(self, v: int) -> str:
+        return os.path.join(self.log_dir, f"v{v:0{VERSION_DIGITS}d}.json")
+
+    def _checkpoint_path(self, v: int) -> str:
+        return os.path.join(self.log_dir, f"checkpoint-v{v:0{VERSION_DIGITS}d}.parquet")
+
+    def new_data_dir(self) -> tuple[str, str]:
+        """Fresh per-commit data directory: (absolute, relative)."""
+        rel = os.path.join("data", uuid.uuid4().hex)
+        absd = os.path.join(self.root, rel)
+        os.makedirs(absd, exist_ok=True)
+        return absd, rel
+
+    # --------------------------------------------------------------- create
+    @staticmethod
+    def create(
+        root: str, schema: T.StructType, partition_cols: list[str] | None = None
+    ) -> "Table":
+        t = Table(root)
+        os.makedirs(t.log_dir, exist_ok=True)
+        os.makedirs(t.data_dir, exist_ok=True)
+        commit = {
+            "version": 0,
+            "timestamp_ms": int(time.time() * 1000),
+            "operation": "create",
+            "metadata": {
+                "schema": json.loads(schema.json()),
+                "partition_cols": partition_cols or [],
+            },
+            "add": [],
+            "remove": [],
+            "app_txns": {},
+            "data_change": False,
+        }
+        t._atomic_write_version(0, commit)
+        return t
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.log_dir) and self.latest_version() >= 0
+
+    # ----------------------------------------------------------------- log
+    def latest_version(self) -> int:
+        best = -1
+        try:
+            for name in os.listdir(self.log_dir):
+                if name.startswith("v") and name.endswith(".json"):
+                    try:
+                        best = max(best, int(name[1 : 1 + VERSION_DIGITS]))
+                    except ValueError:
+                        pass
+        except FileNotFoundError:
+            pass
+        return best
+
+    def _read_commit(self, v: int) -> dict:
+        with open(self._version_path(v)) as f:
+            return json.load(f)
+
+    def _latest_checkpoint_at_or_before(self, v: int) -> int | None:
+        ptr = os.path.join(self.log_dir, "_last_checkpoint")
+        cands = []
+        try:
+            for name in os.listdir(self.log_dir):
+                if name.startswith("checkpoint-v") and name.endswith(".parquet"):
+                    cv = int(name[len("checkpoint-v") : len("checkpoint-v") + VERSION_DIGITS])
+                    if cv <= v:
+                        cands.append(cv)
+        except FileNotFoundError:
+            pass
+        if cands:
+            return max(cands)
+        if os.path.exists(ptr):  # pointer may name a checkpoint we missed
+            with open(ptr) as f:
+                cv = json.load(f).get("version", -1)
+            if 0 <= cv <= v and os.path.exists(self._checkpoint_path(cv)):
+                return cv
+        return None
+
+    def snapshot(self, version: int | None = None) -> Snapshot:
+        head = self.latest_version()
+        if head < 0:
+            raise TableError(f"no table at {self.root}")
+        v = head if version is None else version
+        if v > head or v < 0 or not os.path.exists(self._version_path(v)):
+            # version files may have been expired; only live range readable
+            raise TableError(f"version {v} not available (head={head})")
+
+        files: dict[str, FileEntry] = {}
+        app_txns: dict[str, int] = {}
+        schema: T.StructType | None = None
+        partition_cols: list[str] = []
+
+        start = 0
+        ckpt = self._latest_checkpoint_at_or_before(v)
+        if ckpt is not None:
+            tbl = pq.read_table(self._checkpoint_path(ckpt))
+            meta = json.loads(tbl.schema.metadata[b"kdi_meta"].decode())
+            schema = T.StructType.fromJson(meta["schema"])
+            partition_cols = meta["partition_cols"]
+            app_txns = dict(meta.get("app_txns", {}))
+            for row in tbl.to_pylist():
+                fe = FileEntry(
+                    path=row["path"],
+                    size=row["size"],
+                    num_records=row["num_records"],
+                    partition_values=json.loads(row["partition_values"]),
+                    stats=json.loads(row["stats"]),
+                )
+                files[fe.path] = fe
+            start = ckpt + 1
+
+        for i in range(start, v + 1):
+            c = self._read_commit(i)
+            if "metadata" in c and c["metadata"].get("schema"):
+                schema = T.StructType.fromJson(c["metadata"]["schema"])
+                partition_cols = c["metadata"].get("partition_cols", [])
+            for rp in c.get("remove", []):
+                files.pop(rp, None)
+            for a in c.get("add", []):
+                fe = FileEntry.from_json(a)
+                files[fe.path] = fe
+            app_txns.update(c.get("app_txns", {}))
+        if schema is None:
+            raise TableError("log contains no schema metadata")
+        return Snapshot(self, v, files, schema, partition_cols, app_txns)
+
+    # --------------------------------------------------------------- commit
+    def _atomic_write_version(self, v: int, commit: dict) -> None:
+        """CAS: fully write a temp file, then hard-link it to the version
+        path — ``os.link`` fails with FileExistsError if someone else won,
+        which is the local-FS equivalent of Delta's VersionAlreadyExists
+        (ref src/lib.rs:964-1023)."""
+        tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            json.dump(commit, f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, self._version_path(v))
+        finally:
+            os.unlink(tmp)
+
+    def txn_version(self, app_key: str) -> int:
+        """Last committed offset for an app txn key, -1 if none
+        (ref delta_helpers.rs:70-80: last_txn_version)."""
+        return self.snapshot().app_txns.get(app_key, -1)
+
+    def commit(
+        self,
+        txn: Transaction,
+        max_retries: int = DEFAULT_COMMIT_RETRIES,
+        expected_schema: T.StructType | None = None,
+    ) -> int:
+        """Validate against the current head and CAS the next version.
+
+        Validation per attempt (ref src/lib.rs:931-1024):
+        - removes must all still be live (else ConcurrentDeleteError);
+        - for each app_txn key, the stored offset must be < ours
+          (else ConflictingOffsetsError, ref src/lib.rs:1148-1170);
+        - if ``expected_schema`` given, table schema must equal it
+          (else SchemaChangedError, ref src/writer.rs:369-386).
+        """
+        attempt = 0
+        while True:
+            attempt += 1
+            snap = self.snapshot()
+            if expected_schema is not None and json.loads(snap.schema.json()) != json.loads(
+                expected_schema.json()
+            ):
+                raise SchemaChangedError(
+                    f"table schema changed at version {snap.version}"
+                )
+            live = {f.path for f in snap.files}
+            missing = [p for p in txn.removes if p not in live]
+            if missing:
+                raise ConcurrentDeleteError(
+                    f"{len(missing)} removed files no longer live, e.g. {missing[:3]}"
+                )
+            for key, off in txn.app_txns.items():
+                stored = snap.app_txns.get(key, -1)
+                if stored >= off:
+                    raise ConflictingOffsetsError(
+                        f"txn {key}: stored offset {stored} >= attempted {off}"
+                    )
+            v = snap.version + 1
+            commit = {
+                "version": v,
+                "timestamp_ms": int(time.time() * 1000),
+                "operation": txn.operation,
+                "add": [a.to_json() for a in txn.adds],
+                "remove": list(txn.removes),
+                "app_txns": txn.app_txns,
+                "data_change": txn.data_change,
+                "op_metadata": txn.metadata,
+            }
+            try:
+                self._atomic_write_version(v, commit)
+            except FileExistsError:
+                if attempt >= max_retries:
+                    raise CommitConflictError(
+                        f"lost CAS race {attempt} times at {self.root}"
+                    )
+                continue
+            if v % CHECKPOINT_INTERVAL == 0:
+                try:
+                    self._write_checkpoint(v)
+                except Exception:
+                    pass  # checkpoints are an optimization; never fail a commit
+            return v
+
+    # ----------------------------------------------------------- checkpoint
+    def _write_checkpoint(self, v: int) -> None:
+        """Collapse the log at ``v`` into one parquet file
+        (ref try_create_checkpoint, src/delta_helpers.rs:42-58)."""
+        snap = self.snapshot(v)
+        rows = {
+            "path": [f.path for f in snap.files],
+            "size": [f.size for f in snap.files],
+            "num_records": [f.num_records for f in snap.files],
+            "partition_values": [json.dumps(f.partition_values) for f in snap.files],
+            "stats": [json.dumps(f.stats) for f in snap.files],
+        }
+        meta = {
+            "schema": json.loads(snap.schema.json()),
+            "partition_cols": snap.partition_cols,
+            "app_txns": snap.app_txns,
+        }
+        tbl = pa.table(
+            rows,
+            schema=pa.schema(
+                [
+                    ("path", pa.string()),
+                    ("size", pa.int64()),
+                    ("num_records", pa.int64()),
+                    ("partition_values", pa.string()),
+                    ("stats", pa.string()),
+                ],
+                metadata={b"kdi_meta": json.dumps(meta).encode()},
+            ),
+        )
+        tmp = self._checkpoint_path(v) + f".tmp-{uuid.uuid4().hex}"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, self._checkpoint_path(v))
+        ptr = os.path.join(self.log_dir, "_last_checkpoint")
+        tmp2 = ptr + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp2, "w") as f:
+            json.dump({"version": v}, f)
+        os.replace(tmp2, ptr)
+
+    # ------------------------------------------------------------- history
+    def history(self) -> list[dict]:
+        out = []
+        for i in range(self.latest_version() + 1):
+            p = self._version_path(i)
+            if os.path.exists(p):
+                c = self._read_commit(i)
+                out.append(
+                    {
+                        "version": c["version"],
+                        "operation": c.get("operation"),
+                        "timestamp_ms": c.get("timestamp_ms"),
+                        "n_add": len(c.get("add", [])),
+                        "n_remove": len(c.get("remove", [])),
+                        "data_change": c.get("data_change", True),
+                    }
+                )
+        return out
+
+    def all_referenced_paths(self) -> set[str]:
+        """Every data path referenced by any *readable* version (for GC)."""
+        refs: set[str] = set()
+        head = self.latest_version()
+        # checkpoints may reference files whose commits were cleaned
+        for i in range(head + 1):
+            p = self._version_path(i)
+            if os.path.exists(p):
+                c = self._read_commit(i)
+                for a in c.get("add", []):
+                    refs.add(a["path"])
+        for name in os.listdir(self.log_dir):
+            if name.startswith("checkpoint-v") and name.endswith(".parquet"):
+                tbl = pq.read_table(os.path.join(self.log_dir, name), columns=["path"])
+                refs.update(tbl.column("path").to_pylist())
+        return refs

@@ -1,0 +1,64 @@
+"""Multi-commit-dir file reading.
+
+Spark's hive partition *discovery* demands a single base directory, but a
+snapshot's live files span many per-commit dirs (``data/<uuid>/source=X/``)
+— exactly like Delta, we therefore never rely on discovery: data files are
+read with the **data-only schema** and partition columns are reconstructed
+from the ``k=v`` path segments recorded at write time (the inverse of the
+reference's divide_by_partition_values path construction,
+/root/reference/src/writer.rs:503-542, incl. the
+``__HIVE_DEFAULT_PARTITION__`` null marker, src/writer.rs:43).
+
+The extraction is a codegen'd ``regexp_extract(input_file_name())`` — no
+Python, no join, works for any number of commit dirs."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kafka_delta_ingest_spark.table.format import HIVE_DEFAULT_PARTITION
+
+
+def read_files(
+    spark: SparkSession,
+    paths: list[str],
+    schema: T.StructType,
+    partition_cols: list[str],
+    file_path_col: str | None = None,
+) -> DataFrame:
+    """Read explicit parquet leaf files as the full table schema.
+
+    ``file_path_col``: optionally append the normalized source-file path
+    (scheme stripped) — used by per-file stats and bin assignment."""
+    if not paths:
+        out = spark.createDataFrame([], schema)
+        if file_path_col:
+            out = out.withColumn(file_path_col, F.lit(None).cast("string"))
+        return out
+    pset = set(partition_cols)
+    data_schema = T.StructType([f for f in schema.fields if f.name not in pset])
+    df = spark.read.schema(data_schema).parquet(*paths)
+    for f in schema.fields:
+        if f.name not in pset:
+            continue
+        raw = F.url_decode(
+            F.regexp_extract(F.input_file_name(), re.escape(f.name) + "=([^/]+)", 1)
+        )
+        val = (
+            F.when(raw == HIVE_DEFAULT_PARTITION, F.lit(None))
+            .when(raw == "", F.lit(None))
+            .otherwise(raw)
+            .cast(f.dataType)
+        )
+        df = df.withColumn(f.name, val)
+    cols = [f.name for f in schema.fields]
+    if file_path_col:
+        df = df.withColumn(
+            file_path_col, F.regexp_replace(F.input_file_name(), "^file:/+", "/")
+        )
+        cols.append(file_path_col)
+    return df.select(*cols)

@@ -1,0 +1,191 @@
+"""Per-file statistics for Add actions.
+
+Reference rules reproduced exactly (/root/reference/src/writer.rs:655-786):
+
+- min/max + null_count for top-level scalars and **struct leaves** (dotted
+  names), computed per output file;
+- **arrays: null_count only** — no min/max for repetition level > 0
+  (src/writer.rs:676-681);
+- **partition columns excluded** from stats (src/writer.rs:667-669) — their
+  value is in ``partition_values``;
+- timestamps rendered ISO ``yyyy-MM-dd'T'HH:mm:ss.SSS'Z'``
+  (src/writer.rs:1127-1137);
+- ``num_records`` per file (src/writer.rs:1030-1066).
+
+Implementation is one *distributed* aggregation over the freshly staged
+files, grouped by ``input_file_name()``, reading **only the stat-bearing
+columns** (Catalyst prunes the token arrays out of the scan except for
+their null-flag definition levels) — no driver-side per-file loop, so the
+same code runs over a 10^6-file commit on a real cluster.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kafka_delta_ingest_spark.table.format import (
+    HIVE_DEFAULT_PARTITION,
+    FileEntry,
+)
+
+ISO_MS = "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"  # ref src/writer.rs:1127-1137
+
+_SCALAR_TYPES = (
+    T.StringType,
+    T.IntegerType,
+    T.LongType,
+    T.ShortType,
+    T.ByteType,
+    T.FloatType,
+    T.DoubleType,
+    T.BooleanType,
+    T.DateType,
+    T.TimestampType,
+    T.DecimalType,
+)
+
+
+def stat_leaves(schema: T.StructType, prefix: str = "") -> list[tuple[str, T.DataType, bool]]:
+    """Flatten a schema to (dotted_name, type, minmax_eligible).
+
+    Structs recurse (ref apply_min_max_for_column recursion,
+    src/writer.rs:812-843); arrays stop at the array itself with
+    minmax_eligible=False (null count only); maps/binary are null-count only.
+    """
+    out: list[tuple[str, T.DataType, bool]] = []
+    for f in schema.fields:
+        name = f"{prefix}{f.name}"
+        dt = f.dataType
+        if isinstance(dt, T.StructType):
+            out.extend(stat_leaves(dt, prefix=f"{name}."))
+        elif isinstance(dt, _SCALAR_TYPES):
+            out.append((name, dt, True))
+        else:  # ArrayType, MapType, BinaryType, ...
+            out.append((name, dt, False))
+    return out
+
+
+def _render(col, dt: T.DataType):
+    """Render a min/max value for the stats JSON (timestamps → ISO string)."""
+    if isinstance(dt, T.TimestampType):
+        return F.date_format(col, ISO_MS)
+    if isinstance(dt, T.DateType):
+        return F.date_format(col, "yyyy-MM-dd")
+    return col
+
+
+def file_stats_df(df, schema: T.StructType, partition_cols: list[str]):
+    """Aggregate per-file stats: one row per distinct ``input_file_name()``.
+
+    Returns a DataFrame with columns:
+      _file, num_records, min__<leaf>, max__<leaf>, nulls__<leaf>
+    Leaf column names use ``.`` replaced by ``%2E``-safe ``__DOT__`` to stay
+    valid identifiers.
+    """
+    leaves = [
+        (n, dt, mm)
+        for (n, dt, mm) in stat_leaves(schema)
+        if n.split(".", 1)[0] not in set(partition_cols)
+    ]
+    aggs = [F.count(F.lit(1)).alias("num_records")]
+    for name, dt, mm in leaves:
+        safe = name.replace(".", "__DOT__")
+        c = F.col(name)
+        if mm:
+            aggs.append(_render(F.min(c), dt).cast("string").alias(f"min__{safe}"))
+            aggs.append(_render(F.max(c), dt).cast("string").alias(f"max__{safe}"))
+        aggs.append(F.sum(F.isnull(c).cast("long")).alias(f"nulls__{safe}"))
+    return df.groupBy(F.input_file_name().alias("_file")).agg(*aggs)
+
+
+def _partition_values_from_path(rel_path: str, partition_cols: list[str]) -> dict[str, str]:
+    vals: dict[str, str] = {}
+    for seg in rel_path.split(os.sep):
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            if k in partition_cols:
+                vals[k] = v  # Spark already writes __HIVE_DEFAULT_PARTITION__ for null
+    for k in partition_cols:
+        vals.setdefault(k, HIVE_DEFAULT_PARTITION)
+    return vals
+
+
+def _typed(v: str | None, dt: T.DataType) -> Any:
+    if v is None:
+        return None
+    if isinstance(dt, (T.IntegerType, T.LongType, T.ShortType, T.ByteType)):
+        return int(v)
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return float(v)
+    if isinstance(dt, T.BooleanType):
+        return v == "true"
+    return v  # strings, timestamps (ISO), dates, decimals stay strings
+
+
+def compute_add_entries(
+    spark: SparkSession,
+    table_root: str,
+    staged_dir: str,
+    schema: T.StructType,
+    partition_cols: list[str],
+) -> list[FileEntry]:
+    """Build FileEntry (Add) records for every parquet file under
+    ``staged_dir`` (absolute, inside ``table_root``)."""
+    # size via filesystem walk — metadata-scale work, one entry per file
+    sizes: dict[str, int] = {}
+    for dirpath, _dirnames, filenames in os.walk(staged_dir):
+        for fn in filenames:
+            if fn.endswith(".parquet"):
+                p = os.path.join(dirpath, fn)
+                sizes[os.path.abspath(p)] = os.path.getsize(p)
+    if not sizes:
+        return []
+
+    df = spark.read.parquet(staged_dir)
+    stats_rows = file_stats_df(df, schema, partition_cols).collect()
+
+    leaves = [
+        (n, dt, mm)
+        for (n, dt, mm) in stat_leaves(schema)
+        if n.split(".", 1)[0] not in set(partition_cols)
+    ]
+    entries: list[FileEntry] = []
+    root_abs = os.path.abspath(table_root)
+    for row in stats_rows:
+        d = row.asDict()
+        fpath = d["_file"]
+        if fpath.startswith("file:"):
+            fpath = fpath[len("file:") :]
+        fpath = os.path.abspath(fpath)
+        rel = os.path.relpath(fpath, root_abs)
+        mins: dict[str, Any] = {}
+        maxs: dict[str, Any] = {}
+        nulls: dict[str, int] = {}
+        for name, dt, mm in leaves:
+            safe = name.replace(".", "__DOT__")
+            if mm:
+                mins[name] = _typed(d.get(f"min__{safe}"), dt)
+                maxs[name] = _typed(d.get(f"max__{safe}"), dt)
+            nulls[name] = int(d.get(f"nulls__{safe}") or 0)
+        entries.append(
+            FileEntry(
+                path=rel,
+                size=sizes.get(fpath, 0),
+                num_records=int(d["num_records"]),
+                partition_values=_partition_values_from_path(rel, partition_cols),
+                stats={"min": mins, "max": maxs, "null_count": nulls},
+            )
+        )
+    # determinism for ledgers/tests
+    entries.sort(key=lambda e: e.path)
+    return entries
+
+
+def stats_as_json(entries: list[FileEntry]) -> str:
+    return json.dumps([e.to_json() for e in entries], indent=2)

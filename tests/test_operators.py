@@ -1,0 +1,159 @@
+"""Training-data operators: dedup (exact/minhash/simhash/ngram), similarity
+(bruteforce + LSH ANN recall), text analysis, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_delta_ingest_spark.operators.dedup import (
+    exact_dedup,
+    minhash_near_dups,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+    simhash_signatures,
+)
+from kafka_delta_ingest_spark.operators.similarity import (
+    ann_bruteforce,
+    ann_lsh,
+    embedding_near_dups,
+)
+from kafka_delta_ingest_spark.operators.text import (
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and then runs far away to "
+    "the forest where it finds food and shelter for the cold winter nights"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE, "web"),
+        (2, BASE, "web"),  # exact dup of 1
+        (3, BASE.replace("winter", "summer"), "books"),  # near dup of 1
+        (4, "der hund und die katze sind gute freunde und das ist schön", "web"),
+        (5, "le chat et le chien sont les meilleurs amis est une belle chose", "web"),
+        (6, "completely different text about quantum computing research topics", "code"),
+        (7, "   ", "web"),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string, source string")
+
+
+def test_exact_dedup(spark, docs):
+    out = exact_dedup(docs, "doc_id", "text")
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 1 in ids and 2 not in ids  # dup dropped, min id kept
+    assert {3, 4, 5, 6, 7} <= ids
+
+
+def test_minhash_near_dups(spark, docs):
+    pairs = minhash_near_dups(docs, "doc_id", "text", jaccard_threshold=0.6)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got  # exact dup always found
+    assert (1, 3) in got or (2, 3) in got  # near dup found
+    assert all(a not in (4, 5, 6) and b not in (4, 5, 6) for a, b in got)
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got.get((1, 2)) == 1.0
+    assert (1, 3) in got and 0.5 <= got[(1, 3)] < 1.0
+
+
+def test_simhash(spark, docs):
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[6]
+    pairs = simhash_near_dups(docs, max_hamming=8)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got
+
+
+def test_text_analysis(spark, docs):
+    out = docs.select(
+        "doc_id",
+        token_count("text").alias("ntok"),
+        lang_id("text").alias("lang"),
+        quality_score("text").alias("q"),
+        doc_fingerprint("text").alias("fp"),
+    ).collect()
+    d = {r["doc_id"]: r for r in out}
+    assert d[1]["ntok"] == len(BASE.split())
+    assert d[7]["ntok"] == 0
+    assert d[1]["lang"] == "en"
+    assert d[4]["lang"] == "de"
+    assert d[5]["lang"] == "fr"
+    assert d[1]["q"] > d[7]["q"]
+    assert d[1]["fp"] == d[2]["fp"] != d[3]["fp"]
+    assert 0.0 <= d[1]["q"] <= 1.0
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(40, 16)).astype("float32")
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(base)]
+    # 41: near-dup of 0
+    rows.append((41, [float(x) for x in (base[0] + rng.normal(scale=1e-3, size=16).astype("float32"))]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_ann_bruteforce_and_lsh_recall(spark, vectors):
+    queries = vectors.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = ann_bruteforce(queries, vectors, k=5)
+    ex = {(r["q_id"], r["rank"]): r["vec_id"] for r in exact.collect()}
+    # self is always rank 1 (cos=1), and 41 is 0's nearest non-self
+    assert ex[(0, 1)] in (0, 41) and ex[(0, 2)] in (0, 41)
+    assert ex[(1, 1)] == 1
+    approx = ann_lsh(queries, vectors, dim=16, k=5, n_planes=6, n_tables=6)
+    ap = {}
+    for r in approx.collect():
+        ap.setdefault(r["q_id"], set()).add(r["vec_id"])
+    exact_sets = {}
+    for r in exact.collect():
+        exact_sets.setdefault(r["q_id"], set()).add(r["vec_id"])
+    # recall@5 across 3 queries: at least half of exact neighbors retrieved
+    hits = sum(len(ap.get(q, set()) & s) for q, s in exact_sets.items())
+    total = sum(len(s) for s in exact_sets.values())
+    assert hits / total >= 0.5
+    # each query finds itself
+    for q in (0, 1, 2):
+        assert q in ap.get(q, set())
+
+
+def test_embedding_near_dups(spark, vectors):
+    pairs = embedding_near_dups(vectors, dim=16, threshold=0.999)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 41) in got
+    assert all(p == (0, 41) for p in got)
+
+
+def test_multimodal_plumbing(spark):
+    from kafka_delta_ingest_spark.operators.multimodal import (
+        extract_features,
+        fake_decode,
+        real_decode,
+        synthetic_media_df,
+    )
+
+    media = synthetic_media_df(spark, n=30)
+    feats = extract_features(media.repartition(4))
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(len(r["features"]) == 8 for r in rows)
+    assert all(r["n_bytes"] > 0 for r in rows)
+    # deterministic across partitionings
+    feats2 = {r["media_id"]: r["features"] for r in extract_features(media.repartition(1)).collect()}
+    for r in rows:
+        assert feats2[r["media_id"]] == r["features"]
+    with pytest.raises(NotImplementedError):
+        real_decode(b"xx", "image")

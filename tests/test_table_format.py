@@ -1,0 +1,149 @@
+"""Table format core: create / append / replace / CAS conflicts / time
+travel / checkpoints / txn-offset guards — the commit semantics of
+/root/reference/src/lib.rs:931-1024 and src/offsets.rs:35-157."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_delta_ingest_spark.datagen import TOKENS_SCHEMA, make_small_file_table, tokens_df
+from kafka_delta_ingest_spark.table.format import (
+    CHECKPOINT_INTERVAL,
+    ConcurrentDeleteError,
+    ConflictingOffsetsError,
+    FileEntry,
+    Table,
+    Transaction,
+)
+from kafka_delta_ingest_spark.table.writer import stage_dataframe, write_dataframe
+
+
+def test_create_and_empty_snapshot(tmp_table_root):
+    t = Table.create(tmp_table_root, TOKENS_SCHEMA, ["source"])
+    snap = t.snapshot()
+    assert snap.version == 0
+    assert snap.files == []
+    assert snap.partition_cols == ["source"]
+    assert [f.name for f in snap.schema.fields] == ["doc_id", "tokens", "n_tok", "source"]
+
+
+def test_append_and_scan(spark, tmp_table_root):
+    t = Table.create(tmp_table_root, TOKENS_SCHEMA, ["source"])
+    df = tokens_df(spark, 500, max_tok=32)
+    v = write_dataframe(spark, t, df)
+    assert v == 1
+    snap = t.snapshot()
+    assert snap.num_records() == 500
+    got = snap.scan(spark)
+    assert got.count() == 500
+    # partition columns recovered, token arrays intact
+    row = got.filter(F.col("doc_id") == "doc-000000000007").collect()[0]
+    exp = df.filter(F.col("doc_id") == "doc-000000000007").collect()[0]
+    assert row["tokens"] == exp["tokens"]
+    assert row["source"] == exp["source"]
+
+
+def test_add_entries_have_reference_stat_shape(spark, tmp_table_root):
+    """Stats rules: min/max for scalars, null-count-only for arrays,
+    partition cols excluded (ref src/writer.rs:655-786)."""
+    t = Table.create(tmp_table_root, TOKENS_SCHEMA, ["source"])
+    write_dataframe(spark, t, tokens_df(spark, 300, max_tok=64))
+    snap = t.snapshot()
+    assert len(snap.files) > 0
+    for fe in snap.files:
+        assert "source" in fe.partition_values
+        s = fe.stats
+        assert "tokens" not in s["min"] and "tokens" not in s["max"]
+        assert s["null_count"]["tokens"] == 0
+        assert "source" not in s["min"]  # partition col excluded
+        assert isinstance(s["min"]["n_tok"], int)
+        assert 1 <= s["min"]["n_tok"] <= s["max"]["n_tok"] <= 64
+        assert s["min"]["doc_id"].startswith("doc-")
+        assert fe.num_records > 0 and fe.size > 0
+
+
+def test_replace_commit_and_snapshot_isolation(spark, tmp_table_root):
+    t = make_small_file_table(spark, tmp_table_root, n_docs=400, n_files=8)
+    snap1 = t.snapshot()
+    old_paths = snap1.file_paths(absolute=False)
+    # rewrite everything into one commit dir
+    df = snap1.scan(spark)
+    _, adds = stage_dataframe(spark, t, df.repartition(2), ["source"], snap1.schema)
+    v = t.commit(
+        Transaction(operation="replace", adds=adds, removes=old_paths, data_change=False)
+    )
+    snap2 = t.snapshot()
+    assert snap2.version == v
+    assert set(snap2.file_paths(absolute=False)).isdisjoint(old_paths)
+    assert snap2.num_records() == 400
+    # pinned old snapshot still scans the old files (data still on disk)
+    assert snap1.scan(spark).count() == 400
+    assert t.snapshot(snap1.version).file_paths(absolute=False) == sorted(old_paths)
+
+
+def test_concurrent_delete_detected(spark, tmp_table_root):
+    t = make_small_file_table(spark, tmp_table_root, n_docs=100, n_files=4)
+    snap = t.snapshot()
+    victim = snap.file_paths(absolute=False)[0]
+    # a competing committer removes the file first
+    t.commit(Transaction(operation="replace", adds=[], removes=[victim]))
+    with pytest.raises(ConcurrentDeleteError):
+        t.commit(Transaction(operation="replace", adds=[], removes=[victim]))
+
+
+def test_txn_offsets_refuse_to_regress(tmp_table_root):
+    """Offset integrity guard (ref src/offsets.rs:150-157,
+    InconsistentStoredOffsets / ConflictingOffsets)."""
+    t = Table.create(tmp_table_root, TOKENS_SCHEMA, [])
+    t.commit(Transaction(operation="append", app_txns={"job-0": 10}))
+    assert t.txn_version("job-0") == 10
+    assert t.txn_version("job-nope") == -1
+    with pytest.raises(ConflictingOffsetsError):
+        t.commit(Transaction(operation="append", app_txns={"job-0": 10}))
+    with pytest.raises(ConflictingOffsetsError):
+        t.commit(Transaction(operation="append", app_txns={"job-0": 3}))
+    t.commit(Transaction(operation="append", app_txns={"job-0": 11}))
+    assert t.txn_version("job-0") == 11
+
+
+def test_cas_version_collision_retries(tmp_table_root):
+    """Two writers race for the same version: one wins the os.link CAS, the
+    loser retries onto the next version (ref src/lib.rs:964-1023)."""
+    t = Table.create(tmp_table_root, TOKENS_SCHEMA, [])
+    # simulate the race: pre-create v1 behind the transaction's back
+    t._atomic_write_version(1, {"version": 1, "operation": "append", "add": [], "remove": [], "app_txns": {}})
+    v = t.commit(Transaction(operation="append"))
+    assert v == 2
+
+
+def test_checkpoint_roundtrip(tmp_table_root):
+    t = Table.create(tmp_table_root, TOKENS_SCHEMA, ["source"])
+    fe = lambda i: FileEntry(  # noqa: E731
+        path=f"data/x/part-{i}.parquet",
+        size=10 * i + 1,
+        num_records=i + 1,
+        partition_values={"source": "web"},
+        stats={"min": {"n_tok": i}, "max": {"n_tok": i + 5}, "null_count": {"tokens": 0}},
+    )
+    for i in range(1, CHECKPOINT_INTERVAL + 3):
+        t.commit(Transaction(operation="append", adds=[fe(i)], app_txns={"j": i}))
+    assert os.path.exists(t._checkpoint_path(CHECKPOINT_INTERVAL))
+    snap = t.snapshot()
+    assert len(snap.files) == CHECKPOINT_INTERVAL + 2
+    # delete pre-checkpoint commit jsons: snapshot must still resolve
+    for i in range(0, CHECKPOINT_INTERVAL):
+        os.unlink(t._version_path(i))
+    snap2 = t.snapshot()
+    assert {f.path for f in snap2.files} == {f.path for f in snap.files}
+    assert snap2.app_txns["j"] == CHECKPOINT_INTERVAL + 2
+    assert snap2.files[0].partition_values == {"source": "web"}
+
+
+def test_history_and_referenced_paths(spark, tmp_table_root):
+    t = make_small_file_table(spark, tmp_table_root, n_docs=50, n_files=2)
+    h = t.history()
+    assert [e["operation"] for e in h] == ["create", "append"]
+    refs = t.all_referenced_paths()
+    assert refs == set(t.snapshot().file_paths(absolute=False))

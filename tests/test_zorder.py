@@ -1,0 +1,88 @@
+"""B2 Z-order / Hilbert clustering: key math, scan preservation, and the
+point of it all — manifest min/max pruning actually prunes."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_delta_ingest_spark.datagen import make_small_file_table
+from kafka_delta_ingest_spark.functions.verify import content_fingerprint
+from kafka_delta_ingest_spark.maintenance.zorder import (
+    cluster,
+    hilbert_key,
+    morton_key,
+)
+from kafka_delta_ingest_spark.plans.pruning import prune_files
+
+
+def test_morton2_interleaves_bits():
+    x = np.array([0b1010], dtype=np.uint64)
+    y = np.array([0b0110], dtype=np.uint64)
+    # interleave: y3 x3 y2 x2 y1 x1 y0 x0 = 0 1 1 0 1 1 0 0 -> 0b01101100
+    assert morton_key([x, y])[0] == 0b01101100
+
+
+def test_morton3_matches_naive():
+    rng = np.random.default_rng(1)
+    a = rng.integers(0, 2**21, 200).astype(np.uint64)
+    b = rng.integers(0, 2**21, 200).astype(np.uint64)
+    c = rng.integers(0, 2**21, 200).astype(np.uint64)
+    fast = morton_key([a, b, c])
+    naive = np.zeros_like(a)
+    for bit in range(21):
+        naive |= ((a >> np.uint64(bit)) & np.uint64(1)) << np.uint64(3 * bit)
+        naive |= ((b >> np.uint64(bit)) & np.uint64(1)) << np.uint64(3 * bit + 1)
+        naive |= ((c >> np.uint64(bit)) & np.uint64(1)) << np.uint64(3 * bit + 2)
+    assert (fast == naive).all()
+
+
+def test_hilbert_is_bijective_and_local():
+    # 2D, 4 bits: all 256 cells map to distinct indices 0..255
+    xs, ys = np.meshgrid(np.arange(16, dtype=np.uint64), np.arange(16, dtype=np.uint64))
+    idx = hilbert_key([xs.ravel(), ys.ravel()], bits=4)
+    assert sorted(idx.tolist()) == list(range(256))
+    # locality: consecutive hilbert indices are adjacent cells (property of
+    # the curve; morton does NOT have this)
+    order = np.argsort(idx)
+    x_sorted, y_sorted = xs.ravel()[order], ys.ravel()[order]
+    dist = np.abs(np.diff(x_sorted.astype(int))) + np.abs(np.diff(y_sorted.astype(int)))
+    assert (dist == 1).all()
+
+
+@pytest.mark.parametrize("curve", ["zorder", "hilbert"])
+def test_cluster_preserves_scan(spark, tmp_table_root, curve):
+    t = make_small_file_table(
+        spark, tmp_table_root, n_docs=1_500, n_files=12, max_tok=48, partition_by_source=False
+    )
+    fp = content_fingerprint(t.snapshot().scan(spark))
+    m = cluster(
+        spark, t, dims=["source", "n_tok", "doc_id"], curve=curve,
+        target_file_bytes=32 * 1024, verify=True,
+    )
+    assert m["files_written"] >= 2
+    snap = t.snapshot()
+    assert content_fingerprint(snap.scan(spark)) == fp
+    assert t.history()[-1]["operation"] == f"cluster-{curve}"
+    assert t.history()[-1]["data_change"] is False
+
+
+def test_cluster_improves_pruning(spark, tmp_table_root):
+    """After clustering on n_tok, a range predicate on n_tok must prune
+    most files via manifest min/max (the payoff of B2+B3)."""
+    t = make_small_file_table(
+        spark, tmp_table_root, n_docs=4_000, n_files=16, max_tok=512, partition_by_source=False
+    )
+    before = t.snapshot()
+    pred = [("n_tok", "<=", 64)]
+    kept_before = len(prune_files(before.files, pred)) / len(before.files)
+
+    cluster(spark, t, dims=["n_tok", "doc_id"], target_file_bytes=150 * 1024)
+    after = t.snapshot()
+    kept_after = len(prune_files(after.files, pred)) / len(after.files)
+    # random layout keeps ~all files; clustered layout keeps a fraction
+    assert kept_before > 0.9
+    assert kept_after < 0.5
+    # and the pruned scan returns exactly the right rows
+    got = after.scan(spark, predicate=F.col("n_tok") <= 64, predicate_stats=pred)
+    want = after.scan(spark).where(F.col("n_tok") <= 64)
+    assert got.count() == want.count() > 0

@@ -1,0 +1,116 @@
+"""Local replica of the driver's correctness gate: run every queries()
+entry on Spark and its oracle_sql() on DuckDB over the same sf dir;
+compare row count, column names, and an order-insensitive value hash.
+
+Usage: python tools/check_oracles.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+import __spark_entry__ as entrymod
+from kafka_delta_ingest_spark.session import get_spark
+
+
+def _norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.9g}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def value_hash(rows, colnames) -> str:
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    lines = sorted(
+        "|".join(_norm_cell(row[i]) for i in order) for row in rows
+    )
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    spark = get_spark(app_name="oracle-check")
+
+    con = duckdb.connect()
+    from kafka_delta_ingest_spark.sources.testdata import TABLES
+
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = [tuple(r) for r in sdf.collect()]
+            scols = list(sdf.columns)
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"ok?   {name}: rows-only ({len(srows)} rows)")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            orows = res.fetchall()
+            ocols = [d[0] for d in res.description]
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {e}")
+            failures.append(name)
+            continue
+        ok_rows = len(srows) == len(orows)
+        ok_cols = sorted(scols) == sorted(ocols)
+        sh = value_hash(srows, scols)
+        oh = value_hash(orows, ocols)
+        ok_hash = sh == oh
+        status = "PASS " if (ok_rows and ok_cols and ok_hash) else "FAIL "
+        print(
+            f"{status} {name}: rows {len(srows)}/{len(orows)} cols_ok={ok_cols} "
+            f"hash {sh}/{oh}"
+        )
+        if status.startswith("FAIL"):
+            failures.append(name)
+            if not ok_cols:
+                print(f"      spark cols: {scols}\n      duck cols:  {ocols}")
+            elif ok_rows and len(srows) <= 2000:
+                order = sorted(range(len(scols)), key=lambda i: scols[i])
+                s_set = sorted("|".join(_norm_cell(r[i]) for i in order) for r in srows)
+                oorder = sorted(range(len(ocols)), key=lambda i: ocols[i])
+                o_set = sorted("|".join(_norm_cell(r[i]) for i in oorder) for r in orows)
+                diffs = [(a, b) for a, b in zip(s_set, o_set) if a != b][:3]
+                for a, b in diffs:
+                    print(f"      spark: {a}\n      duck : {b}")
+    print(f"\n{len(failures)} failures: {failures}")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
