@@ -51,6 +51,25 @@ def dedupe_against_ledger(
     return fresh, watermarks
 
 
+def consumer_lag(
+    high_watermarks: dict[int, int], stored_offsets: dict[int, int]
+) -> dict:
+    """Lag gauges — calculate_lag / buffer_lags
+    (/root/reference/src/lib.rs:671-712,1350-1379): per-partition
+    high_watermark - (last_offset + 1), plus total/max/min rollups."""
+    lags = {
+        p: max(0, hw - (stored_offsets.get(p, -1) + 1))
+        for p, hw in high_watermarks.items()
+    }
+    vals = list(lags.values())
+    return {
+        "per_partition": lags,
+        "total": sum(vals) if vals else 0,
+        "max": max(vals) if vals else 0,
+        "min": min(vals) if vals else 0,
+    }
+
+
 def watermarks_to_app_txns(watermarks_df: DataFrame, app_id: str) -> dict[str, int]:
     """``{app_id-partition: max_offset}`` — the Txn action keys
     (ref delta_helpers.rs:29-40: txn_app_id_for_partition)."""
