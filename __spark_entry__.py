@@ -75,21 +75,33 @@ def _scan_summary(df: DataFrame) -> DataFrame:
 
 
 def _build_tokens_table(spark: SparkSession, sf_dir: str, root: str, n_files: int = 16):
-    """Materialize the derived tokens table as many small files."""
+    """Materialize the derived tokens table as many small files.
+
+    The base table for a given sf_dir is built once and directory-copied
+    for each maintenance query (table dirs are self-contained relative
+    paths) — a filesystem copy beats re-running the Spark write 6×."""
+    import re
+
     from kafka_delta_ingest_spark.table.format import Table, Transaction
     from kafka_delta_ingest_spark.table.writer import stage_dataframe
 
     if os.path.exists(root):
         shutil.rmtree(root)
-    table = Table.create(root, TOKENS_SCHEMA, ["source"])
-    df = tokens_from_documents(spark, sf_dir).repartition(n_files)
-    _, adds = stage_dataframe(spark, table, df, ["source"], TOKENS_SCHEMA)
-    table.commit(Transaction(operation="append", adds=adds))
-    return table
+    base = _tmp_root("base_" + re.sub(r"\W+", "_", sf_dir) + f"_{n_files}")
+    marker = os.path.join(base, "_log", f"v{0:020d}.json")
+    if not os.path.exists(marker) or Table(base).latest_version() != 1:
+        shutil.rmtree(base, ignore_errors=True)
+        table = Table.create(base, TOKENS_SCHEMA, ["source"])
+        df = tokens_from_documents(spark, sf_dir).repartition(n_files)
+        _, adds = stage_dataframe(spark, table, df, ["source"], TOKENS_SCHEMA)
+        table.commit(Transaction(operation="append", adds=adds))
+    shutil.copytree(base, root)
+    return Table(root)
 
 
 def _tmp_root(name: str) -> str:
-    base = os.path.join(tempfile.gettempdir(), "kdi_spark_queries")
+    # per-process dir: concurrent harnesses must not clobber each other
+    base = os.path.join(tempfile.gettempdir(), f"kdi_spark_queries_{os.getpid()}")
     os.makedirs(base, exist_ok=True)
     return os.path.join(base, name)
 

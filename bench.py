@@ -78,14 +78,22 @@ def run_maintenance(spark, root: str) -> dict:
     )
     n_files_before = len(snap.files)
 
+    # size bins so the local run sits in the at-scale regime (bins >> cores):
+    # a 10^12-token table has thousands of 128 MiB bins; here we scale the
+    # target down so writer parallelism, not bin count, is the constraint
+    cores = spark.sparkContext.defaultParallelism
+    target = min(
+        128 * 1024 * 1024, max(8 * 1024 * 1024, snap.total_bytes() // (4 * cores))
+    )
+
     t0 = time.time()
-    cm = compact(spark, table, target_file_bytes=128 * 1024 * 1024, job_id="bench-compact")
+    cm = compact(spark, table, target_file_bytes=target, job_id="bench-compact")
     t_compact = time.time() - t0
 
     t1 = time.time()
     zm = cluster(
         spark, table, dims=["n_tok", "doc_id"], curve="zorder",
-        target_file_bytes=128 * 1024 * 1024, job_id="bench-zorder",
+        target_file_bytes=target, job_id="bench-zorder",
     )
     t_zorder = time.time() - t1
     wall = time.time() - t0

@@ -65,8 +65,12 @@ def _rewrite_bins(
         .join(F.broadcast(bins_map), "_path")
         .drop("_path")
     )
+    # 2× partitions over bins: hash collisions would otherwise give some
+    # tasks two bins (stragglers); partitionBy still emits exactly one file
+    # per bin because a bin's rows never split across tasks
+    n_part = max(2 * len(bins), spark.sparkContext.defaultParallelism, 1)
     (
-        df.repartition(max(len(bins), 1), "_bin")
+        df.repartition(n_part, "_bin")
         .write.mode("overwrite")
         .partitionBy(*(snap.partition_cols + ["_bin"]))
         .parquet(absd)
@@ -197,43 +201,24 @@ def compact(
 
 
 def _entries_for_existing(spark, table, snap, rel_paths: list[str]):
-    """Recompute Add entries for already-staged parquet files (resume path)."""
-    from kafka_delta_ingest_spark.table.format import FileEntry
-    from kafka_delta_ingest_spark.table.stats import file_stats_df, stat_leaves, _typed
+    """Recompute Add entries for already-staged parquet files (resume path)
+    — footer stats, no data scan."""
+    from kafka_delta_ingest_spark.table.footer_stats import (
+        _one_file,
+    )
+    from kafka_delta_ingest_spark.table.stats import stat_leaves
 
-    from kafka_delta_ingest_spark.table.scan import read_files
-
-    abs_paths = [os.path.join(table.root, p) for p in rel_paths]
-    df = read_files(spark, abs_paths, snap.schema, snap.partition_cols)
-    rows = file_stats_df(df, snap.schema, snap.partition_cols).collect()
-    leaves = [
-        (n, dt, mm)
+    pset = set(snap.partition_cols)
+    leaf_types = {
+        n: (dt, mm)
         for (n, dt, mm) in stat_leaves(snap.schema)
-        if n.split(".", 1)[0] not in set(snap.partition_cols)
-    ]
-    out = []
-    root_abs = os.path.abspath(table.root)
-    from kafka_delta_ingest_spark.table.stats import _partition_values_from_path
-
-    for r in rows:
-        d = r.asDict()
-        fpath = d["_file"].removeprefix("file:")
-        rel = os.path.relpath(os.path.abspath(fpath), root_abs)
-        mins, maxs, nulls = {}, {}, {}
-        for name, dt, mm in leaves:
-            safe = name.replace(".", "__DOT__")
-            if mm:
-                mins[name] = _typed(d.get(f"min__{safe}"), dt)
-                maxs[name] = _typed(d.get(f"max__{safe}"), dt)
-            nulls[name] = int(d.get(f"nulls__{safe}") or 0)
-        out.append(
-            FileEntry(
-                path=rel,
-                size=os.path.getsize(fpath),
-                num_records=int(d["num_records"]),
-                partition_values=_partition_values_from_path(rel, snap.partition_cols),
-                stats={"min": mins, "max": maxs, "null_count": nulls},
-            )
+        if n.split(".", 1)[0] not in pset
+    }
+    out = [
+        _one_file(
+            os.path.join(table.root, p), table.root, leaf_types, snap.partition_cols
         )
+        for p in rel_paths
+    ]
     out.sort(key=lambda e: e.path)
     return out

@@ -71,6 +71,7 @@ def merge_into(
     key: str = "doc_id",
     salt_factor: int = 16,
     hot_keys: list | None = None,
+    auto_detect_skew: bool = False,
     job_id: str | None = None,
     when_matched: str = "update",  # update | delete
 ) -> dict:
@@ -100,6 +101,9 @@ def merge_into(
 
     marked_src = source.withColumn("__is_src", F.lit(True))
     # salted left join: target rows keep or take the source version
+    # merge keys are unique, so key-level skew only arises when merging by a
+    # low-cardinality key (e.g. `source`): salting is explicit via hot_keys
+    # or opt-in detection — a detection pass on a unique key is wasted work
     joined = salted_join(
         tdf,
         marked_src.select(key, "__is_src"),
@@ -107,7 +111,7 @@ def merge_into(
         how="left",
         salt_factor=salt_factor,
         hot_keys=hot_keys,
-        auto_detect=hot_keys is None,
+        auto_detect=auto_detect_skew and hot_keys is None,
     )
     if when_matched == "delete":
         survivors = joined.where(F.col("__is_src").isNull()).drop("__is_src")

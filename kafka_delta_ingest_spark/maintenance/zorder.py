@@ -225,6 +225,14 @@ def cluster(
     total_bytes = snap.total_bytes()
     n_out = max(1, math.ceil(total_bytes / target_file_bytes))
 
+    # right-size input splits: a freshly compacted table has few large
+    # files, and the default 128 MiB split would leave most cores idle —
+    # aim for ~2 splits per core (floor 8 MiB so tiny tables don't explode)
+    cores = spark.sparkContext.defaultParallelism
+    split = max(8 * 1024 * 1024, min(128 * 1024 * 1024, total_bytes // max(2 * cores, 1) or 1))
+    prev_split = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+
     df = snap.scan(spark)
     keyed = cluster_keyed_df(df, dims, curve, _manifest_ranges(snap, dims))
 
@@ -243,6 +251,10 @@ def cluster(
     if snap.partition_cols:
         w = w.partitionBy(*snap.partition_cols)
     w.parquet(absd)
+    if prev_split is not None:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev_split)
+    else:
+        spark.conf.unset("spark.sql.files.maxPartitionBytes")
 
     adds = compute_add_entries(spark, table.root, absd, snap.schema, snap.partition_cols)
     v = table.commit(

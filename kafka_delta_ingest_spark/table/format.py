@@ -183,7 +183,9 @@ class Snapshot:
             return spark.createDataFrame([], self.schema)
         from kafka_delta_ingest_spark.table.scan import read_files
 
-        df = read_files(spark, paths, self.schema, self.partition_cols)
+        df = read_files(
+            spark, paths, self.schema, self.partition_cols, predicate=predicate
+        )
         if predicate is not None:
             df = df.filter(predicate)
         if columns:

@@ -29,11 +29,18 @@ def read_files(
     schema: T.StructType,
     partition_cols: list[str],
     file_path_col: str | None = None,
+    predicate=None,
 ) -> DataFrame:
     """Read explicit parquet leaf files as the full table schema.
 
     ``file_path_col``: optionally append the normalized source-file path
-    (scheme stripped) — used by per-file stats and bin assignment."""
+    (scheme stripped) — used by per-file stats and bin assignment.
+
+    ``predicate`` (a Column over data columns) is applied *before* the
+    partition-column reconstruction: ``input_file_name`` is nondeterministic,
+    so a filter placed after it cannot push into the parquet scan — placed
+    here it reaches PushedFilters. Predicates referencing partition columns
+    fall back to post-reconstruction filtering (caller re-applies)."""
     if not paths:
         out = spark.createDataFrame([], schema)
         if file_path_col:
@@ -42,6 +49,11 @@ def read_files(
     pset = set(partition_cols)
     data_schema = T.StructType([f for f in schema.fields if f.name not in pset])
     df = spark.read.schema(data_schema).parquet(*paths)
+    if predicate is not None:
+        try:
+            df = df.filter(predicate)
+        except Exception:  # noqa: BLE001 — references partition cols; skip
+            pass
     for f in schema.fields:
         if f.name not in pset:
             continue

@@ -136,7 +136,29 @@ def compute_add_entries(
     partition_cols: list[str],
 ) -> list[FileEntry]:
     """Build FileEntry (Add) records for every parquet file under
-    ``staged_dir`` (absolute, inside ``table_root``)."""
+    ``staged_dir`` — from parquet *footers* (no data scan; the reference's
+    approach, writer.rs:655-707). Falls back to the Spark aggregation path
+    (``compute_add_entries_scan``) if footer reading fails."""
+    from kafka_delta_ingest_spark.table.footer_stats import footer_add_entries
+
+    try:
+        return footer_add_entries(table_root, staged_dir, schema, partition_cols)
+    except Exception:  # noqa: BLE001 — exotic footer shapes: rescan instead
+        return compute_add_entries_scan(
+            spark, table_root, staged_dir, schema, partition_cols
+        )
+
+
+def compute_add_entries_scan(
+    spark: SparkSession,
+    table_root: str,
+    staged_dir: str,
+    schema: T.StructType,
+    partition_cols: list[str],
+) -> list[FileEntry]:
+    """Spark-aggregation stats path: one distributed pass grouped by
+    input_file_name. Used by manifest rewrite (where recomputing stats
+    *from data* is the point) and as the footer fallback."""
     # size via filesystem walk — metadata-scale work, one entry per file
     sizes: dict[str, int] = {}
     for dirpath, _dirnames, filenames in os.walk(staged_dir):
