@@ -423,6 +423,32 @@ def q_distinct_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hi.union(urgent).distinct().orderBy("o_custkey")
 
 
+def q_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 10-minute event-time windows per event_type (the batch form
+    of the streaming watermark aggregation in streaming/windows.py)."""
+    from kafka_delta_ingest_spark.streaming.windows import windowed_counts
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = windowed_counts(
+        ev,
+        ts_col="ts",
+        window_duration="10 minutes",
+        group_cols=["event_type"],
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("value_sum"),
+        ],
+    )
+    return out.select(
+        F.unix_micros("window_start").alias("win_start_us"),
+        "event_type",
+        "n_events",
+        "value_sum",
+    )
+
+
 def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization by 30-minute inactivity gaps (window lag + running
     sum) — the event-time stateful pattern, batch form."""
@@ -602,6 +628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders_per_customer": q_top_orders_per_customer,
         "distinct_union": q_distinct_union,
         "event_sessions": q_event_sessions,
+        "windowed_rollup": q_windowed_rollup,
         # training-data ops
         "exact_dedup_docs": q_exact_dedup_docs,
         "doc_fingerprints": q_doc_fingerprints,
@@ -772,6 +799,15 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
             ) ORDER BY o_custkey
+        """,
+        "windowed_rollup": """
+            SELECT CAST(epoch_us(time_bucket(INTERVAL '10 minutes', ts)) AS BIGINT)
+                     AS win_start_us,
+                   event_type,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 4) AS value_sum
+            FROM events
+            GROUP BY 1, 2
         """,
         "event_sessions": """
             WITH marked AS (

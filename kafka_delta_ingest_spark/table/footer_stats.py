@@ -118,7 +118,7 @@ def footer_add_entries(
     staged_dir: str,
     schema: T.StructType,
     partition_cols: list[str],
-    max_workers: int = 16,
+    max_workers: int = 32,
 ) -> list[FileEntry]:
     paths = []
     for dirpath, _d, files in os.walk(staged_dir):

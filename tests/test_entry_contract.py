@@ -1,0 +1,53 @@
+"""Driver-contract smoke: entry() runs and returns rows with a stable
+schema; every queries() entry is callable; oracle_sql() keys subset
+queries(). (Full Spark-vs-DuckDB parity runs via tools/check_oracles.py.)"""
+
+import __spark_entry__ as entrymod
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.columns == ["doc_id", "n_tok", "source", "tok_sum"]
+    assert df.count() == 500  # sf0.001 documents
+
+
+def test_contract_shape():
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert len(qs) >= 25
+    assert set(oracles) <= set(qs)
+    # every oracle references only pre-registered views
+    for sql in oracles.values():
+        assert "read_parquet" not in sql
+
+
+def test_concurrent_committers(spark, tmp_path):
+    """Two committers race replace-commits: exactly one wins per victim
+    file; the loser sees ConcurrentDeleteError — never silent data loss
+    (the reference's two-worker concurrency test idiom,
+    tests/emails_s3_tests.rs:21-77)."""
+    import threading
+
+    from kafka_delta_ingest_spark.datagen import make_small_file_table
+    from kafka_delta_ingest_spark.table.format import (
+        ConcurrentDeleteError,
+        Transaction,
+    )
+
+    t = make_small_file_table(spark, str(tmp_path / "t"), n_docs=200, n_files=4, max_tok=8)
+    victim = t.snapshot().file_paths(absolute=False)[0]
+    results = []
+
+    def worker():
+        try:
+            v = t.commit(Transaction(operation="replace", adds=[], removes=[victim]))
+            results.append(("ok", v))
+        except ConcurrentDeleteError:
+            results.append(("conflict", None))
+
+    threads = [threading.Thread(target=worker) for _ in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert sorted(r[0] for r in results) == ["conflict", "conflict", "conflict", "ok"]

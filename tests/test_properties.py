@@ -1,0 +1,95 @@
+"""Property-based tests (hypothesis) for the driver-side planners and key
+math — pure Python, no Spark session needed."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kafka_delta_ingest_spark.maintenance.zorder import hilbert_key, morton_key
+from kafka_delta_ingest_spark.plans.bin_packing import plan_bins
+from kafka_delta_ingest_spark.plans.pruning import prune_files
+from kafka_delta_ingest_spark.table.format import FileEntry
+
+
+@st.composite
+def file_lists(draw):
+    n = draw(st.integers(1, 60))
+    files = []
+    for i in range(n):
+        files.append(
+            FileEntry(
+                path=f"data/u/f{i}.parquet",
+                size=draw(st.integers(1, 200)),
+                num_records=draw(st.integers(1, 100)),
+                partition_values={"source": draw(st.sampled_from(["a", "b", "c"]))},
+                stats={
+                    "min": {"n_tok": draw(st.integers(0, 50))},
+                    "max": {"n_tok": draw(st.integers(50, 100))},
+                    "null_count": {},
+                },
+            )
+        )
+    return files
+
+
+@given(file_lists(), st.integers(50, 300))
+@settings(max_examples=60, deadline=None)
+def test_bin_packing_invariants(files, target):
+    bins = plan_bins(files, target_file_bytes=target)
+    seen = set()
+    for b in bins:
+        # no file packed twice
+        for f in b.files:
+            assert f.path not in seen
+            seen.add(f.path)
+        # bins never exceed target unless a single file does
+        if len(b.files) > 1:
+            assert b.size <= target
+        # bins are per-partition
+        assert len({tuple(sorted(f.partition_values.items())) for f in b.files}) == 1
+        assert len(b.files) >= 2
+    # determinism
+    bins2 = plan_bins(files, target_file_bytes=target)
+    assert [b.input_paths() for b in bins2] == [b.input_paths() for b in bins]
+    # right-sized files are never rewritten
+    threshold = int(target * 0.75)
+    for f in files:
+        if f.size >= threshold:
+            assert f.path not in seen
+
+
+@given(file_lists(), st.integers(0, 100))
+@settings(max_examples=60, deadline=None)
+def test_pruning_is_conservative(files, cut):
+    kept = prune_files(files, [("n_tok", "<=", cut)])
+    kept_paths = {f.path for f in kept}
+    for f in files:
+        lo = f.stats["min"]["n_tok"]
+        # any file whose range definitely intersects must be kept
+        if lo <= cut:
+            assert f.path in kept_paths
+
+
+@given(st.lists(st.integers(0, 2**21 - 1), min_size=1, max_size=200))
+@settings(max_examples=30, deadline=None)
+def test_morton3_roundtrip_bits(xs):
+    a = np.array(xs, dtype=np.uint64)
+    b = np.array(list(reversed(xs)), dtype=np.uint64)
+    c = (a ^ b) & np.uint64(0x1FFFFF)
+    key = morton_key([a, b, c])
+    # de-interleave and compare
+    for bit in range(21):
+        assert (((key >> np.uint64(3 * bit)) & np.uint64(1)) == ((a >> np.uint64(bit)) & np.uint64(1))).all()
+        assert (((key >> np.uint64(3 * bit + 1)) & np.uint64(1)) == ((b >> np.uint64(bit)) & np.uint64(1))).all()
+        assert (((key >> np.uint64(3 * bit + 2)) & np.uint64(1)) == ((c >> np.uint64(bit)) & np.uint64(1))).all()
+
+
+@given(st.integers(2, 3), st.integers(2, 5))
+@settings(max_examples=12, deadline=None)
+def test_hilbert_bijective(ndim, bits):
+    side = 1 << bits
+    grids = np.meshgrid(*[np.arange(side, dtype=np.uint64)] * ndim)
+    coords = [g.ravel() for g in grids]
+    idx = hilbert_key(coords, bits=bits)
+    assert len(set(idx.tolist())) == side**ndim
+    assert idx.max() == side**ndim - 1
