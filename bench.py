@@ -146,7 +146,8 @@ def one_run(cores: int, tag: str) -> dict:
 
     spark = get_spark(app_name=f"kdi-bench-{tag}", cores=cores,
                       shuffle_partitions=cores)
-    root = f"/tmp/kdi_bench_table_{tag}"
+    base = os.environ.get("KDI_BENCH_BASE", "/tmp")
+    root = os.path.join(base, f"kdi_bench_table_{tag}")
     m = run_maintenance(spark, root)
     shutil.rmtree(root, ignore_errors=True)
     return m
@@ -170,6 +171,17 @@ def main():
         env = dict(os.environ)
         env.setdefault("KDI_BENCH_DOCS", os.environ.get("KDI_SCALE_DOCS", "600000"))
         env.setdefault("KDI_BENCH_FILES", "384")
+        # NOTE on single-box strong scaling: this host has one ~300 MB/s
+        # virtio disk, and the pipeline moves ~5x the table size through
+        # it, so wall time converges to the disk floor as cores grow —
+        # a real cluster's shuffle/data bandwidth scales per-node instead.
+        # KDI_SCALE_TMPFS=1 places table + spark.local.dir on /dev/shm to
+        # remove that cap (off by default; tmpfs runs proved flaky here).
+        if os.environ.get("KDI_SCALE_TMPFS", "0") == "1" and os.path.isdir("/dev/shm"):
+            env.setdefault("KDI_BENCH_BASE", "/dev/shm/kdi_bench")
+            env.setdefault("KDI_SPARK_LOCAL_DIR", "/dev/shm/kdi_spark_local")
+            os.makedirs(env["KDI_BENCH_BASE"], exist_ok=True)
+            os.makedirs(env["KDI_SPARK_LOCAL_DIR"], exist_ok=True)
         repeats = int(os.environ.get("KDI_SCALE_RUNS", "2"))
         results = {}
         for cores in (8, 32):
@@ -187,6 +199,8 @@ def main():
                 if best is None or m["maintenance_sec"] < best["maintenance_sec"]:
                     best = m
             results[f"local[{cores}]"] = best
+        shutil.rmtree(env.get("KDI_BENCH_BASE", "/nonexistent"), ignore_errors=True)
+        shutil.rmtree(env.get("KDI_SPARK_LOCAL_DIR", "/nonexistent"), ignore_errors=True)
         n, n4 = results["local[8]"], results["local[32]"]
         eff = (n4["tokens_per_sec"] / n["tokens_per_sec"]) / 4.0
         out = {

@@ -146,6 +146,44 @@ def make_curve_udf(n_dims: int, curve: str = "zorder"):
     return curve_key
 
 
+# ------------------------------------------------- JVM-side morton (A/B)
+def _spread_sql(c: Column, shifts: list[int], masks: list[int]) -> Column:
+    for sh, mask in zip(shifts, masks):
+        c = (c.bitwiseOR(F.shiftleft(c, sh))).bitwiseAND(F.lit(mask))
+    return c
+
+
+def morton_key_sql(coords: list[Column]) -> Column:
+    """Pure-Catalyst bit interleave (no Python) — same key values as the
+    Arrow UDF's morton_key; used to A/B the Python-node overhead and as a
+    fallback for UDF-restricted environments."""
+    k = len(coords)
+    if k == 1:
+        return coords[0]
+    if k == 2:
+        shifts = [16, 8, 4, 2, 1]
+        masks = [0x0000FFFF0000FFFF, 0x00FF00FF00FF00FF, 0x0F0F0F0F0F0F0F0F,
+                 0x3333333333333333, 0x5555555555555555]
+        a = _spread_sql(coords[0].bitwiseAND(F.lit(0x7FFFFFFF)), shifts, masks)
+        b = _spread_sql(coords[1].bitwiseAND(F.lit(0x7FFFFFFF)), shifts, masks)
+        return a.bitwiseOR(F.shiftleft(b, 1)).bitwiseAND(F.lit(0x7FFFFFFFFFFFFFFF))
+    if k == 3:
+        shifts = [32, 16, 8, 4, 2]
+        masks = [0x1F00000000FFFF, 0x1F0000FF0000FF, 0x100F00F00F00F00F,
+                 0x10C30C30C30C30C3, 0x1249249249249249]
+        parts = [
+            _spread_sql(c.bitwiseAND(F.lit(0x1FFFFF)), shifts, masks)
+            for c in coords
+        ]
+        return (
+            parts[0]
+            .bitwiseOR(F.shiftleft(parts[1], 1))
+            .bitwiseOR(F.shiftleft(parts[2], 2))
+            .bitwiseAND(F.lit(0x7FFFFFFFFFFFFFFF))
+        )
+    raise ValueError("morton_key_sql supports 1-3 dims")
+
+
 # ----------------------------------------------------------- dim bucketing
 def dim_to_coord(
     col_name: str, dtype: T.DataType, bits: int, lo=None, hi=None
@@ -171,6 +209,7 @@ def cluster_keyed_df(
     dims: list[str],
     curve: str,
     stats_ranges: dict[str, tuple] | None = None,
+    key_impl: str = "arrow",  # arrow (pandas UDF) | sql (pure Catalyst, zorder only)
 ) -> DataFrame:
     """Attach the clustering key column ``_ckey`` to a DataFrame."""
     bits = _BITS_FOR_DIMS.get(len(dims), max(1, 63 // len(dims)))
@@ -180,6 +219,8 @@ def cluster_keyed_df(
     for d in dims:
         lo, hi = ranges.get(d, (None, None))
         coords.append(dim_to_coord(d, schema[d], bits, lo, hi))
+    if key_impl == "sql" and curve == "zorder" and len(dims) <= 3:
+        return df.withColumn("_ckey", morton_key_sql(coords))
     udf = make_curve_udf(len(dims), curve)
     return df.withColumn("_ckey", udf(*coords))
 
@@ -205,8 +246,18 @@ def cluster(
     target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
     job_id: str | None = None,
     verify: bool = False,
+    key_impl: str = "arrow",
+    sort_rows: bool = False,
 ) -> dict:
     """Rewrite the whole table clustered by the space-filling-curve key.
+
+    File-level clustering (what manifest min/max pruning consumes) comes
+    from the RANGE PARTITIONING alone: every output file covers a bounded
+    slice of curve-key space. ``sort_rows=True`` additionally sorts rows
+    inside each file for parquet row-group/page-level skipping — costs an
+    in-memory sort of the full (token-heavy) rows per task, which is the
+    single most memory-hungry operation in the engine; enable it when
+    row-group skipping matters more than rewrite throughput.
 
     Returns metrics incl. rows/bytes/duration (ledger-style)."""
     job_id = job_id or f"{curve}-{uuid.uuid4().hex[:8]}"
@@ -233,28 +284,29 @@ def cluster(
     prev_split = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
 
-    df = snap.scan(spark)
-    keyed = cluster_keyed_df(df, dims, curve, _manifest_ranges(snap, dims))
+    try:
+        df = snap.scan(spark)
+        keyed = cluster_keyed_df(df, dims, curve, _manifest_ranges(snap, dims), key_impl)
 
-    absd, _ = table.new_data_dir()
-    range_cols = (
-        [F.col(c) for c in snap.partition_cols] + [F.col("_ckey")]
-        if snap.partition_cols
-        else [F.col("_ckey")]
-    )
-    out = (
-        keyed.repartitionByRange(n_out, *range_cols)
-        .sortWithinPartitions(*range_cols)
-        .drop("_ckey")
-    )
-    w = out.write.mode("overwrite")
-    if snap.partition_cols:
-        w = w.partitionBy(*snap.partition_cols)
-    w.parquet(absd)
-    if prev_split is not None:
-        spark.conf.set("spark.sql.files.maxPartitionBytes", prev_split)
-    else:
-        spark.conf.unset("spark.sql.files.maxPartitionBytes")
+        absd, _ = table.new_data_dir()
+        range_cols = (
+            [F.col(c) for c in snap.partition_cols] + [F.col("_ckey")]
+            if snap.partition_cols
+            else [F.col("_ckey")]
+        )
+        out = keyed.repartitionByRange(n_out, *range_cols)
+        if sort_rows:
+            out = out.sortWithinPartitions(*range_cols)
+        out = out.drop("_ckey")
+        w = out.write.mode("overwrite")
+        if snap.partition_cols:
+            w = w.partitionBy(*snap.partition_cols)
+        w.parquet(absd)
+    finally:
+        if prev_split is not None:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", prev_split)
+        else:
+            spark.conf.unset("spark.sql.files.maxPartitionBytes")
 
     adds = compute_add_entries(spark, table.root, absd, snap.schema, snap.partition_cols)
     v = table.commit(

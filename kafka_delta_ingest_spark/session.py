@@ -44,7 +44,9 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # local mode: driver heap IS executor memory; 32 concurrent sorters
+        # over token-heavy rows thrash spills below ~2 GB/task fair share
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g"))
         # parquet files written by maintenance carry full column stats for
         # manifest min/max pruning (ref src/writer.rs:655-707)
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")

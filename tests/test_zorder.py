@@ -49,6 +49,28 @@ def test_hilbert_is_bijective_and_local():
     assert (dist == 1).all()
 
 
+def test_sql_key_impl_matches_arrow(spark):
+    """morton_key_sql (pure Catalyst) must produce the same keys as the
+    Arrow UDF for 2- and 3-dim interleaves."""
+    from kafka_delta_ingest_spark.maintenance.zorder import (
+        make_curve_udf,
+        morton_key_sql,
+    )
+
+    df = spark.range(0, 2_000).select(
+        (F.col("id") * 7 % (1 << 21)).alias("a"),
+        (F.col("id") * 131 % (1 << 21)).alias("b"),
+        (F.col("id") * 65537 % (1 << 21)).alias("c"),
+    )
+    for cols in (["a", "b"], ["a", "b", "c"]):
+        udf = make_curve_udf(len(cols), "zorder")
+        got = df.select(
+            udf(*[F.col(c) for c in cols]).alias("k1"),
+            morton_key_sql([F.col(c) for c in cols]).alias("k2"),
+        )
+        assert got.where(F.col("k1") != F.col("k2")).count() == 0
+
+
 @pytest.mark.parametrize("curve", ["zorder", "hilbert"])
 def test_cluster_preserves_scan(spark, tmp_table_root, curve):
     t = make_small_file_table(
