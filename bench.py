@@ -183,8 +183,11 @@ def main():
             os.makedirs(env["KDI_BENCH_BASE"], exist_ok=True)
             os.makedirs(env["KDI_SPARK_LOCAL_DIR"], exist_ok=True)
         repeats = int(os.environ.get("KDI_SCALE_RUNS", "2"))
+        pair = [
+            int(x) for x in os.environ.get("KDI_SCALE_CORES", "8,32").split(",")
+        ]
         results = {}
-        for cores in (8, 32):
+        for cores in pair:
             best = None
             for _ in range(repeats):
                 p = subprocess.run(
@@ -201,12 +204,13 @@ def main():
             results[f"local[{cores}]"] = best
         shutil.rmtree(env.get("KDI_BENCH_BASE", "/nonexistent"), ignore_errors=True)
         shutil.rmtree(env.get("KDI_SPARK_LOCAL_DIR", "/nonexistent"), ignore_errors=True)
-        n, n4 = results["local[8]"], results["local[32]"]
-        eff = (n4["tokens_per_sec"] / n["tokens_per_sec"]) / 4.0
+        n, n4 = results[f"local[{pair[0]}]"], results[f"local[{pair[1]}]"]
+        factor = pair[1] / pair[0]
+        eff = (n4["tokens_per_sec"] / n["tokens_per_sec"]) / factor
         out = {
-            "metric": "compaction+zorder scaling N=8 -> 4N=32",
-            "local8_tokens_per_sec": n["tokens_per_sec"],
-            "local32_tokens_per_sec": n4["tokens_per_sec"],
+            "metric": f"compaction+zorder scaling N={pair[0]} -> {factor:g}N={pair[1]}",
+            f"local{pair[0]}_tokens_per_sec": n["tokens_per_sec"],
+            f"local{pair[1]}_tokens_per_sec": n4["tokens_per_sec"],
             "scaling_efficiency": round(eff, 3),
             "detail": results,
         }

@@ -47,6 +47,10 @@ def get_spark(
         # local mode: driver heap IS executor memory; 32 concurrent sorters
         # over token-heavy rows thrash spills below ~2 GB/task fair share
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g"))
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("KDI_DRIVER_JAVA_OPTS", ""),
+        )
         # parquet files written by maintenance carry full column stats for
         # manifest min/max pruning (ref src/writer.rs:655-707)
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
