@@ -503,16 +503,44 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kafka_delta_ingest_spark.operators.text import token_count
+    from kafka_delta_ingest_spark.operators.text import token_count, token_count_bpe
 
     d = load_table(spark, sf_dir, "documents")
     return (
         d.groupBy("source")
         .agg(
             F.sum(token_count("text")).cast("long").alias("total_tokens"),
+            F.sum(token_count_bpe("text")).cast("long").alias("total_bpe_tokens"),
             F.count(F.lit(1)).alias("n_docs"),
         )
         .orderBy("source")
+    )
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash winnowing fingerprints: docs sharing >=50% of selected
+    k-gram minima are near-dup candidates (rows-only; xxhash64 is not in
+    DuckDB). Returns per-doc fingerprint counts plus candidate pairs."""
+    from kafka_delta_ingest_spark.operators.dedup import winnow_fingerprints
+
+    d = load_table(spark, sf_dir, "documents")
+    fps = d.select("doc_id", winnow_fingerprints("text").alias("fps"))
+    ex = fps.select("doc_id", F.explode("fps").alias("fp"))
+    sizes = fps.select("doc_id", F.size("fps").alias("n"))
+    # posting-list cutoff: fingerprints shared by many docs carry no
+    # near-dup signal and would blow up the self-join quadratically
+    rare = ex.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") <= 20)
+    ex = ex.join(rare.select("fp"), "fp")
+    common = (
+        ex.alias("l")
+        .join(ex.alias("r"), (F.col("l.fp") == F.col("r.fp")) & (F.col("l.doc_id") < F.col("r.doc_id")))
+        .groupBy(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "na"), "id_a")
+        .where(F.col("shared") >= F.col("na") * 0.5)
+        .select("id_a", "id_b", "shared")
     )
 
 
@@ -641,6 +669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_near_dups": q_embedding_near_dups,
+        "winnow_fingerprints": q_winnow_fingerprints,
     }
 
 
@@ -863,6 +892,9 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": f"""
             SELECT source,
                    CAST(SUM({_TOKCNT_SQL}) AS BIGINT) AS total_tokens,
+                   CAST(SUM(len(regexp_extract_all(text,
+                        '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+')))
+                        AS BIGINT) AS total_bpe_tokens,
                    COUNT(*) AS n_docs
             FROM documents GROUP BY source ORDER BY source
         """,

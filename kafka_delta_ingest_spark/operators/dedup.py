@@ -44,6 +44,28 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
     )
 
 
+def winnow_fingerprints(
+    text: Column | str, k: int = 5, window: int = 8
+) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003):
+    rolling k-gram hashes, keep the minimum of each ``window`` — the
+    standard local-fingerprint scheme for plagiarism/near-dup detection.
+    Pure higher-order SQL functions: hashes via xxhash64 over substring
+    k-grams, windows via transform over a sequence — no Python."""
+    c = normalize_text(text)
+    n_grams = F.greatest(F.length(c) - F.lit(k - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams), lambda i: F.xxhash64(F.substring(c, i, k))
+    )
+    n_windows = F.greatest(n_grams - F.lit(window - 1), F.lit(1))
+    windows = F.sequence(F.lit(0), n_windows - F.lit(1))
+    mins = F.transform(
+        windows,
+        lambda w: F.array_min(F.slice(grams, w + 1, window)),
+    )
+    return F.array_distinct(mins)
+
+
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact duplicate removal on normalized content: keep the min id per
     content hash (hash-groupBy; one shuffle on the md5 key)."""

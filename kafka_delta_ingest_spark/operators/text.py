@@ -17,6 +17,20 @@ def token_count(text: Column | str) -> Column:
     )
 
 
+# GPT-2-style pre-tokenizer shape: contractions, letter runs, digit runs,
+# punctuation runs, whitespace runs — a "BPE-ish" token estimate without a
+# vocab. RE2-compatible (no backtracking), so the DuckDB oracle can mirror
+# it exactly.
+BPE_ISH_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+
+def token_count_bpe(text: Column | str) -> Column:
+    """Approximate BPE token count: non-overlapping matches of the GPT-2-ish
+    pre-tokenization regex (whitespace itself contributes no tokens)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(BPE_ISH_PATTERN))
+
+
 def _occurrences(c: Column, needle: str) -> Column:
     """Count of non-overlapping occurrences via length arithmetic —
     identical semantics in Spark and DuckDB (length/replace only)."""

@@ -93,6 +93,35 @@ def test_text_analysis(spark, docs):
     assert 0.0 <= d[1]["q"] <= 1.0
 
 
+def test_bpe_ish_token_count(spark):
+    from kafka_delta_ingest_spark.operators.text import token_count_bpe
+
+    df = spark.createDataFrame(
+        [("it's 2024, we're testing-BPE!",), ("",), ("   ",)], "text string"
+    )
+    got = [r[0] for r in df.select(token_count_bpe("text")).collect()]
+    # it|'s| 2024|,| we|'re| testing|-|BPE|! -> 10 tokens
+    assert got == [10, 0, 0]
+
+
+def test_winnow_fingerprints(spark):
+    from kafka_delta_ingest_spark.operators.dedup import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "the quick brown fox jumps over the lazy dog tonight"),
+            (3, "a completely different sentence about marine biology research"),
+        ],
+        "doc_id int, text string",
+    )
+    fps = {r["doc_id"]: set(r["f"]) for r in df.select(
+        "doc_id", winnow_fingerprints("text").alias("f")).collect()}
+    assert fps[1] == fps[2]
+    assert len(fps[1] & fps[3]) < len(fps[1]) / 2
+    assert len(fps[1]) >= 3
+
+
 @pytest.fixture(scope="module")
 def vectors(spark):
     import numpy as np
