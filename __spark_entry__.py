@@ -518,13 +518,16 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash winnowing fingerprints: docs sharing >=50% of selected
+    """Rolling-hash winnowing fingerprints: docs sharing >=10% of selected
     k-gram minima are near-dup candidates (rows-only; xxhash64 is not in
-    DuckDB). Returns per-doc fingerprint counts plus candidate pairs."""
+    DuckDB). Returns candidate pairs with shared-fingerprint counts."""
     from kafka_delta_ingest_spark.operators.dedup import winnow_fingerprints
 
     d = load_table(spark, sf_dir, "documents")
-    fps = d.select("doc_id", winnow_fingerprints("text").alias("fps"))
+    # persisted: the self-join + size branches below read the fingerprint
+    # frame four times; the winnowing pass itself is explode + window-min
+    # (linear, one shuffle — see operators/dedup.py)
+    fps = winnow_fingerprints(d, "doc_id", "text").persist()
     ex = fps.select("doc_id", F.explode("fps").alias("fp"))
     sizes = fps.select("doc_id", F.size("fps").alias("n"))
     # posting-list cutoff: fingerprints shared by many docs carry no
@@ -539,7 +542,7 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         common.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "na"), "id_a")
-        .where(F.col("shared") >= F.col("na") * 0.5)
+        .where(F.col("shared") >= F.col("na") * 0.1)
         .select("id_a", "id_b", "shared")
     )
 

@@ -49,6 +49,9 @@ BENCH_QUERIES = [
     "token_counts",
     "ann_topk",
     "minhash_near_dups",
+    "simhash_near_dups",
+    "ngram_jaccard",
+    "winnow_fingerprints",
 ]
 
 

@@ -1,20 +1,32 @@
 """Deduplication operators for training-data curation.
 
-All hot paths are built-in Spark SQL expressions (JVM, codegen): shingling
-via ``F.transform``/``F.sequence``, MinHash via per-permutation ``F.min``
-aggregates after an explode (one shuffle), SimHash via 64 bit-count
-aggregates, verification via ``array_intersect`` Jaccard. No Python UDFs.
+All hot paths are built-in Spark SQL expressions (JVM, codegen). The core
+primitive is **explode-first shingling**: normalize once per document,
+generate one row per n-gram, and hash per row. Round 1 built gram *arrays*
+inside higher-order-function lambdas, which re-evaluated the normalization
+regex (and the whole gram array, for winnowing) per lambda element because
+Catalyst does not hoist common subexpressions across lambda boundaries —
+O(n²·regex) per row. The explode-first plan is linear by construction: the
+normalized text flows through the generate as a real attribute, so
+`regexp_replace` runs once per doc and `substring`+hash once per gram.
 
 Scale notes
 -----------
 - MinHash-LSH: candidate generation is the band-bucket self-join — the
   standard shuffle-on-(band, hash) plan; each bucket is tiny by
   construction so the join never explodes. Exact-Jaccard verification runs
-  only on candidates.
+  only on candidates. Signature/shingle frames are persisted because the
+  self-join and verify stages each consume them twice.
 - SimHash: signatures are one aggregation; near-dup candidates come from
   4×16-bit chunk buckets (Hamming ≤ 3 within 64 bits guarantees one equal
   chunk by pigeonhole).
-- Embedding near-dup reuses similarity.cosine_sim over LSH buckets.
+- Winnowing (Schleimer/Wilkerson/Aiken 2003): explode gram hashes to rows,
+  take `min` over a `rowsBetween(0, window-1)` frame — one shuffle, linear
+  work, versus round 1's per-window `array_min(slice(...))` re-evaluation.
+- ``hash_family="md5"`` switches every hash to md5 hex strings, which DuckDB
+  computes identically — that variant is byte-for-byte replayable in ANSI
+  SQL and backs the driver's oracle check. The default ``xxhash64`` family
+  is the fast JVM path for production/bench.
 """
 
 from __future__ import annotations
@@ -24,46 +36,107 @@ from pyspark.sql import functions as F
 
 from kafka_delta_ingest_spark.operators.text import normalize_text
 
-def char_shingles(text: Column | str, n: int = 5) -> Column:
-    """Distinct character n-gram hashes of the normalized text (array<long>)."""
-    c = normalize_text(text)
-    idx = F.sequence(F.lit(1), F.greatest(F.length(c) - F.lit(n - 1), F.lit(1)))
-    grams = F.transform(idx, lambda i: F.substring(c, i, n))
-    return F.array_distinct(F.transform(grams, lambda g: F.xxhash64(g)))
+
+def _gram_hash(gram: Column, hash_family: str) -> Column:
+    """Hash one gram string: 64-bit JVM xxhash64 (fast path) or md5 hex
+    (oracle path — identical output in DuckDB's ``md5(varchar)``)."""
+    if hash_family == "md5":
+        return F.md5(gram.cast("binary"))
+    return F.xxhash64(gram)
 
 
-def word_shingles(text: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram hashes (array<long>)."""
-    c = normalize_text(text)
-    words = F.split(c, " ")
-    cnt = F.size(words)
-    idx = F.sequence(F.lit(0), F.greatest(cnt - F.lit(n), F.lit(0)))
-    grams = F.transform(idx, lambda i: F.slice(words, i + 1, n))
-    return F.array_distinct(
-        F.transform(grams, lambda g: F.xxhash64(F.concat_ws(" ", g)))
+def _perm_hash(key: Column, i: int, hash_family: str) -> Column:
+    """The i-th MinHash permutation of a gram key. xxhash64(key, i) is an
+    i.i.d.-per-i 64-bit family, all JVM long ops; the md5 family hashes
+    ``key || ':' || i`` and orders by hex string (a valid total order, and
+    one DuckDB reproduces exactly)."""
+    if hash_family == "md5":
+        return F.md5(F.concat(key, F.lit(f":{i}")).cast("binary"))
+    return F.xxhash64(key, F.lit(i))
+
+
+def char_gram_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """One row per character-n-gram OCCURRENCE: (id_col, _pos, _h).
+
+    ``_pos`` is the 0-based gram position (used by winnowing); ``_h`` the
+    gram hash. Not distinct — min-aggregates don't care, and set consumers
+    dedupe via ``collect_set``/``distinct`` where semantics demand it.
+    """
+    norm = df.select(F.col(id_col), normalize_text(F.col(text_col)).alias("_norm"))
+    idx = F.sequence(F.lit(1), F.greatest(F.length("_norm") - F.lit(n - 1), F.lit(1)))
+    return norm.select(
+        F.col(id_col), F.col("_norm"), F.posexplode(idx).alias("_pos", "_i")
+    ).select(
+        F.col(id_col),
+        F.col("_pos"),
+        _gram_hash(F.substring(F.col("_norm"), F.col("_i"), F.lit(n)), hash_family).alias("_h"),
+    )
+
+
+def word_gram_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """One row per word-n-gram OCCURRENCE: (id_col, _pos, _h)."""
+    norm = df.select(F.col(id_col), normalize_text(F.col(text_col)).alias("_norm"))
+    words = F.split(F.col("_norm"), " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - F.lit(n - 1), F.lit(1)))
+    return norm.select(
+        F.col(id_col), words.alias("_w"), F.posexplode(idx).alias("_pos", "_i")
+    ).select(
+        F.col(id_col),
+        F.col("_pos"),
+        _gram_hash(
+            F.concat_ws(" ", F.slice(F.col("_w"), F.col("_i"), F.lit(n))), hash_family
+        ).alias("_h"),
     )
 
 
 def winnow_fingerprints(
-    text: Column | str, k: int = 5, window: int = 8
-) -> Column:
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 8,
+) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003):
     rolling k-gram hashes, keep the minimum of each ``window`` — the
     standard local-fingerprint scheme for plagiarism/near-dup detection.
-    Pure higher-order SQL functions: hashes via xxhash64 over substring
-    k-grams, windows via transform over a sequence — no Python."""
-    c = normalize_text(text)
-    n_grams = F.greatest(F.length(c) - F.lit(k - 1), F.lit(1))
-    grams = F.transform(
-        F.sequence(F.lit(1), n_grams), lambda i: F.xxhash64(F.substring(c, i, k))
+    Returns ``(id_col, fps: array<hash>)`` with the sorted distinct set of
+    selected minima per document.
+
+    Plan: explode gram hashes to rows, sliding-window ``min`` over a
+    ``rowsBetween(0, window-1)`` frame, keep only valid window starts, then
+    ``collect_set`` — one shuffle, linear in total grams. (Replaces the
+    round-1 Column expression whose per-window ``array_min(slice(grams,...))``
+    re-evaluated the entire gram array per window element — measured >15 min
+    on 500 docs; this plan does the same 500 docs in seconds.)
+    """
+    grams = char_gram_rows(df, id_col, text_col, n=k)
+    frame = (
+        Window.partitionBy(id_col).orderBy("_pos").rowsBetween(0, window - 1)
     )
-    n_windows = F.greatest(n_grams - F.lit(window - 1), F.lit(1))
-    windows = F.sequence(F.lit(0), n_windows - F.lit(1))
-    mins = F.transform(
-        windows,
-        lambda w: F.array_min(F.slice(grams, w + 1, window)),
+    whole = Window.partitionBy(id_col)
+    mins = grams.select(
+        F.col(id_col),
+        F.col("_pos"),
+        F.min("_h").over(frame).alias("_m"),
+        F.count(F.lit(1)).over(whole).alias("_n"),
     )
-    return F.array_distinct(mins)
+    # valid window starts: pos in [0, n_grams - window]; short docs keep
+    # pos 0 only (the frame then simply covers every gram — same semantics
+    # as the truncated slice in the original formulation)
+    keep = mins.where(F.col("_pos") <= F.greatest(F.col("_n") - F.lit(window), F.lit(0)))
+    return keep.groupBy(id_col).agg(F.sort_array(F.collect_set("_m")).alias("fps"))
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -86,25 +159,29 @@ def minhash_signatures(
     text_col: str = "text",
     num_perm: int = 64,
     shingle_n: int = 5,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
-    """(id, sig: array<long>) MinHash signatures.
+    """(id, sig: array<hash>) MinHash signatures.
 
     Explode shingles once, then ``num_perm`` min-aggregates in ONE groupBy —
-    map-side partial aggregation keeps the shuffle tiny (num_perm longs per
-    doc regardless of document size). The hash family is
-    ``xxhash64(shingle_hash, i)`` — i.i.d. per ``i``, all JVM long ops
-    (a (a·x+b) mod p family in decimal arithmetic benched ~30× slower)."""
-    ex = df.select(
-        F.col(id_col), F.explode(char_shingles(F.col(text_col), shingle_n)).alias("_sh")
-    )
+    map-side partial aggregation keeps the shuffle tiny (num_perm values per
+    doc regardless of document size). Occurrence rows suffice: min over a
+    multiset equals min over its set."""
+    ex = char_gram_rows(df, id_col, text_col, shingle_n, hash_family)
     aggs = [
-        F.min(F.xxhash64(F.col("_sh"), F.lit(i))).alias(f"h{i}")
+        F.min(_perm_hash(F.col("_h"), i, hash_family)).alias(f"h{i}")
         for i in range(num_perm)
     ]
     sigs = ex.groupBy(id_col).agg(*aggs)
     return sigs.select(
         id_col, F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("sig")
     )
+
+
+def _band_hash(sig_parts: list[Column], band: int, hash_family: str) -> Column:
+    if hash_family == "md5":
+        return F.md5(F.concat_ws("|", F.lit(str(band)), *sig_parts).cast("binary"))
+    return F.xxhash64(F.lit(band), *sig_parts)
 
 
 def minhash_near_dups(
@@ -115,17 +192,23 @@ def minhash_near_dups(
     bands: int = 16,
     shingle_n: int = 5,
     jaccard_threshold: float = 0.8,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
 
     LSH banding for candidates; exact Jaccard on shingle sets verifies.
+    The signature and shingle-set frames are persisted: the band self-join
+    and the verify join each read them twice, and without a cache Spark
+    would recompute the shingling pass per branch.
     """
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_n)
+    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_n, hash_family).persist()
     band_arr = F.array(
         *[
-            F.xxhash64(
-                F.lit(b), *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+            _band_hash(
+                [F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)],
+                b,
+                hash_family,
             )
             for b in range(bands)
         ]
@@ -146,8 +229,11 @@ def minhash_near_dups(
         )
         .distinct()
     )
-    sh = df.select(
-        F.col(id_col), char_shingles(F.col(text_col), shingle_n).alias("_shingles")
+    sh = (
+        char_gram_rows(df, id_col, text_col, shingle_n, hash_family)
+        .groupBy(id_col)
+        .agg(F.collect_set("_h").alias("_shingles"))
+        .persist()
     )
     verified = (
         cand.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("_shingles", "_sa"), "id_a")
@@ -172,12 +258,17 @@ def ngram_jaccard_pairs(
     max_docs_per_gram: int = 200,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard near-dup pairs via an inverted index:
-    explode grams → self-join on gram (skipping stop-grams shared by more
-    than ``max_docs_per_gram`` docs — the classic posting-list cutoff that
-    keeps the join linear at scale) → count common grams → Jaccard."""
-    grams = df.select(
-        F.col(id_col),
-        F.explode(word_shingles(F.col(text_col), n)).alias("_g"),
+    distinct gram rows → self-join on gram (skipping stop-grams shared by
+    more than ``max_docs_per_gram`` docs — the classic posting-list cutoff
+    that keeps the join linear at scale) → count common grams → Jaccard.
+
+    Jaccard depends only on gram-set identity, so the DuckDB oracle can
+    replay it over raw gram strings while Spark joins on 64-bit hashes."""
+    grams = (
+        word_gram_rows(df, id_col, text_col, n)
+        .select(F.col(id_col), F.col("_h").alias("_g"))
+        .distinct()
+        .persist()
     )
     sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
     freq = grams.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
@@ -211,10 +302,13 @@ def ngram_jaccard_pairs(
 def simhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", shingle_n: int = 5
 ) -> DataFrame:
-    """64-bit SimHash per doc: explode shingle hashes, sum ±1 per bit, one
-    groupBy with 64 conditional sums (all JVM), reassemble the sign bits."""
-    ex = df.select(
-        F.col(id_col), F.explode(char_shingles(F.col(text_col), shingle_n)).alias("_h")
+    """64-bit SimHash per doc: distinct shingle hashes (set semantics), sum
+    ±1 per bit, one groupBy with 64 conditional sums (all JVM), reassemble
+    the sign bits."""
+    ex = (
+        char_gram_rows(df, id_col, text_col, shingle_n)
+        .select(id_col, "_h")
+        .distinct()
     )
     aggs = [
         F.sum(
@@ -243,7 +337,7 @@ def simhash_near_dups(
     """Candidate pairs with Hamming(simhash) <= max_hamming, bucketed by
     16-bit chunks (pigeonhole: ≤3 differing bits over 4 chunks ⇒ at least
     one chunk equal)."""
-    sigs = simhash_signatures(df, id_col, text_col)
+    sigs = simhash_signatures(df, id_col, text_col).persist()
     chunks = F.array(
         *[
             F.shiftright(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF))

@@ -115,8 +115,8 @@ def test_winnow_fingerprints(spark):
         ],
         "doc_id int, text string",
     )
-    fps = {r["doc_id"]: set(r["f"]) for r in df.select(
-        "doc_id", winnow_fingerprints("text").alias("f")).collect()}
+    fps = {r["doc_id"]: set(r["fps"]) for r in winnow_fingerprints(
+        df, "doc_id", "text").collect()}
     assert fps[1] == fps[2]
     assert len(fps[1] & fps[3]) < len(fps[1]) / 2
     assert len(fps[1]) >= 3
