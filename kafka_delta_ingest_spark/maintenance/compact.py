@@ -138,6 +138,17 @@ def compact(
             t_run = time.time()
             _, staged = _rewrite_bins(spark, table, snap, todo)
             dt = time.time() - t_run
+            # a planned bin has >= min_files_per_bin non-empty inputs, so a
+            # rewrite that staged nothing means the read->bin join dropped
+            # rows (e.g. path-key mismatch) — committing would Remove inputs
+            # with zero Adds, silently deleting data. Hard error BEFORE any
+            # ledger entry exists, so a retry re-runs the bin.
+            empty = [b.bin_id for b in todo if not staged.get(b.bin_id)]
+            if empty:
+                raise RuntimeError(
+                    f"compact {job_id}: {len(empty)} bin(s) staged no output "
+                    f"(bin ids {empty[:5]}...); aborting before ledger/commit"
+                )
             for b in todo:
                 outs = staged.get(b.bin_id, [])
                 ledger.record(

@@ -108,6 +108,13 @@ class Ledger:
             raise InconsistentLedgerError(
                 f"bin {key}: planned inputs diverge from committed ledger lineage"
             )
+        if not e["outputs"]:
+            # an entry with inputs but no outputs cannot be a completed bin
+            # (rewrites never legitimately stage nothing) — trusting it would
+            # let a replace commit Remove the inputs with zero Adds
+            raise InconsistentLedgerError(
+                f"bin {key}: ledger entry records no outputs — corrupt lineage"
+            )
         for rel in e["outputs"]:
             if not os.path.exists(os.path.join(table_root, rel)):
                 return None  # staged output lost: re-run the bin

@@ -40,9 +40,21 @@ from kafka_delta_ingest_spark.table.stats import compute_add_entries
 def _touched_files(spark: SparkSession, snap, source: DataFrame, key: str) -> list[str]:
     """Manifest ⋈ source-keys range join → distinct file paths that may
     contain a matching key. Metadata-side broadcast, data-side distinct on
-    the key column only (column-pruned scan of the source)."""
+    the key column only (column-pruned scan of the source).
+
+    The manifest min/max (JSON scalars or ISO strings, depending on the
+    stats path) are cast back to the key column's ACTUAL type before the
+    range comparison — comparing stringified numerics lexicographically
+    would silently skip files ('5' <= '19' is false) and corrupt the table
+    with duplicate keys. A bound that fails ``try_cast`` degrades to
+    "always touched" (prune conservatively, never lose matches)."""
+    ktype = snap.schema[key].dataType
     manifest = [
-        (f.path, f.stats.get("min", {}).get(key), f.stats.get("max", {}).get(key))
+        (
+            f.path,
+            _stat_str(f.stats.get("min", {}).get(key)),
+            _stat_str(f.stats.get("max", {}).get(key)),
+        )
         for f in snap.files
     ]
     # files without stats are always touched (can't prune)
@@ -50,18 +62,35 @@ def _touched_files(spark: SparkSession, snap, source: DataFrame, key: str) -> li
     ranged = [(p, lo, hi) for p, lo, hi in manifest if lo is not None and hi is not None]
     if not ranged:
         return sorted(set(no_stats))
-    mdf = spark.createDataFrame(ranged, "path string, lo string, hi string")
-    keys = source.select(F.col(key).cast("string").alias("k")).distinct()
+    mdf = spark.createDataFrame(ranged, "path string, lo string, hi string").select(
+        "path",
+        F.col("lo").try_cast(ktype).alias("lo"),
+        F.col("hi").try_cast(ktype).alias("hi"),
+    )
+    keys = source.select(F.col(key).alias("k")).distinct()
     touched = (
         keys.join(
             F.broadcast(mdf),
-            (F.col("k") >= F.col("lo")) & (F.col("k") <= F.col("hi")),
+            F.col("lo").isNull()
+            | F.col("hi").isNull()
+            | ((F.col("k") >= F.col("lo")) & (F.col("k") <= F.col("hi"))),
         )
         .select("path")
         .distinct()
         .collect()
     )
     return sorted({r["path"] for r in touched} | set(no_stats))
+
+
+def _stat_str(v) -> str | None:
+    """Render a manifest stat bound as a string Spark can cast back to the
+    column type (bools via JSON rendering would be 'True'/'False' from
+    Python — normalize to SQL-castable lowercase)."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
 
 
 def merge_into(

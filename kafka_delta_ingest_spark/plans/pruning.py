@@ -1,11 +1,23 @@
 """File-level min/max pruning over manifest stats — the reader-side payoff
 of the per-file stats the reference writes into Add actions
 (/root/reference/src/writer.rs:655-707). Operates purely on metadata:
-O(n_files), no data scan."""
+O(n_files), no data scan.
+
+Stats values vary in Python type by column and by stats path (footer stats
+keep numerics native but render timestamps/dates/decimals as strings; scan
+stats may differ) — so BOTH the stat bound and the predicate literal are
+normalized to the column's logical type before comparing. Any value that
+fails to normalize makes the comparison conservatively return True (keep
+the file): pruning must never lose matching rows, only save I/O.
+"""
 
 from __future__ import annotations
 
+import datetime as _dt
+from decimal import Decimal, InvalidOperation
 from typing import Any, Iterable
+
+from pyspark.sql import types as T
 
 from kafka_delta_ingest_spark.table.format import FileEntry
 
@@ -13,44 +25,114 @@ from kafka_delta_ingest_spark.table.format import FileEntry
 _OPS = {"=", "==", "<", "<=", ">", ">=", "in"}
 
 
-def _may_match(f: FileEntry, col: str, op: str, lit: Any) -> bool:
-    mins = f.stats.get("min", {})
-    maxs = f.stats.get("max", {})
+def _canon(v: Any, dt: T.DataType | None) -> Any:
+    """Normalize a stat bound or literal to a canonical comparable for its
+    column's logical type. Returns None when it can't (⇒ caller keeps the
+    file)."""
+    if v is None:
+        return None
+    try:
+        if isinstance(dt, (T.IntegerType, T.LongType, T.ShortType, T.ByteType,
+                           T.FloatType, T.DoubleType, T.DecimalType)):
+            return Decimal(str(v))  # exact total order across int/float/str
+        if isinstance(dt, T.BooleanType):
+            if isinstance(v, bool):
+                return v
+            return str(v).lower() == "true"
+        if isinstance(dt, T.TimestampType):
+            return _to_naive_utc(v)
+        if isinstance(dt, T.DateType):
+            if isinstance(v, _dt.datetime):
+                return v.date()
+            if isinstance(v, _dt.date):
+                return v
+            return _dt.date.fromisoformat(str(v))
+        if isinstance(dt, T.StringType):
+            return str(v)
+        if dt is None:
+            # no schema: keep native values; _range_ok turns a cross-type
+            # TypeError into a conservative keep
+            return v
+        return None  # arrays/structs/binary: never prune on these
+    except (ValueError, TypeError, InvalidOperation):
+        return None
+
+
+def _to_naive_utc(v: Any) -> _dt.datetime | None:
+    if isinstance(v, _dt.datetime):
+        ts = v
+    else:
+        s = str(v).strip().replace("Z", "+00:00")
+        # stats render 'YYYY-MM-DDTHH:MM:SS.mmmZ'; literals may use a space
+        ts = _dt.datetime.fromisoformat(s.replace(" ", "T", 1))
+    if ts.tzinfo is not None:
+        ts = ts.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    return ts
+
+
+def _may_match(
+    f: FileEntry, col: str, op: str, lit: Any, dt: T.DataType | None
+) -> bool:
     if col in f.partition_values:
         pv = f.partition_values[col]
         if op in ("=", "=="):
             return pv == str(lit)
         if op == "in":
             return pv in {str(x) for x in lit}
-        # range ops on partition strings: compare as strings conservatively
-        return True
-    lo, hi = mins.get(col), maxs.get(col)
+        # range ops on partition values: compare typed when possible
+        cpv, clit = _canon(pv, dt), _canon(lit, dt)
+        if cpv is None or clit is None:
+            return True
+        return _range_ok(cpv, cpv, op, clit)
+    lo = _canon(f.stats.get("min", {}).get(col), dt)
+    hi = _canon(f.stats.get("max", {}).get(col), dt)
     if lo is None or hi is None:
-        return True  # no stats ⇒ cannot prune
-    if op in ("=", "=="):
-        return lo <= lit <= hi
-    if op == "<":
-        return lo < lit
-    if op == "<=":
-        return lo <= lit
-    if op == ">":
-        return hi > lit
-    if op == ">=":
-        return hi >= lit
+        return True  # no stats (or un-normalizable) ⇒ cannot prune
     if op == "in":
-        return any(lo <= x <= hi for x in lit)
+        vals = [_canon(x, dt) for x in lit]
+        if any(x is None for x in vals):
+            return True
+        return any(lo <= x <= hi for x in vals)
+    clit = _canon(lit, dt)
+    if clit is None:
+        return True
+    return _range_ok(lo, hi, op, clit)
+
+
+def _range_ok(lo: Any, hi: Any, op: str, lit: Any) -> bool:
+    try:
+        if op in ("=", "=="):
+            return lo <= lit <= hi
+        if op == "<":
+            return lo < lit
+        if op == "<=":
+            return lo <= lit
+        if op == ">":
+            return hi > lit
+        if op == ">=":
+            return hi >= lit
+    except TypeError:
+        return True
     return True
 
 
 def prune_files(
-    files: Iterable[FileEntry], conjuncts: list[tuple[str, str, Any]]
+    files: Iterable[FileEntry],
+    conjuncts: list[tuple[str, str, Any]],
+    schema: T.StructType | None = None,
 ) -> list[FileEntry]:
-    """Keep files that *may* contain rows matching every conjunct."""
+    """Keep files that *may* contain rows matching every conjunct.
+
+    ``schema`` supplies the logical column types; without it, columns whose
+    values aren't directly comparable are kept conservatively."""
     for col, op, _ in conjuncts:
         if op not in _OPS:
             raise ValueError(f"unsupported pruning op: {op}")
+    types: dict[str, T.DataType] = (
+        {fld.name: fld.dataType for fld in schema.fields} if schema is not None else {}
+    )
     return [
         f
         for f in files
-        if all(_may_match(f, c, op, lit) for (c, op, lit) in conjuncts)
+        if all(_may_match(f, c, op, lit, types.get(c)) for (c, op, lit) in conjuncts)
     ]

@@ -86,6 +86,18 @@ class IngestPipeline:
             spark, self.table, good, snap.partition_cols, snap.schema
         )
         # never commit empty (ref: no empty version bumps, lib.rs:1102-1124)
+        v = self.table.commit(
+            Transaction(operation="ingest", adds=adds, app_txns=app_txns),
+            expected_schema=snap.schema,
+        )
+        # DLQ commits strictly AFTER the main commit: if the main commit is
+        # rejected (ConflictingOffsets on a replayed batch / CAS exhaustion)
+        # the dead letters must not land either, or a replay would duplicate
+        # DLQ rows — the main path's exactly-once guarantee extends to the
+        # side output. (A crash between the two commits re-delivers the
+        # batch, whose main commit is then rejected — so at-most-once DLQ
+        # loss is the worst case, matching the reference's stance that dead
+        # letters are best-effort diagnostics, src/dead_letters.rs.)
         n_dead = 0
         if self.dlq_table is not None:
             dead_rows = dead.count()
@@ -98,11 +110,6 @@ class IngestPipeline:
                     Transaction(operation="dead-letters", adds=dadds)
                 )
                 n_dead = dead_rows
-
-        v = self.table.commit(
-            Transaction(operation="ingest", adds=adds, app_txns=app_txns),
-            expected_schema=snap.schema,
-        )
         return {
             "version": v,
             "rows": sum(a.num_records for a in adds),

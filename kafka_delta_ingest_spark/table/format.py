@@ -177,7 +177,7 @@ class Snapshot:
         if predicate_stats:
             from kafka_delta_ingest_spark.plans.pruning import prune_files
 
-            kept = prune_files(self.files, predicate_stats)
+            kept = prune_files(self.files, predicate_stats, self.schema)
             paths = [os.path.join(self.table.root, f.path) for f in kept]
         if not paths:
             return spark.createDataFrame([], self.schema)
@@ -195,9 +195,12 @@ class Snapshot:
 
 class Table:
     def __init__(self, root: str):
-        self.root = root
-        self.log_dir = os.path.join(root, "_log")
-        self.data_dir = os.path.join(root, "data")
+        # abspath-normalize: joins between manifest paths (built from root)
+        # and Spark's input_file_name() (always absolute) must agree even
+        # when the caller passes a relative --table path
+        self.root = os.path.abspath(root)
+        self.log_dir = os.path.join(self.root, "_log")
+        self.data_dir = os.path.join(self.root, "data")
 
     # ---------------------------------------------------------------- paths
     def _version_path(self, v: int) -> str:
@@ -378,6 +381,24 @@ class Table:
                 raise ConcurrentDeleteError(
                     f"{len(missing)} removed files no longer live, e.g. {missing[:3]}"
                 )
+            if not txn.data_change and (txn.adds or txn.removes):
+                # a pure rewrite (compact/cluster/manifest) must conserve
+                # rows: simulate the post-commit manifest and require the
+                # row total to be unchanged — all from metadata, no data
+                # scan. Catches rewrite plans that silently dropped rows
+                # (e.g. a broken file->bin join) before they commit as loss.
+                before = {p: fe.num_records for p, fe in snap._files.items()}
+                after = dict(before)
+                for p in txn.removes:
+                    after.pop(p, None)
+                for a in txn.adds:
+                    after[a.path] = a.num_records
+                if sum(after.values()) != sum(before.values()):
+                    raise TableError(
+                        f"data_change=False commit does not conserve rows: "
+                        f"{sum(before.values())} -> {sum(after.values())} "
+                        f"({txn.operation})"
+                    )
             for key, off in txn.app_txns.items():
                 stored = snap.app_txns.get(key, -1)
                 if stored >= off:

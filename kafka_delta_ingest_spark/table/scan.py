@@ -57,9 +57,9 @@ def read_files(
     for f in schema.fields:
         if f.name not in pset:
             continue
-        raw = F.url_decode(
-            F.regexp_extract(F.input_file_name(), re.escape(f.name) + "=([^/]+)", 1)
-        )
+        seg = F.regexp_extract(F.input_file_name(), re.escape(f.name) + "=([^/]+)", 1)
+        # protect literal '+' before url_decode (form-decoding maps + to space)
+        raw = F.url_decode(F.regexp_replace(seg, r"\+", "%2B"))
         val = (
             F.when(raw == HIVE_DEFAULT_PARTITION, F.lit(None))
             .when(raw == "", F.lit(None))
@@ -69,8 +69,16 @@ def read_files(
         df = df.withColumn(f.name, val)
     cols = [f.name for f in schema.fields]
     if file_path_col:
-        df = df.withColumn(
-            file_path_col, F.regexp_replace(F.input_file_name(), "^file:/+", "/")
-        )
+        df = df.withColumn(file_path_col, _decoded_file_path())
         cols.append(file_path_col)
     return df.select(*cols)
+
+
+def _decoded_file_path():
+    """``input_file_name()`` as a plain filesystem path: scheme stripped and
+    percent-escapes decoded, so it joins cleanly against paths built with
+    ``os.path.join(table.root, ...)`` even when the path contains characters
+    Spark URL-encodes (spaces, '=', unicode). Literal '+' is protected first
+    — ``url_decode`` is form-decoding and would turn it into a space."""
+    raw = F.regexp_replace(F.input_file_name(), "^file:/+", "/")
+    return F.url_decode(F.regexp_replace(raw, r"\+", "%2B"))
