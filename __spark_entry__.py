@@ -519,15 +519,16 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash winnowing fingerprints: docs sharing >=10% of selected
-    k-gram minima are near-dup candidates (rows-only; xxhash64 is not in
-    DuckDB). Returns candidate pairs with shared-fingerprint counts."""
+    k-gram minima are near-dup candidates. md5 hash family so the DuckDB
+    oracle replays the full pipeline (window-min winnowing included).
+    Returns candidate pairs with shared-fingerprint counts."""
     from kafka_delta_ingest_spark.operators.dedup import winnow_fingerprints
 
     d = load_table(spark, sf_dir, "documents")
     # persisted: the self-join + size branches below read the fingerprint
     # frame four times; the winnowing pass itself is explode + window-min
     # (linear, one shuffle — see operators/dedup.py)
-    fps = winnow_fingerprints(d, "doc_id", "text").persist()
+    fps = winnow_fingerprints(d, "doc_id", "text", hash_family="md5").persist()
     ex = fps.select("doc_id", F.explode("fps").alias("fp"))
     sizes = fps.select("doc_id", F.size("fps").alias("n"))
     # posting-list cutoff: fingerprints shared by many docs carry no
@@ -584,8 +585,23 @@ def q_ann_lsh_selfhit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs over documents (rows-only: LSH banding is
-    not SQL-expressible; exact-Jaccard verification inside)."""
+    """MinHash-LSH near-dup pairs over documents, md5 hash family: every
+    stage (shingle hash, 64 permutations, 16-band LSH, exact-Jaccard
+    verify) uses md5 hex strings, which DuckDB computes identically — the
+    oracle replays the FULL pipeline in ANSI SQL, banding included."""
+    from kafka_delta_ingest_spark.operators.dedup import minhash_near_dups
+
+    d = load_table(spark, sf_dir, "documents")
+    out = minhash_near_dups(
+        d, "doc_id", "text", jaccard_threshold=0.5, hash_family="md5"
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard_r"))
+
+
+def q_minhash_near_dups_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production hash family (xxhash64 — 64-bit JVM long ops, ~an order of
+    magnitude cheaper than 64 md5 digests per gram). Same plan shape as
+    minhash_near_dups; rows-only (xxhash64 is not in DuckDB)."""
     from kafka_delta_ingest_spark.operators.dedup import minhash_near_dups
 
     d = load_table(spark, sf_dir, "documents")
@@ -669,6 +685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_lsh_selfhit": q_ann_lsh_selfhit,
         "minhash_near_dups": q_minhash_near_dups,
+        "minhash_near_dups_fast": q_minhash_near_dups_fast,
         "simhash_near_dups": q_simhash_near_dups,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_near_dups": q_embedding_near_dups,
@@ -706,6 +723,84 @@ _QUALITY_SQL = f"""
         (length(p) - length(replace(p, ' is ', ''))) / 4.0
       ) / ({_TOKCNT_SQL}) ELSE 0.0 END) * 5.0, 1.0)
  + 0.2 * LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0))
+"""
+
+
+def _minhash_oracle_sql(
+    num_perm: int = 64, bands: int = 16, shingle_n: int = 5, threshold: float = 0.5
+) -> str:
+    """Full MinHash-LSH pipeline in ANSI SQL, generated to mirror
+    operators/dedup.py's md5 hash family stage by stage: char-shingle md5,
+    ``num_perm`` min-aggregates over md5(h || ':i'), band hashes
+    md5(concat_ws('|', band, sig rows)), band-bucket self-join candidates,
+    exact Jaccard verify over distinct shingle sets."""
+    rpb = num_perm // bands
+    sig_cols = ",\n                   ".join(
+        f"min(md5(h || ':{i}')) AS h{i}" for i in range(num_perm)
+    )
+    band_selects = "\n              UNION ALL ".join(
+        "SELECT doc_id, {b} AS b, md5(concat_ws('|', '{b}', {cols})) AS bh FROM sigs".format(
+            b=b, cols=", ".join(f"h{b * rpb + r}" for r in range(rpb))
+        )
+        for b in range(bands)
+    )
+    return f"""
+        WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+        pos AS (
+          SELECT doc_id, t,
+                 unnest(generate_series(1, greatest(length(t) - {shingle_n - 1}, 1))) AS i
+          FROM norm
+        ),
+        grams AS (SELECT doc_id, md5(substring(t, i, {shingle_n})) AS h FROM pos),
+        sigs AS (SELECT doc_id, {sig_cols} FROM grams GROUP BY doc_id),
+        banded AS ({band_selects}),
+        cand AS (
+          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+          FROM banded l JOIN banded r
+            ON l.b = r.b AND l.bh = r.bh AND l.doc_id < r.doc_id
+        ),
+        gs AS (SELECT DISTINCT doc_id, h FROM grams),
+        sz AS (SELECT doc_id, COUNT(*) AS n FROM gs GROUP BY doc_id),
+        cm AS (
+          SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS c
+          FROM gs l JOIN gs r ON l.h = r.h AND l.doc_id < r.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT cand.id_a, cand.id_b,
+               ROUND(CAST(cm.c AS DOUBLE) / (sa.n + sb.n - cm.c), 4) AS jaccard_r
+        FROM cand
+        JOIN cm ON cm.id_a = cand.id_a AND cm.id_b = cand.id_b
+        JOIN sz sa ON sa.doc_id = cand.id_a
+        JOIN sz sb ON sb.doc_id = cand.id_b
+        WHERE CAST(cm.c AS DOUBLE) / (sa.n + sb.n - cm.c) >= {threshold}
+    """
+
+
+_NGRAM_JACCARD_SQL = """
+    WITH norm AS (SELECT doc_id, {norm} AS t FROM documents),
+    w AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+    pos AS (
+      SELECT doc_id, w,
+             unnest(generate_series(1, greatest(len(w) - {nm1}, 1))) AS i
+      FROM w
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+{nm1}], ' ') AS g FROM pos
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+    rare AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) <= {max_df}),
+    f AS (SELECT doc_id, g FROM grams JOIN rare USING (g)),
+    common AS (
+      SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS c
+      FROM f l JOIN f r ON l.g = r.g AND l.doc_id < r.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(c AS DOUBLE) / (a.n + b.n - c), 4) AS jaccard_r
+    FROM common
+    JOIN sizes a ON a.doc_id = id_a
+    JOIN sizes b ON b.doc_id = id_b
+    WHERE CAST(c AS DOUBLE) / (a.n + b.n - c) >= {threshold}
 """
 
 
@@ -922,7 +1017,51 @@ def oracle_sql() -> dict[str, str]:
               WHERE q.vec_id < 5
             ) WHERE rank <= 5
         """,
-        # ann_lsh_selfhit, minhash_near_dups, simhash_near_dups,
-        # ngram_jaccard, embedding_near_dups: LSH banding / signature ops are
-        # not SQL-expressible — rows-only checks (pytest covers semantics)
+        # Jaccard depends only on gram-set identity, so the SQL replays the
+        # inverted-index pipeline over raw gram strings while Spark joins on
+        # xxhash64 keys — identical pairs and values modulo hash collisions
+        "ngram_jaccard": _NGRAM_JACCARD_SQL.format(
+            norm=_NORM_SQL, nm1=2, max_df=200, threshold=0.8
+        ),
+        # full pipeline replay (md5 hash family end-to-end, banding included)
+        "minhash_near_dups": _minhash_oracle_sql(),
+        # winnowing replayed via SQL window functions (md5 hash family):
+        # min over ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING == the k-gram
+        # window minima; valid starts are pos <= n_grams - window
+        "winnow_fingerprints": f"""
+            WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+            pos AS (
+              SELECT doc_id, t,
+                     unnest(generate_series(1, greatest(length(t) - 4, 1))) AS i
+              FROM norm
+            ),
+            grams AS (
+              SELECT doc_id, i - 1 AS p, md5(substring(t, i, 5)) AS h FROM pos
+            ),
+            mins AS (
+              SELECT doc_id, p,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY p
+                                  ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS m,
+                     count(*) OVER (PARTITION BY doc_id) AS ng
+              FROM grams
+            ),
+            fps AS (
+              SELECT DISTINCT doc_id, m FROM mins
+              WHERE p <= greatest(ng - 8, 0)
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM fps GROUP BY doc_id),
+            rare AS (SELECT m FROM fps GROUP BY m HAVING COUNT(*) <= 20),
+            f AS (SELECT doc_id, m FROM fps JOIN rare USING (m)),
+            common AS (
+              SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS shared
+              FROM f l JOIN f r ON l.m = r.m AND l.doc_id < r.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT c.id_a, c.id_b, c.shared
+            FROM common c JOIN sizes a ON a.doc_id = c.id_a
+            WHERE c.shared >= a.n * 0.1
+        """,
+        # ann_lsh_selfhit, minhash_near_dups_fast, simhash_near_dups,
+        # embedding_near_dups: xxhash64-keyed LSH / signature / bit-count
+        # ops — rows-only checks (pytest covers semantics)
     }

@@ -107,6 +107,7 @@ def winnow_fingerprints(
     text_col: str = "text",
     k: int = 5,
     window: int = 8,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003):
     rolling k-gram hashes, keep the minimum of each ``window`` — the
@@ -121,7 +122,7 @@ def winnow_fingerprints(
     re-evaluated the entire gram array per window element — measured >15 min
     on 500 docs; this plan does the same 500 docs in seconds.)
     """
-    grams = char_gram_rows(df, id_col, text_col, n=k)
+    grams = char_gram_rows(df, id_col, text_col, n=k, hash_family=hash_family)
     frame = (
         Window.partitionBy(id_col).orderBy("_pos").rowsBetween(0, window - 1)
     )
