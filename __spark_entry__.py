@@ -125,6 +125,17 @@ def q_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _scan_summary(t.snapshot().scan(spark))
 
 
+def q_optimize_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused compact+cluster (ONE rewrite pass — maintenance/optimize.py);
+    end state identical to compact_scan followed by zorder_scan."""
+    from kafka_delta_ingest_spark.maintenance.optimize import optimize
+
+    t = _build_tokens_table(spark, sf_dir, _tmp_root("optimize"))
+    optimize(spark, t, dims=["source", "n_tok", "doc_id"], curve="zorder",
+             target_file_bytes=8 * 1024 * 1024)
+    return _scan_summary(t.snapshot().scan(spark))
+
+
 def q_hilbert_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_delta_ingest_spark.maintenance.zorder import cluster
 
@@ -570,13 +581,24 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("q_id", "vec_id", F.round("cos", 5).alias("cos_r"), "rank")
 
 
+def _embedding_dim(sf_dir: str) -> int:
+    """Embedding dimensionality via a pyarrow one-row peek of the parquet
+    file — driver-side metadata-scale read, no Spark job (a ``.first()``
+    probe would launch a job during query construction)."""
+    import pyarrow.parquet as pq
+
+    f = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet"))
+    batch = next(f.iter_batches(batch_size=1, columns=["embedding"]))
+    return len(batch.column(0)[0])
+
+
 def q_ann_lsh_selfhit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH ANN sanity: every query retrieves itself at rank 1 (rows-only
     check; recall vs brute force is covered in pytest)."""
     from kafka_delta_ingest_spark.operators.similarity import ann_lsh
 
     emb = load_table(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()["embedding"])
+    dim = _embedding_dim(sf_dir)
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
@@ -629,7 +651,7 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_delta_ingest_spark.operators.similarity import embedding_near_dups
 
     emb = load_table(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()["embedding"])
+    dim = _embedding_dim(sf_dir)
     pairs = embedding_near_dups(emb, dim=dim, threshold=-1.0)
     return pairs.orderBy(F.desc("cos"), "id_a", "id_b").limit(10).select(
         "id_a", "id_b", F.round("cos", 5).alias("cos_r")
@@ -658,6 +680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # maintenance (north-rule ops B1-B6)
         "compact_scan": q_compact_scan,
         "zorder_scan": q_zorder_scan,
+        "optimize_scan": q_optimize_scan,
         "hilbert_scan": q_hilbert_scan,
         "merge_upsert": q_merge_upsert,
         "expire_gc_scan": q_expire_gc_scan,
@@ -735,8 +758,11 @@ def _minhash_oracle_sql(
     md5(concat_ws('|', band, sig rows)), band-bucket self-join candidates,
     exact Jaccard verify over distinct shingle sets."""
     rpb = num_perm // bands
+    # one md5 per 4 permutations, sliced into 8-hex-char values — mirrors
+    # operators/dedup.py _perm_hash's md5 family exactly
     sig_cols = ",\n                   ".join(
-        f"min(md5(h || ':{i}')) AS h{i}" for i in range(num_perm)
+        f"min(substring(md5(h || ':{i // 4}'), {(i % 4) * 8 + 1}, 8)) AS h{i}"
+        for i in range(num_perm)
     )
     band_selects = "\n              UNION ALL ".join(
         "SELECT doc_id, {b} AS b, md5(concat_ws('|', '{b}', {cols})) AS bh FROM sigs".format(
@@ -809,6 +835,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "compact_scan": scan_sql,
         "zorder_scan": scan_sql,
+        "optimize_scan": scan_sql,
         "hilbert_scan": scan_sql,
         "expire_gc_scan": scan_sql,
         "ledger_resume_scan": scan_sql,

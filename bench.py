@@ -66,13 +66,25 @@ def build_bench_table(spark, root: str):
     )
 
 
-def run_maintenance(spark, root: str) -> dict:
-    """The headline job: bin-packed compaction then Z-order clustering of
-    the full table, scan-integrity verified, metrics recorded."""
+def run_maintenance(spark, root: str, mode: str | None = None) -> dict:
+    """The headline job: reach the compacted+clustered end state.
+
+    mode="fused" (default): ONE read→shuffle→write pass via
+    maintenance/optimize.py — compaction and Z-order clustering fused, the
+    way Delta's OPTIMIZE ZORDER works. mode="pipeline": round-1 shape,
+    compact() then cluster(), which moves ~2× the table bytes because the
+    cluster pass re-reads everything compaction just wrote.
+
+    ``tokens_per_sec`` is END-STATE throughput (table tokens / wall to the
+    final state) for both modes, so they are directly comparable;
+    ``tokens_moved_per_sec`` keeps round 1's moved-bytes accounting."""
     from pyspark.sql import functions as F
 
     from kafka_delta_ingest_spark.maintenance.compact import compact
+    from kafka_delta_ingest_spark.maintenance.optimize import optimize
     from kafka_delta_ingest_spark.maintenance.zorder import cluster
+
+    mode = mode or os.environ.get("KDI_BENCH_MODE", "fused")
 
     # warm up executor Python workers (pandas/numpy import per worker is a
     # ~30 s one-time session cost at 32 cores; real clusters amortize it
@@ -101,30 +113,47 @@ def run_maintenance(spark, root: str) -> dict:
         128 * 1024 * 1024, max(8 * 1024 * 1024, snap.total_bytes() // 128)
     )
 
-    t0 = time.time()
-    cm = compact(spark, table, target_file_bytes=target, job_id="bench-compact")
-    t_compact = time.time() - t0
-
-    t1 = time.time()
-    zm = cluster(
-        spark, table, dims=["n_tok", "doc_id"], curve="zorder",
-        target_file_bytes=target, job_id="bench-zorder",
-    )
-    t_zorder = time.time() - t1
-    wall = time.time() - t0
-
-    files_rewritten = cm["files_rewritten"] + zm["files_rewritten"]
-    return {
+    out = {
+        "mode": mode,
         "total_tokens": int(total_tokens),
         "files_before": n_files_before,
-        "files_rewritten": files_rewritten,
-        "compact_sec": round(t_compact, 3),
-        "zorder_sec": round(t_zorder, 3),
-        "maintenance_sec": round(wall, 3),
-        # each op streams every token through once: 2 passes
-        "tokens_per_sec": round(2 * total_tokens / wall, 1),
-        "files_rewritten_per_sec": round(files_rewritten / wall, 2),
     }
+    t0 = time.time()
+    if mode == "fused":
+        om = optimize(
+            spark, table, dims=["n_tok", "doc_id"], curve="zorder",
+            target_file_bytes=target, job_id="bench-optimize",
+        )
+        wall = time.time() - t0
+        files_rewritten = om["files_rewritten"]
+        passes = 1
+        out["optimize_sec"] = round(wall, 3)
+        out["files_written"] = om["files_written"]
+    else:
+        cm = compact(spark, table, target_file_bytes=target, job_id="bench-compact")
+        t_compact = time.time() - t0
+        t1 = time.time()
+        zm = cluster(
+            spark, table, dims=["n_tok", "doc_id"], curve="zorder",
+            target_file_bytes=target, job_id="bench-zorder",
+        )
+        wall = time.time() - t0
+        files_rewritten = cm["files_rewritten"] + zm["files_rewritten"]
+        passes = 2
+        out["compact_sec"] = round(t_compact, 3)
+        out["zorder_sec"] = round(time.time() - t1, 3)
+        out["files_written"] = zm["files_written"]
+    out.update(
+        {
+            "files_rewritten": files_rewritten,
+            "maintenance_sec": round(wall, 3),
+            "passes": passes,
+            "tokens_per_sec": round(total_tokens / wall, 1),
+            "tokens_moved_per_sec": round(passes * total_tokens / wall, 1),
+            "files_rewritten_per_sec": round(files_rewritten / wall, 2),
+        }
+    )
+    return out
 
 
 def run_queries(spark) -> dict:
@@ -185,14 +214,18 @@ def main():
             env.setdefault("KDI_SPARK_LOCAL_DIR", "/dev/shm/kdi_spark_local")
             os.makedirs(env["KDI_BENCH_BASE"], exist_ok=True)
             os.makedirs(env["KDI_SPARK_LOCAL_DIR"], exist_ok=True)
-        repeats = int(os.environ.get("KDI_SCALE_RUNS", "2"))
+        repeats = int(os.environ.get("KDI_SCALE_RUNS", "3"))
         pair = [
             int(x) for x in os.environ.get("KDI_SCALE_CORES", "8,32").split(",")
         ]
         results = {}
-        for cores in pair:
-            best = None
-            for _ in range(repeats):
+        # INTERLEAVED pairs (8,32,8,32,...) rather than all-of-one-level
+        # first: co-tenant load on this box comes in multi-minute windows,
+        # so consecutive same-level runs share a noise regime and bias the
+        # ratio; pairing puts both levels in (nearly) the same window.
+        # best-of-k per level remains the least-contended estimate.
+        for _ in range(repeats):
+            for cores in pair:
                 p = subprocess.run(
                     [sys.executable, os.path.abspath(__file__), "--one-run",
                      "--cores", str(cores)],
@@ -200,11 +233,9 @@ def main():
                 )
                 line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
                 m = json.loads(line)
-                # best-of-k: this sandbox has noisy neighbors; min wall time
-                # is the least-contended estimate of true capability
-                if best is None or m["maintenance_sec"] < best["maintenance_sec"]:
-                    best = m
-            results[f"local[{cores}]"] = best
+                key = f"local[{cores}]"
+                if key not in results or m["maintenance_sec"] < results[key]["maintenance_sec"]:
+                    results[key] = m
         shutil.rmtree(env.get("KDI_BENCH_BASE", "/nonexistent"), ignore_errors=True)
         shutil.rmtree(env.get("KDI_SPARK_LOCAL_DIR", "/nonexistent"), ignore_errors=True)
         n, n4 = results[f"local[{pair[0]}]"], results[f"local[{pair[1]}]"]
@@ -224,17 +255,20 @@ def main():
 
     spark = get_spark(app_name="kdi-bench", cores=CPUS, shuffle_partitions=CPUS)
     root = "/tmp/kdi_bench_table"
-    m = run_maintenance(spark, root)
+    m = run_maintenance(spark, root, mode="fused")
+    pipeline = run_maintenance(spark, root, mode="pipeline")
     queries = run_queries(spark)
     shutil.rmtree(root, ignore_errors=True)
     out = {
-        "metric": "compaction+zorder throughput (tokens/sec) on synthetic "
-        "pre-tokenized table; per-query wall times at sf dir",
+        "metric": "fused OPTIMIZE (compact+zorder, one pass) end-state "
+        "throughput (tokens/sec); per-query wall times at sf dir",
         "value": m["maintenance_sec"],
         "unit": "sec",
         "queries": queries,
         "sf": SF_DIR,
         **m,
+        # round-1 shape for continuity: separate compact + cluster passes
+        "pipeline": pipeline,
     }
     print(json.dumps(out))
 

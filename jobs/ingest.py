@@ -1,11 +1,13 @@
 """spark-submit entry point for stream/batch ingest — the CLI analogue of
 ``kafka-delta-ingest ingest <topic> <table>`` (/root/reference/src/main.rs:313-465).
 
-The message source is a directory of JSON files with the Kafka-envelope
-columns (``value string, _partition int, _offset long``) consumed either
-once (--once) or as a Structured Streaming file source — swap in
-``spark.readStream.format("kafka")`` on a real deployment for the same
-pipeline.
+The message source is either a real Kafka topic (``--topic`` +
+``--kafka`` bootstrap servers + repeatable ``-K key=value`` librdkafka
+settings, exactly the reference's CLI surface — wired through
+sources/kafka.py; needs the spark-sql-kafka package on the classpath) or
+a directory of JSON files with the Kafka-envelope columns
+(``value string, _partition int, _offset long``), consumed once (--once)
+or as a Structured Streaming file source.
 
 Usage:
   spark-submit --py-files kafka_delta_ingest_spark.zip jobs/ingest.py \
@@ -35,7 +37,14 @@ def parse_transforms(pairs: list[str]) -> dict[str, str]:
 
 def main():
     p = argparse.ArgumentParser(description="kdi-spark ingest")
-    p.add_argument("--source", required=True, help="dir of JSON message files")
+    p.add_argument("--source", default=None, help="dir of JSON message files")
+    p.add_argument("--topic", default=None, help="Kafka topic (real source)")
+    p.add_argument("--kafka", default="localhost:9092",
+                   help="bootstrap servers (ref main.rs --kafka)")
+    p.add_argument("-K", "--kafka-setting", action="append", default=[],
+                   help="librdkafka key=value passthrough (ref main.rs:424-431)")
+    p.add_argument("--statsd-endpoint", default=None,
+                   help="emit reference-named stats via UDP statsd")
     p.add_argument("--table", required=True)
     p.add_argument("--app-id", default="kdi-ingest")
     p.add_argument("--transform", action="append", default=[],
@@ -61,10 +70,37 @@ def main():
     spark = SparkSession.builder.getOrCreate()
     table = Table(args.table)
     dlq = Table(args.dlq_table) if args.dlq_table else None
+    metrics = None
+    if args.statsd_endpoint:
+        from kafka_delta_ingest_spark.metrics import IngestMetrics, StatsdSink
+
+        metrics = IngestMetrics(sink=StatsdSink(args.statsd_endpoint))
     pipe = IngestPipeline(
         table, app_id=args.app_id,
         transforms=parse_transforms(args.transform), dlq_table=dlq,
+        metrics=metrics,
     )
+    if not args.source and not args.topic:
+        p.error("one of --source or --topic is required")
+
+    if args.topic:
+        from kafka_delta_ingest_spark.sources.kafka import kafka_batch, kafka_stream
+
+        ksettings = dict(s.partition("=")[::2] for s in args.kafka_setting)
+        seek = pipe.stored_offsets()  # resume from table txn offsets
+        if args.once:
+            df = kafka_batch(spark, args.topic, args.kafka, ksettings, seek)
+            out = pipe.ingest_batch(spark, df)
+            print(json.dumps(out))
+            return
+        stream = kafka_stream(spark, args.topic, args.kafka, ksettings, seek)
+        q = start_stream_ingest(
+            spark, stream, pipe,
+            checkpoint_dir=args.checkpoint or os.path.join(args.table, "_stream_ckpt"),
+            trigger_seconds=args.trigger_seconds,
+        )
+        q.awaitTermination()
+        return
 
     schema = "value string, _partition int, _offset long"
     if args.once:

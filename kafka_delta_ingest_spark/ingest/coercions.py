@@ -106,7 +106,6 @@ def coerce_json(
                 F.lit(f.name),
             )
         )
-    errs = F.array_compact(F.array(*err_entries)).alias("_coercion_errors")
     undecodable = F.when(
         v.isNull() & F.col(json_col).isNotNull(), F.lit("deserialization")
     )

@@ -7,10 +7,12 @@ schema-registry variants (serialization.rs:127-294).
 - gzip JSON: Spark has no gunzip SQL function, so decompression is an
   Arrow-batched ``pandas_udf`` over the binary column — the sanctioned
   slow path; decompression is per-message CPU anywhere.
-- Avro: ``from_avro`` if the spark-avro package is on the classpath,
-  else a clear error (the container ships without it). Schema-registry
-  lookup is stubbed: no network in this environment; the wire-format
-  5-byte header parse is implemented so a registry client drops in.
+- Avro: pure-Python binary decoder (ingest/avro_decode.py — no jars, no
+  fastavro in this container) inside the same Arrow-batched UDF shape:
+  container files with embedded writer schema, provided-schema datums,
+  and the Confluent wire format with an injectable schema-id resolver
+  (the real registry client is one HTTP GET; no network here, so tests
+  inject a dict-backed resolver).
 """
 
 from __future__ import annotations
@@ -55,20 +57,106 @@ def deserialize_gzip_json(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
     return df.withColumn("value", gunzip_to_string(F.col(bytes_col)))
 
 
-def deserialize_avro(df: DataFrame, avro_schema_json: str, bytes_col: str = "bytes") -> DataFrame:
-    """Embedded/file-schema Avro via spark-avro's from_avro. Raises a clear
-    error when the avro package jar is absent."""
-    try:
-        from pyspark.sql.avro.functions import from_avro
-    except ImportError as e:  # pragma: no cover
-        raise NotImplementedError(f"pyspark avro module unavailable: {e}") from e
-    try:
-        return df.withColumn("record", from_avro(F.col(bytes_col), avro_schema_json))
-    except Exception as e:  # noqa: BLE001 — typically missing spark-avro jar
-        raise NotImplementedError(
-            "from_avro requires the org.apache.spark:spark-avro package on the "
-            f"classpath (not shipped in this container): {e}"
-        ) from e
+def _make_avro_udf(avro_schema_json: str | None, wire: str):
+    """Arrow-batched Avro → JSON-string decoder (pure Python, no jars —
+    ingest/avro_decode.py). Failures → None → DLQ downstream, matching the
+    reference's dead-letter stance for Avro errors
+    (serialization.rs:143-166)."""
+    import json as _json
+
+    @pandas_udf(T.StringType())
+    def avro_to_json(data: pd.Series) -> pd.Series:
+        from kafka_delta_ingest_spark.ingest.avro_decode import (
+            decode_container,
+            decode_datum_bytes,
+        )
+
+        def one(b):
+            if b is None:
+                return None
+            try:
+                if wire == "container":
+                    v = decode_container(bytes(b))
+                else:
+                    v = decode_datum_bytes(bytes(b), avro_schema_json)
+                return None if v is None else _json.dumps(v)
+            except Exception:  # noqa: BLE001 — malformed payload → DLQ
+                return None
+
+        return data.map(one)
+
+    return avro_to_json
+
+
+def deserialize_avro(
+    df: DataFrame,
+    avro_schema_json: str | None = None,
+    bytes_col: str = "bytes",
+    wire: str = "container",
+) -> DataFrame:
+    """Avro → JSON string ``value`` column, feeding the same coercion path
+    as the JSON formats (reference: every deserializer yields a JSON Value,
+    serialization.rs:100-186).
+
+    ``wire="container"``: Object Container File per message, embedded
+    writer schema, null/deflate codecs — the reference's
+    AvroSchemaDeserializer (first record per message).
+    ``wire="datum"``: raw Avro datum decoded with ``avro_schema_json``
+    (provided/registry schema)."""
+    if wire == "datum" and not avro_schema_json:
+        raise ValueError("wire='datum' requires avro_schema_json")
+    return df.withColumn(
+        "value", _make_avro_udf(avro_schema_json, wire)(F.col(bytes_col))
+    )
+
+
+def deserialize_confluent_avro(
+    df: DataFrame, resolver, bytes_col: str = "bytes"
+) -> DataFrame:
+    """Confluent wire format end-to-end: split the 5-byte header, resolve
+    each DISTINCT schema id via ``resolver(schema_id) -> schema JSON``
+    (driver-side — the set of live schema ids is tiny and the map ships to
+    executors inside the UDF closure), decode bodies vectorized. Bad magic
+    or unresolvable ids → null ``value`` → DLQ."""
+    import json as _json
+
+    parts = confluent_wire_parts(bytes_col)
+    with_parts = df.withColumn("_magic", parts["magic"]).withColumn(
+        "_sid", parts["schema_id"]
+    ).withColumn("_body", parts["body"])
+    ids = [
+        r["_sid"]
+        for r in with_parts.select("_sid").where(F.col("_magic") == 0).distinct().collect()
+    ]
+    schemas: dict[int, str] = {}
+    for i in ids:
+        try:
+            schemas[int(i)] = resolver(int(i))
+        except Exception:  # noqa: BLE001 — unresolvable id → those rows DLQ
+            pass
+
+    @pandas_udf(T.StringType())
+    def dec(sid: pd.Series, body: pd.Series) -> pd.Series:
+        from kafka_delta_ingest_spark.ingest.avro_decode import decode_datum_bytes
+
+        def one(s, b):
+            sch = schemas.get(int(s)) if s is not None else None
+            if sch is None or b is None:
+                return None
+            try:
+                return _json.dumps(decode_datum_bytes(bytes(b), sch))
+            except Exception:  # noqa: BLE001
+                return None
+
+        return pd.Series([one(s, b) for s, b in zip(sid, body)])
+
+    out = with_parts.withColumn(
+        "value",
+        F.when(F.col("_magic") == 0, dec(F.col("_sid"), F.col("_body"))).otherwise(
+            F.lit(None).cast("string")
+        ),
+    )
+    return out.drop("_magic", "_sid", "_body")
 
 
 def confluent_wire_parts(bytes_col: str = "bytes") -> dict[str, Column]:

@@ -75,26 +75,43 @@ def gc_orphans(
 
     disk_df = spark.createDataFrame(on_disk, "path string, mtime double")
     ref_df = spark.createDataFrame([(p,) for p in referenced] or [("",)], "path string")
-    orphans = (
+    orphans_df = (
         disk_df.join(ref_df, "path", "left_anti")
         .where(disk_df.mtime < now - grace_s)
         .select("path")
-        .collect()
     )
+    n_orphans = orphans_df.count()
     deleted = 0
-    for row in orphans:
-        p = os.path.join(table.root, row["path"])
-        if not dry_run and os.path.exists(p):
-            os.unlink(p)
-            deleted += 1
+    if not dry_run and n_orphans:
+        # deletes run ON THE EXECUTORS (mapPartitions + per-partition
+        # count): at 10^8 files a driver-side unlink loop is the
+        # bottleneck; against an object store each partition issues its
+        # own batched delete calls. Capture only the root string.
+        root = table.root
+
+        def _delete_partition(rows):
+            import os as _os
+
+            n = 0
+            for r in rows:
+                try:
+                    _os.unlink(_os.path.join(root, r["path"]))
+                    n += 1
+                except FileNotFoundError:
+                    pass  # raced by a concurrent GC — already gone
+            yield n
+
+        deleted = int(
+            orphans_df.rdd.mapPartitions(_delete_partition).sum()
+        )
     # prune now-empty data dirs (cosmetic)
     if not dry_run:
         for dirpath, dirs, files in os.walk(table.data_dir, topdown=False):
             if not dirs and not files and dirpath != table.data_dir:
                 os.rmdir(dirpath)
     return {
-        "deleted": deleted if not dry_run else 0,
-        "candidates": len(orphans),
-        "kept": len(on_disk) - len(orphans),
+        "deleted": deleted,
+        "candidates": n_orphans,
+        "kept": len(on_disk) - n_orphans,
         "duration_s": time.time() - t0,
     }

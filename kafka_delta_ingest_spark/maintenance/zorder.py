@@ -284,6 +284,7 @@ def cluster(
     prev_split = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
 
+    t_write0 = time.time()
     try:
         df = snap.scan(spark)
         keyed = cluster_keyed_df(df, dims, curve, _manifest_ranges(snap, dims), key_impl)
@@ -307,8 +308,11 @@ def cluster(
             spark.conf.set("spark.sql.files.maxPartitionBytes", prev_split)
         else:
             spark.conf.unset("spark.sql.files.maxPartitionBytes")
+    t_write = time.time() - t_write0
 
+    t_stats0 = time.time()
     adds = compute_add_entries(spark, table.root, absd, snap.schema, snap.partition_cols)
+    t_stats = time.time() - t_stats0
     v = table.commit(
         Transaction(
             operation=f"cluster-{curve}",
@@ -339,4 +343,7 @@ def cluster(
         "rows": rows,
         "bytes": bts,
         "duration_s": time.time() - t0,
+        # phase breakdown: shuffle+write vs driver-side footer stats
+        "write_s": round(t_write, 3),
+        "stats_s": round(t_stats, 3),
     }

@@ -63,19 +63,11 @@ def lang_id(text: Column | str) -> Column:
     Ties break by fixed language order (en, de, fr, es) — mirrored in the
     oracle SQL with the same comparison chain."""
     scores = lang_scores(text)
-    langs = list(LANG_MARKERS)
-    best_lang = F.lit("und")
-    best_score = F.lit(0.0)
-    for lang in reversed(langs):  # earlier langs win ties (checked last)
-        s = scores[lang]
-        cond = s > best_score if lang != langs[0] else s >= best_score
-        # strictly-greater for later langs, >= handled by ordering below
-        best_lang = F.when(s > best_score, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(s > best_score, s).otherwise(best_score)
-    # second pass ensures earlier languages win exact ties
+    # strictly-greater comparison in declaration order ⇒ earlier languages
+    # win exact ties; all-zero scores fall through to 'und'
     final_lang = F.lit("und")
     final_score = F.lit(0.0)
-    for lang in langs:
+    for lang in LANG_MARKERS:
         s = scores[lang]
         final_lang = F.when(s > final_score, F.lit(lang)).otherwise(final_lang)
         final_score = F.when(s > final_score, s).otherwise(final_score)

@@ -47,14 +47,34 @@ def get_spark(
         # local mode: driver heap IS executor memory; 32 concurrent sorters
         # over token-heavy rows thrash spills below ~2 GB/task fair share
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g"))
+        # ParallelGC: the batch-throughput collector. G1 on a 64 GB heap
+        # with 32 threads allocating token arrays (humongous-object-heavy)
+        # shows collapse-grade tails on this box (measured 146-324 s for a
+        # partitioned write ParallelGC finishes in 10-15 s; G1's own best
+        # matches PGC, its worst is 20x). Real clusters run ~4-8 GB
+        # executors where G1 is fine — this default is for fat local JVMs.
         .config(
             "spark.driver.extraJavaOptions",
-            os.environ.get("KDI_DRIVER_JAVA_OPTS", ""),
+            os.environ.get("KDI_DRIVER_JAVA_OPTS", "-XX:+UseParallelGC"),
+        )
+        # concurrent-writers mode for partitioned writes: without it,
+        # FileFormatWriter SORTS each task's rows by partition key first —
+        # the single most memory-hungry op for token-heavy rows (round-1
+        # finding); with table partition counts this low (~6 sources) a
+        # small writer pool removes the sort entirely
+        .config(
+            "spark.sql.maxConcurrentOutputFileWriters",
+            os.environ.get("KDI_MAX_CONCURRENT_WRITERS", "10"),
         )
         # parquet files written by maintenance carry full column stats for
         # manifest min/max pruning (ref src/writer.rs:655-707)
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     )
+    # shuffle/spill directory override — bench --scaling points this at
+    # tmpfs to take the single shared virtio disk out of the measurement
+    local_dir = os.environ.get("KDI_SPARK_LOCAL_DIR")
+    if local_dir:
+        b = b.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

@@ -1,0 +1,119 @@
+"""Kafka source wiring — the Spark analogue of the reference's consumer
+construction (/root/reference/src/main.rs:313-465: topic + ``--kafka``
+endpoint + repeatable ``-K key=value`` librdkafka settings, seek offsets
+from ``--seek_offsets``, bounded runs via ``--end_at_last_offsets``).
+
+No broker exists in this sandbox, so the LOAD is a thin, untestable shim
+around ``spark.readStream.format("kafka")`` — but everything around it is
+pure and unit-tested: librdkafka-style settings → Spark option mapping,
+seek-offsets → ``startingOffsets`` JSON, and the normalization of Spark's
+Kafka schema (key/value binary, topic, partition, offset, timestamp) into
+the engine's message envelope (``value string, _partition, _offset,
+_topic, _ts``) consumed by IngestPipeline and the ``kafka.*`` transform
+attributes (ingest/transforms.py:39-43).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# librdkafka settings that Spark's Kafka source manages itself and must NOT
+# be passed through (the source commits nothing and manages its own groups)
+_MANAGED = {"group.id", "enable.auto.commit", "auto.offset.reset"}
+
+
+def kafka_options(
+    topic: str,
+    bootstrap_servers: str,
+    kafka_settings: dict[str, str] | None = None,
+    seek_offsets: dict[int, int] | None = None,
+    end_at_last_offsets: bool = False,
+) -> dict[str, str]:
+    """Build the Spark Kafka source option map.
+
+    - ``kafka_settings``: the reference's ``-K key=value`` passthrough
+      (main.rs:424-431, e.g. TLS settings) → prefixed ``kafka.<key>``.
+    - ``seek_offsets``: partition → LAST PROCESSED offset (the reference
+      seeks to stored offset + 1, src/offsets.rs:35-75); rendered as the
+      source's ``startingOffsets`` JSON with +1 applied. Partitions not
+      listed start at ``earliest`` (-2 in the source's JSON dialect).
+    - ``end_at_last_offsets``: bounded run — pair with ``spark.read``
+      (batch) where it maps to ``endingOffsets=latest``.
+    """
+    opts = {
+        "subscribe": topic,
+        "kafka.bootstrap.servers": bootstrap_servers,
+        # the engine replays from its own table-txn offsets; disable any
+        # source-side position persistence beyond what Spark checkpoints
+        "startingOffsets": "earliest",
+        "failOnDataLoss": "false",
+    }
+    for k, v in (kafka_settings or {}).items():
+        if k in _MANAGED or k == "bootstrap.servers":
+            continue
+        opts[f"kafka.{k}"] = str(v)
+    if seek_offsets:
+        opts["startingOffsets"] = json.dumps(
+            {topic: {str(p): int(o) + 1 for p, o in seek_offsets.items()}}
+        )
+    if end_at_last_offsets:
+        opts["endingOffsets"] = "latest"
+    return opts
+
+
+def envelope(df: DataFrame, payload: str = "string") -> DataFrame:
+    """Normalize Spark's Kafka record schema into the engine envelope.
+
+    ``payload="string"`` decodes the value as utf-8 JSON text;
+    ``payload="binary"`` keeps raw bytes (for gzip/Avro deserializers)."""
+    value = (
+        F.col("value").cast("string")
+        if payload == "string"
+        else F.col("value")
+    )
+    return df.select(
+        value.alias("value" if payload == "string" else "bytes"),
+        F.col("partition").cast("int").alias("_partition"),
+        F.col("offset").cast("long").alias("_offset"),
+        F.col("topic").alias("_topic"),
+        F.unix_micros(F.col("timestamp")).alias("_ts"),
+        F.col("timestampType").cast("int").alias("_ts_type"),
+    )
+
+
+def kafka_stream(
+    spark: SparkSession,
+    topic: str,
+    bootstrap_servers: str,
+    kafka_settings: dict[str, str] | None = None,
+    seek_offsets: dict[int, int] | None = None,
+    payload: str = "string",
+) -> DataFrame:
+    """Streaming source → envelope. Requires the spark-sql-kafka package on
+    the classpath (standard on real clusters; absent in this sandbox)."""
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_options(topic, bootstrap_servers, kafka_settings, seek_offsets).items():
+        reader = reader.option(k, v)
+    return envelope(reader.load(), payload)
+
+
+def kafka_batch(
+    spark: SparkSession,
+    topic: str,
+    bootstrap_servers: str,
+    kafka_settings: dict[str, str] | None = None,
+    seek_offsets: dict[int, int] | None = None,
+    payload: str = "string",
+) -> DataFrame:
+    """Bounded read to the current end offsets — the reference's
+    ``--end_at_last_offsets`` run mode (src/lib.rs:526-592)."""
+    reader = spark.read.format("kafka")
+    opts = kafka_options(
+        topic, bootstrap_servers, kafka_settings, seek_offsets, end_at_last_offsets=True
+    )
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    return envelope(reader.load(), payload)

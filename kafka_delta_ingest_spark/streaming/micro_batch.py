@@ -46,11 +46,13 @@ class IngestPipeline:
         app_id: str,
         transforms: dict[str, str] | None = None,
         dlq_table: Table | None = None,
+        metrics=None,  # kafka_delta_ingest_spark.metrics.IngestMetrics
     ):
         self.table = table
         self.app_id = app_id
         self.transformer = Transformer(transforms or {})
         self.dlq_table = dlq_table
+        self.metrics = metrics
 
     def stored_offsets(self) -> dict[int, int]:
         """Per-partition last committed offsets from the table's app txns
@@ -67,6 +69,8 @@ class IngestPipeline:
         """Process one batch of messages; returns metrics
         (IngestMetrics analogue, src/metrics.rs:24-218)."""
         t0 = time.time()
+        if self.metrics:
+            self.metrics.batch_started()
         snap = self.table.snapshot()
 
         fresh, watermarks = dedupe_against_ledger(
@@ -86,10 +90,22 @@ class IngestPipeline:
             spark, self.table, good, snap.partition_cols, snap.schema
         )
         # never commit empty (ref: no empty version bumps, lib.rs:1102-1124)
-        v = self.table.commit(
-            Transaction(operation="ingest", adds=adds, app_txns=app_txns),
-            expected_schema=snap.schema,
-        )
+        if self.metrics:
+            self.metrics.delta_write_started()
+        t_write = time.time()
+        try:
+            v = self.table.commit(
+                Transaction(operation="ingest", adds=adds, app_txns=app_txns),
+                expected_schema=snap.schema,
+            )
+        except Exception:
+            if self.metrics:
+                self.metrics.delta_write_failed()
+            raise
+        if self.metrics:
+            self.metrics.delta_write_completed(t_write)
+            for a in adds:
+                self.metrics.delta_file_size(a.size)
         # DLQ commits strictly AFTER the main commit: if the main commit is
         # rejected (ConflictingOffsets on a replayed batch / CAS exhaustion)
         # the dead letters must not land either, or a replay would duplicate
@@ -110,6 +126,21 @@ class IngestPipeline:
                     Transaction(operation="dead-letters", adds=dadds)
                 )
                 n_dead = dead_rows
+        if self.metrics:
+            n_good = sum(a.num_records for a in adds)
+            if self.dlq_table is None:
+                n_dead = dead.count()
+            self.metrics.message_deserialized(n_good + n_dead)
+            self.metrics.message_transformed(n_good)
+            if n_dead:
+                self.metrics.message_transform_failed(n_dead)
+            self.metrics.message_deserialized_size(sum(a.size for a in adds))
+            # batch mode has no broker high-watermark: the lag gauges carry
+            # the committed per-partition positions (true lag = high
+            # watermark - position is computed by ingest.buffers.consumer_lag
+            # when the caller supplies watermarks)
+            self.metrics.buffer_lag(list(app_txns.values()))
+            self.metrics.batch_completed(len(adds), t0)
         return {
             "version": v,
             "rows": sum(a.num_records for a in adds),

@@ -194,13 +194,18 @@ class Snapshot:
 
 
 class Table:
-    def __init__(self, root: str):
+    def __init__(self, root: str, cas=None):
         # abspath-normalize: joins between manifest paths (built from root)
         # and Spark's input_file_name() (always absolute) must agree even
         # when the caller passes a relative --table path
         self.root = os.path.abspath(root)
         self.log_dir = os.path.join(self.root, "_log")
         self.data_dir = os.path.join(self.root, "data")
+        if cas is None:
+            from kafka_delta_ingest_spark.table.cas import LocalFsCas
+
+            cas = LocalFsCas()
+        self.cas = cas
 
     # ---------------------------------------------------------------- paths
     def _version_path(self, v: int) -> str:
@@ -331,19 +336,14 @@ class Table:
 
     # --------------------------------------------------------------- commit
     def _atomic_write_version(self, v: int, commit: dict) -> None:
-        """CAS: fully write a temp file, then hard-link it to the version
-        path — ``os.link`` fails with FileExistsError if someone else won,
-        which is the local-FS equivalent of Delta's VersionAlreadyExists
-        (ref src/lib.rs:964-1023)."""
-        tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}.json")
-        with open(tmp, "w") as f:
-            json.dump(commit, f)
-            f.flush()
-            os.fsync(f.fileno())
-        try:
-            os.link(tmp, self._version_path(v))
-        finally:
-            os.unlink(tmp)
+        """CAS via the pluggable backend's put-if-absent (table/cas.py):
+        raises FileExistsError when another committer won — the storage-
+        agnostic equivalent of Delta's VersionAlreadyExists
+        (ref src/lib.rs:964-1023). Local FS uses temp-file + hard-link;
+        object stores use conditional PUT / a lock table (README.adoc:219-234)."""
+        self.cas.put_if_absent(
+            self._version_path(v), json.dumps(commit).encode()
+        )
 
     def txn_version(self, app_key: str) -> int:
         """Last committed offset for an app txn key, -1 if none

@@ -39,6 +39,103 @@ def test_confluent_wire_format_split(spark):
     assert bytes(row["b"]) == b"avrobody"
 
 
+_AVRO_SCHEMA = {
+    "type": "record",
+    "name": "WebRequest",
+    "namespace": "com.example",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "path", "type": "string"},
+        {"name": "status", "type": "int"},
+        {"name": "session", "type": ["null", "string"]},
+        {"name": "tags", "type": {"type": "array", "items": "string"}},
+    ],
+}
+_AVRO_RECS = [
+    {"id": 1, "path": "/a", "status": 200, "session": None, "tags": ["x"]},
+    {"id": -2, "path": "/b", "status": 404, "session": "s1", "tags": []},
+]
+
+
+def test_avro_container_deserialize(spark):
+    """Container-file Avro decode end-to-end without spark-avro/fastavro
+    (ref AvroSchemaDeserializer: first record per message,
+    serialization.rs:169-186; fixtures generated in-test per round-2 plan)."""
+    from kafka_delta_ingest_spark.ingest.avro_decode import encode_container
+    from kafka_delta_ingest_spark.ingest.formats import deserialize_avro
+
+    payloads = [(encode_container([r], _AVRO_SCHEMA),) for r in _AVRO_RECS]
+    payloads.append((b"not-avro",))
+    df = spark.createDataFrame(payloads, "bytes binary")
+    vals = [r["value"] for r in deserialize_avro(df).collect()]
+    parsed = [json.loads(v) if v else None for v in vals]
+    assert _AVRO_RECS[0] in parsed and _AVRO_RECS[1] in parsed
+    assert None in parsed  # malformed → null → DLQ
+
+
+def test_avro_deflate_codec_roundtrip(spark):
+    import zlib
+
+    from kafka_delta_ingest_spark.ingest import avro_decode as av
+
+    raw = av.encode_container([_AVRO_RECS[0]], _AVRO_SCHEMA)
+    # hand-build a deflate-codec container around the same record
+    schema_json = json.dumps(_AVRO_SCHEMA).encode()
+    body = av._encode_datum(_AVRO_RECS[0], _AVRO_SCHEMA)
+    sync = b"\x01" * 16
+    comp = zlib.compressobj(wbits=-15)
+    cblock = comp.compress(body) + comp.flush()
+    payload = b"".join(
+        [
+            av.MAGIC,
+            av._encode_long(2),
+            av._encode_bytes(b"avro.schema"), av._encode_bytes(schema_json),
+            av._encode_bytes(b"avro.codec"), av._encode_bytes(b"deflate"),
+            av._encode_long(0),
+            sync,
+            av._encode_long(1),
+            av._encode_long(len(cblock)),
+            cblock,
+            sync,
+        ]
+    )
+    assert av.decode_container(payload) == _AVRO_RECS[0]
+    assert av.decode_container(raw) == _AVRO_RECS[0]
+
+
+def test_avro_datum_with_provided_schema(spark):
+    """Provided-schema raw datums (ref schema-file deserializer,
+    serialization.rs:280-289)."""
+    from kafka_delta_ingest_spark.ingest import avro_decode as av
+    from kafka_delta_ingest_spark.ingest.formats import deserialize_avro
+
+    body = av._encode_datum(_AVRO_RECS[1], _AVRO_SCHEMA)
+    df = spark.createDataFrame([(body,)], "bytes binary")
+    out = deserialize_avro(df, json.dumps(_AVRO_SCHEMA), wire="datum").collect()
+    assert json.loads(out[0]["value"]) == _AVRO_RECS[1]
+
+
+def test_confluent_avro_end_to_end(spark):
+    """Wire-format decode with an injected schema-id resolver (ref registry
+    deserializers, serialization.rs:139-167 + 291-301; network lookup is
+    one HTTP GET in real deployments)."""
+    from kafka_delta_ingest_spark.ingest import avro_decode as av
+    from kafka_delta_ingest_spark.ingest.formats import deserialize_confluent_avro
+
+    body = av._encode_datum(_AVRO_RECS[0], _AVRO_SCHEMA)
+    good = b"\x00" + (7).to_bytes(4, "big") + body
+    unknown_id = b"\x00" + (9).to_bytes(4, "big") + body
+    bad_magic = b"\x01" + (7).to_bytes(4, "big") + body
+    df = spark.createDataFrame(
+        [(good,), (unknown_id,), (bad_magic,)], "bytes binary"
+    )
+    resolver = {7: json.dumps(_AVRO_SCHEMA)}.__getitem__
+    vals = [r["value"] for r in deserialize_confluent_avro(df, resolver).collect()]
+    parsed = [json.loads(v) if v else None for v in vals]
+    assert _AVRO_RECS[0] in parsed
+    assert parsed.count(None) == 2  # unknown id + bad magic → DLQ
+
+
 def test_consumer_lag_rollups():
     lag = consumer_lag({0: 100, 1: 50, 2: 7}, {0: 89, 1: 49})
     assert lag["per_partition"] == {0: 10, 1: 0, 2: 7}

@@ -111,3 +111,48 @@ def test_stream_ingest_micro_batches(spark, tmp_path):
     assert scan.count() == 40
     assert table.snapshot().app_txns["stream-test-0"] == 19
     assert table.snapshot().app_txns["stream-test-1"] == 19
+
+
+def test_ingest_metrics_stat_names(spark, tmp_path):
+    """One ingest batch emits the reference's statsd stat-name surface
+    (src/metrics.rs:223-301 StatType serializations, recorded through the
+    IngestMetrics methods at metrics.rs:37-138)."""
+    from kafka_delta_ingest_spark.metrics import (
+        ALL_STATS,
+        IngestMetrics,
+        InMemorySink,
+    )
+
+    sink = InMemorySink()
+    table = Table.create(str(tmp_path / "t"), SCHEMA, ["date"])
+    pipe = IngestPipeline(
+        table,
+        app_id="metrics-test",
+        transforms={"date": "substr(epoch_micros_to_iso8601(unix_micros(ts)), 0, 10)"},
+        metrics=IngestMetrics(sink=sink, prefix="kafka_delta_ingest"),
+    )
+    m = pipe.ingest_batch(spark, _msgs(spark, range(10), bad={3}))
+    assert m["rows"] == 9
+    names = {n for n, _, _ in sink.records}
+    prefix = "kafka_delta_ingest."
+    assert all(n.startswith(prefix) for n in names)
+    bare = {n[len(prefix):] for n in names}
+    # every emitted stat is a reference stat name
+    assert bare <= ALL_STATS, bare - ALL_STATS
+    expected = {
+        "recordbatch.started", "recordbatch.completed",
+        "recordbatch.write_duration", "buffered.record_batches",
+        "delta.write.started", "delta.write.completed", "delta.write.duration",
+        "delta.add.size", "messages.deserialization.completed",
+        "messages.transform.completed", "messages.transform.failed",
+        "messages.size", "buffer.lag.num_partitions", "buffer.lag.total",
+        "buffer.lag.max", "buffer.lag.min",
+    }
+    assert expected <= bare, expected - bare
+    # counters carry batch-aggregate increments
+    by_name = {}
+    for n, kind, v in sink.records:
+        by_name.setdefault(n[len(prefix):], []).append((kind, v))
+    assert by_name["messages.transform.completed"] == [("counter", 9)]
+    assert by_name["messages.transform.failed"] == [("counter", 1)]
+    assert by_name["messages.deserialization.completed"] == [("counter", 10)]

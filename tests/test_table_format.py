@@ -147,3 +147,37 @@ def test_history_and_referenced_paths(spark, tmp_table_root):
     assert [e["operation"] for e in h] == ["create", "append"]
     refs = t.all_referenced_paths()
     assert refs == set(t.snapshot().file_paths(absolute=False))
+
+
+def test_cas_backend_conflict_path(spark, tmp_table_root):
+    """The commit loop retries through the pluggable CAS abstraction: a
+    backend that loses the first put-if-absent (simulated concurrent
+    committer) must trigger re-validation + retry, not a broken table."""
+    from kafka_delta_ingest_spark.datagen import TOKENS_SCHEMA
+    from kafka_delta_ingest_spark.table.cas import InMemoryCas, LocalFsCas
+    from kafka_delta_ingest_spark.table.format import Table, Transaction
+
+    class FlakyCas(LocalFsCas):
+        def __init__(self):
+            self.calls = 0
+
+        def put_if_absent(self, dest, content):
+            self.calls += 1
+            if self.calls == 1:
+                raise FileExistsError(dest)
+            super().put_if_absent(dest, content)
+
+    t = Table.create(tmp_table_root, TOKENS_SCHEMA, [])
+    t.cas = FlakyCas()
+    v = t.commit(Transaction(operation="append"))
+    assert v == 1
+    assert t.cas.calls == 2  # lost once, re-validated, won
+
+    # the in-memory backend honors conditional-create semantics
+    mem = InMemoryCas()
+    mem.put_if_absent("/x", b"a")
+    import pytest as _pytest
+
+    with _pytest.raises(FileExistsError):
+        mem.put_if_absent("/x", b"b")
+    assert mem.read("/x") == b"a" and mem.exists("/x")
