@@ -278,9 +278,13 @@ def cluster(
 
     # right-size input splits: a freshly compacted table has few large
     # files, and the default 128 MiB split would leave most cores idle —
-    # aim for ~2 splits per core (floor 8 MiB so tiny tables don't explode)
+    # aim for ~2 splits per core. Floor 32 MiB: with a heavily fragmented
+    # input (thousands of small files) the 4 MiB-per-file open-cost
+    # padding divides by the split size, so an 8 MiB split exploded a
+    # 2304-file scan into ~1200 near-empty tasks whose launch overhead
+    # made local[32] SLOWER than local[8].
     cores = spark.sparkContext.defaultParallelism
-    split = max(8 * 1024 * 1024, min(128 * 1024 * 1024, total_bytes // max(2 * cores, 1) or 1))
+    split = max(32 * 1024 * 1024, min(128 * 1024 * 1024, total_bytes // max(2 * cores, 1) or 1))
     prev_split = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
 

@@ -66,6 +66,14 @@ def get_spark(
             "spark.sql.maxConcurrentOutputFileWriters",
             os.environ.get("KDI_MAX_CONCURRENT_WRITERS", "10"),
         )
+        # default 4 MiB per-file open cost makes Spark schedule ~1 task
+        # per 2 small files when scanning fragmented (pre-compaction)
+        # tables; 1 MiB packs more files per task — right for local/SSD
+        # and for object stores with request parallelism
+        .config(
+            "spark.sql.files.openCostInBytes",
+            os.environ.get("KDI_OPEN_COST_BYTES", str(1024 * 1024)),
+        )
         # parquet files written by maintenance carry full column stats for
         # manifest min/max pruning (ref src/writer.rs:655-707)
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
