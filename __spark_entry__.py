@@ -631,6 +631,18 @@ def q_minhash_near_dups_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, md5 hash family: grams hash to md5 and vote
+    with the 60-bit hex prefix, so DuckDB replays signature assembly,
+    15-bit pigeonhole chunk bucketing, and the Hamming verify exactly."""
+    from kafka_delta_ingest_spark.operators.dedup import simhash_near_dups
+
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_near_dups(d, "doc_id", "text", max_hamming=3, hash_family="md5")
+
+
+def q_simhash_near_dups_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production hash family (xxhash64, 63-bit signatures, 16-bit chunks);
+    rows-only (xxhash64 is not in DuckDB)."""
     from kafka_delta_ingest_spark.operators.dedup import simhash_near_dups
 
     d = load_table(spark, sf_dir, "documents")
@@ -710,6 +722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": q_minhash_near_dups,
         "minhash_near_dups_fast": q_minhash_near_dups_fast,
         "simhash_near_dups": q_simhash_near_dups,
+        "simhash_near_dups_fast": q_simhash_near_dups_fast,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_near_dups": q_embedding_near_dups,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -750,18 +763,36 @@ _QUALITY_SQL = f"""
 
 
 def _minhash_oracle_sql(
-    num_perm: int = 64, bands: int = 16, shingle_n: int = 5, threshold: float = 0.5
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 5,
+    threshold: float = 0.5,
+    max_bucket: int = 200,
 ) -> str:
     """Full MinHash-LSH pipeline in ANSI SQL, generated to mirror
     operators/dedup.py's md5 hash family stage by stage: char-shingle md5,
     ``num_perm`` min-aggregates over md5(h || ':i'), band hashes
-    md5(concat_ws('|', band, sig rows)), band-bucket self-join candidates,
-    exact Jaccard verify over distinct shingle sets."""
+    md5(concat_ws('|', band, sig rows)), stop-bucket cutoff, band-bucket
+    self-join candidates, exact Jaccard verify over distinct shingle sets."""
     rpb = num_perm // bands
-    # one md5 per 4 permutations, sliced into 8-hex-char values — mirrors
-    # operators/dedup.py _perm_hash's md5 family exactly
+
+    def hexval(col: str, start: int, width: int) -> str:
+        """Positional nibble sum == Spark's conv(substring(col,start,width),16,10)."""
+        return " + ".join(
+            f"(strpos('0123456789abcdef', substr({col}, {start + j}, 1)) - 1)"
+            f" * {16 ** (width - 1 - j)}"
+            for j in range(width)
+        )
+
+    # one md5 per 4 permutations, each 8-hex-char slice parsed to BIGINT —
+    # mirrors operators/dedup.py minhash_signatures' md5 family exactly
+    # (long buffers keep Spark on HashAggregate; fixed-width hex orders
+    # identically as text or number)
+    dig_cols = ",\n                 ".join(
+        f"md5(h || ':{g}') AS d{g}" for g in range((num_perm + 3) // 4)
+    )
     sig_cols = ",\n                   ".join(
-        f"min(substring(md5(h || ':{i // 4}'), {(i % 4) * 8 + 1}, 8)) AS h{i}"
+        f"min({hexval(f'd{i // 4}', (i % 4) * 8 + 1, 8)}) AS h{i}"
         for i in range(num_perm)
     )
     band_selects = "\n              UNION ALL ".join(
@@ -778,14 +809,21 @@ def _minhash_oracle_sql(
           FROM norm
         ),
         grams AS (SELECT doc_id, md5(substring(t, i, {shingle_n})) AS h FROM pos),
-        sigs AS (SELECT doc_id, {sig_cols} FROM grams GROUP BY doc_id),
+        digs AS (SELECT doc_id, {dig_cols} FROM grams),
+        sigs AS (SELECT doc_id, {sig_cols} FROM digs GROUP BY doc_id),
         banded AS ({band_selects}),
+        small AS (
+          SELECT b, bh FROM banded GROUP BY b, bh HAVING COUNT(*) <= {max_bucket}
+        ),
+        pruned AS (SELECT banded.* FROM banded JOIN small USING (b, bh)),
         cand AS (
           SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-          FROM banded l JOIN banded r
+          FROM pruned l JOIN pruned r
             ON l.b = r.b AND l.bh = r.bh AND l.doc_id < r.doc_id
         ),
-        gs AS (SELECT DISTINCT doc_id, h FROM grams),
+        gs AS (
+          SELECT DISTINCT doc_id, {hexval('h', 1, 15)} AS h FROM grams
+        ),
         sz AS (SELECT doc_id, COUNT(*) AS n FROM gs GROUP BY doc_id),
         cm AS (
           SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS c
@@ -799,6 +837,58 @@ def _minhash_oracle_sql(
         JOIN sz sa ON sa.doc_id = cand.id_a
         JOIN sz sb ON sb.doc_id = cand.id_b
         WHERE CAST(cm.c AS DOUBLE) / (sa.n + sb.n - cm.c) >= {threshold}
+    """
+
+
+def _simhash_oracle_sql(
+    shingle_n: int = 5, max_hamming: int = 3, max_bucket: int = 200
+) -> str:
+    """SimHash pipeline in ANSI SQL mirroring operators/dedup.py's md5
+    family: md5 char shingles, 60-bit prefix votes (per-nibble positional
+    sum replaces Spark's conv(hex,16,10) — identical value), sign-bit
+    signature assembly, 4×15-bit pigeonhole chunk buckets, bit_count(xor)
+    Hamming verify."""
+    # v = sum_j nibble_j * 16^(15-j): char 1 is the most significant nibble,
+    # exactly conv(substring(h,1,15), 16, 10)
+    nibble_sum = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {j}, 1)) - 1) * {16 ** (15 - j)}"
+        for j in range(1, 16)
+    )
+    votes = ",\n               ".join(
+        f"sum(CASE WHEN (v >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(60)
+    )
+    sig = " + ".join(f"CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(60))
+    return f"""
+        WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+        pos AS (
+          SELECT doc_id, t,
+                 unnest(generate_series(1, greatest(length(t) - {shingle_n - 1}, 1))) AS i
+          FROM norm
+        ),
+        grams AS (
+          SELECT DISTINCT doc_id, md5(substring(t, i, {shingle_n})) AS h FROM pos
+        ),
+        vals AS (SELECT doc_id, CAST({nibble_sum} AS BIGINT) AS v FROM grams),
+        votes AS (SELECT doc_id, {votes} FROM vals GROUP BY doc_id),
+        sigs AS (SELECT doc_id, CAST({sig} AS BIGINT) AS s FROM votes),
+        chunked AS (
+          SELECT doc_id, s, c, (s >> (c * 15)) & 32767 AS cv
+          FROM sigs, unnest([0, 1, 2, 3]) AS u(c)
+        ),
+        small AS (
+          SELECT c, cv FROM chunked GROUP BY c, cv HAVING COUNT(*) <= {max_bucket}
+        ),
+        pruned AS (SELECT chunked.* FROM chunked JOIN small USING (c, cv)),
+        cand AS (
+          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+                          l.s AS sa, r.s AS sb
+          FROM pruned l JOIN pruned r
+            ON l.c = r.c AND l.cv = r.cv AND l.doc_id < r.doc_id
+        )
+        SELECT id_a, id_b, bit_count(xor(sa, sb)) AS hamming
+        FROM cand
+        WHERE bit_count(xor(sa, sb)) <= {max_hamming}
     """
 
 
@@ -1088,7 +1178,8 @@ def oracle_sql() -> dict[str, str]:
             FROM common c JOIN sizes a ON a.doc_id = c.id_a
             WHERE c.shared >= a.n * 0.1
         """,
-        # ann_lsh_selfhit, minhash_near_dups_fast, simhash_near_dups,
+        "simhash_near_dups": _simhash_oracle_sql(),
+        # ann_lsh_selfhit, minhash_near_dups_fast, simhash_near_dups_fast,
         # embedding_near_dups: xxhash64-keyed LSH / signature / bit-count
         # ops — rows-only checks (pytest covers semantics)
     }

@@ -48,8 +48,13 @@ BENCH_QUERIES = [
     "lang_id",
     "token_counts",
     "ann_topk",
+    # near-dup pipelines twice each: the md5 hash family (oracle-replayable
+    # in DuckDB — what the correctness gate checks) and the xxhash64 fast
+    # family (the production path: JVM long hashes, no hex strings)
     "minhash_near_dups",
+    "minhash_near_dups_fast",
     "simhash_near_dups",
+    "simhash_near_dups_fast",
     "ngram_jaccard",
     "winnow_fingerprints",
 ]

@@ -174,12 +174,43 @@ def minhash_signatures(
     Explode shingles once, then ``num_perm`` min-aggregates in ONE groupBy —
     map-side partial aggregation keeps the shuffle tiny (num_perm values per
     doc regardless of document size). Occurrence rows suffice: min over a
-    multiset equals min over its set."""
+    multiset equals min over its set.
+
+    md5 family: the 16 shared digests are projected as real columns BEFORE
+    the aggregation (Spark does not eliminate common subexpressions across
+    aggregate functions — inlining md5 inside each ``min`` recomputes every
+    digest 4x), and each 8-hex-char slice is parsed to a LONG with ``conv``
+    before the min. The parse is not cosmetic: ``min(string)`` has an
+    immutable aggregation-buffer type, which disqualifies HashAggregateExec
+    and silently degrades the whole stage to SortAggregate — a full sort of
+    every gram row per side of the exchange (measured 51 s vs 6.5 s for the
+    identical plan with long buffers at sf0.1). Fixed-width lowercase hex
+    orders lexicographically exactly as its numeric value, so the minimum
+    is the same permutation either way, and DuckDB replays the parse as a
+    positional nibble sum."""
     ex = char_gram_rows(df, id_col, text_col, shingle_n, hash_family)
-    aggs = [
-        F.min(_perm_hash(F.col("_h"), i, hash_family)).alias(f"h{i}")
-        for i in range(num_perm)
-    ]
+    if hash_family == "md5":
+        n_dig = (num_perm + 3) // 4
+        ex = ex.select(
+            F.col(id_col),
+            *[
+                F.md5(F.concat(F.col("_h"), F.lit(f":{g}")).cast("binary")).alias(f"_d{g}")
+                for g in range(n_dig)
+            ],
+        )
+        aggs = [
+            F.min(
+                F.conv(
+                    F.substring(F.col(f"_d{i // 4}"), (i % 4) * 8 + 1, 8), 16, 10
+                ).cast("long")
+            ).alias(f"h{i}")
+            for i in range(num_perm)
+        ]
+    else:
+        aggs = [
+            F.min(_perm_hash(F.col("_h"), i, hash_family)).alias(f"h{i}")
+            for i in range(num_perm)
+        ]
     sigs = ex.groupBy(id_col).agg(*aggs)
     return sigs.select(
         id_col, F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("sig")
@@ -201,6 +232,7 @@ def minhash_near_dups(
     shingle_n: int = 5,
     jaccard_threshold: float = 0.8,
     hash_family: str = "xxhash64",
+    max_docs_per_bucket: int = 200,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
 
@@ -208,7 +240,18 @@ def minhash_near_dups(
     The signature and shingle-set frames are persisted: the band self-join
     and the verify join each read them twice, and without a cache Spark
     would recompute the shingling pass per branch.
-    """
+
+    ``max_docs_per_bucket`` is the stop-bucket cutoff (the LSH analog of
+    ngram_jaccard's posting-list cutoff): a band bucket holding more than
+    this many docs is skipped before the self-join. Low-entropy signatures
+    (very short docs sharing one popular shingle) otherwise produce
+    hash-degenerate buckets whose O(bucket²) candidate pairs almost all
+    fail verification — measured 250k candidates → 256 survivors on the
+    sf0.1 corpus (max bucket 308 docs), and at web scale one boilerplate
+    bucket of 10^6 docs would emit 10^12 doomed pairs. Genuinely-similar
+    pairs co-occur in small buckets of other bands, so recall loss is
+    confined to pathological cliques — the documented tradeoff every
+    production LSH dedup makes."""
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_n, hash_family).persist()
     band_arr = F.array(
@@ -223,11 +266,15 @@ def minhash_near_dups(
     )
     banded = sigs.select(
         F.col(id_col), F.posexplode(band_arr).alias("_band", "_bhash")
-    )
+    ).persist()
+    small = banded.groupBy("_band", "_bhash").agg(
+        F.count(F.lit(1)).alias("_bsz")
+    ).where(F.col("_bsz") <= max_docs_per_bucket).select("_band", "_bhash")
+    pruned = banded.join(small, ["_band", "_bhash"])
     cand = (
-        banded.alias("l")
+        pruned.alias("l")
         .join(
-            banded.alias("r"),
+            pruned.alias("r"),
             (F.col("l._band") == F.col("r._band"))
             & (F.col("l._bhash") == F.col("r._bhash"))
             & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
@@ -237,19 +284,45 @@ def minhash_near_dups(
         )
         .distinct()
     )
+    # shingle SETS with precomputed sizes: |union| = na + nb - |common|, so
+    # the verify needs only array_intersect (array_union over two ~300-element
+    # arrays per pair doubled the set work for a number already in hand).
+    # md5 family intersects 60-bit prefix LONGS, not 32-char strings — long
+    # arrays hash/compare several times faster, prefix collisions within a
+    # document's shingle set are ~n²/2^61, and the DuckDB oracle computes
+    # the identical prefixes (nibble sum), so parity holds by construction.
+    gram_rows = char_gram_rows(df, id_col, text_col, shingle_n, hash_family)
+    if hash_family == "md5":
+        gram_rows = gram_rows.select(
+            F.col(id_col),
+            F.conv(F.substring("_h", 1, 15), 16, 10).cast("long").alias("_h"),
+        )
     sh = (
-        char_gram_rows(df, id_col, text_col, shingle_n, hash_family)
-        .groupBy(id_col)
+        gram_rows.groupBy(id_col)
         .agg(F.collect_set("_h").alias("_shingles"))
+        .withColumn("_n", F.size("_shingles"))
         .persist()
     )
     verified = (
-        cand.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("_shingles", "_sa"), "id_a")
-        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("_shingles", "_sb"), "id_b")
+        cand.join(
+            sh.select(
+                F.col(id_col).alias("id_a"),
+                F.col("_shingles").alias("_sa"),
+                F.col("_n").alias("_na"),
+            ),
+            "id_a",
+        )
+        .join(
+            sh.select(
+                F.col(id_col).alias("id_b"),
+                F.col("_shingles").alias("_sb"),
+                F.col("_n").alias("_nb"),
+            ),
+            "id_b",
+        )
+        .withColumn("_common", F.size(F.array_intersect("_sa", "_sb")))
         .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("_sa", "_sb"))
-            / F.size(F.array_union("_sa", "_sb")),
+            "jaccard", F.col("_common") / (F.col("_na") + F.col("_nb") - F.col("_common"))
         )
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
@@ -307,29 +380,49 @@ def ngram_jaccard_pairs(
     return out
 
 
+def simhash_bits(hash_family: str) -> int:
+    """Signature width per family: 63 voting bits of xxhash64 (bit 63 is
+    left 0 to keep signatures positive), or 60 bits parsed from the first
+    15 hex chars of md5 — the widest slice that fits a positive BIGINT in
+    both Spark and DuckDB, making the md5 family oracle-replayable."""
+    return 60 if hash_family == "md5" else 63
+
+
 def simhash_signatures(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", shingle_n: int = 5
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 5,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
-    """64-bit SimHash per doc: distinct shingle hashes (set semantics), sum
-    ±1 per bit, one groupBy with 64 conditional sums (all JVM), reassemble
-    the sign bits."""
+    """SimHash per doc: distinct shingle hashes (set semantics), sum ±1 per
+    bit, one groupBy with one conditional sum per bit (all JVM), reassemble
+    the sign bits. The md5 family hashes grams to md5 and votes with the
+    60-bit prefix (``conv(hex, 16, 10)``), which DuckDB reproduces exactly
+    via a per-nibble positional sum."""
+    bits = simhash_bits(hash_family)
     ex = (
-        char_gram_rows(df, id_col, text_col, shingle_n)
+        char_gram_rows(df, id_col, text_col, shingle_n, hash_family)
         .select(id_col, "_h")
         .distinct()
     )
+    if hash_family == "md5":
+        ex = ex.select(
+            id_col,
+            F.conv(F.substring("_h", 1, 15), 16, 10).cast("long").alias("_h"),
+        )
     aggs = [
         F.sum(
             F.when(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"b{b}")
-        for b in range(64)
+        for b in range(bits)
     ]
     agg = ex.groupBy(id_col).agg(*aggs)
     sig = sum(
         (
             F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0)).cast("long")
             * F.lit(1 << b).cast("long")
-            for b in range(63)  # bit 63 stays 0: keep signatures positive
+            for b in range(bits)
         ),
         F.lit(0).cast("long"),
     )
@@ -341,18 +434,31 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    hash_family: str = "xxhash64",
+    max_docs_per_bucket: int = 200,
 ) -> DataFrame:
     """Candidate pairs with Hamming(simhash) <= max_hamming, bucketed by
-    16-bit chunks (pigeonhole: ≤3 differing bits over 4 chunks ⇒ at least
-    one chunk equal)."""
-    sigs = simhash_signatures(df, id_col, text_col).persist()
+    4 equal-width bit chunks (pigeonhole: ≤3 differing bits over 4 chunks
+    ⇒ at least one chunk equal). Chunk width follows the signature width:
+    16 bits for the 63/64-bit xxhash64 family, 15 for the 60-bit md5
+    (oracle) family. ``max_docs_per_bucket`` is the stop-bucket cutoff —
+    see minhash_near_dups; a popular 15/16-bit chunk value (boilerplate,
+    short docs) otherwise emits O(bucket²) candidates."""
+    width = simhash_bits(hash_family) + 1 if hash_family != "md5" else simhash_bits(hash_family)
+    cw = width // 4
+    mask = (1 << cw) - 1
+    sigs = simhash_signatures(df, id_col, text_col, hash_family=hash_family).persist()
     chunks = F.array(
         *[
-            F.shiftright(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF))
+            F.shiftright(F.col("simhash"), c * cw).bitwiseAND(F.lit(mask))
             for c in range(4)
         ]
     )
-    b = sigs.select(F.col(id_col), F.col("simhash"), F.posexplode(chunks).alias("_c", "_v"))
+    b = sigs.select(F.col(id_col), F.col("simhash"), F.posexplode(chunks).alias("_c", "_v")).persist()
+    small = b.groupBy("_c", "_v").agg(F.count(F.lit(1)).alias("_bsz")).where(
+        F.col("_bsz") <= max_docs_per_bucket
+    ).select("_c", "_v")
+    b = b.join(small, ["_c", "_v"])
     cand = (
         b.alias("l")
         .join(

@@ -77,6 +77,12 @@ def get_spark(
         # parquet files written by maintenance carry full column stats for
         # manifest min/max pruning (ref src/writer.rs:655-707)
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        # survive multi-minute host stalls (noisy-neighbor virtio freezes
+        # measured >130 s): in local mode the "executor" IS the driver, so
+        # a heartbeat expiry can only ever be a false positive that kills
+        # the job — make the timeouts generous
+        .config("spark.network.timeout", os.environ.get("KDI_NETWORK_TIMEOUT", "600s"))
+        .config("spark.executor.heartbeatInterval", "30s")
     )
     # shuffle/spill directory override — bench --scaling points this at
     # tmpfs to take the single shared virtio disk out of the measurement

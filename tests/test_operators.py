@@ -74,6 +74,31 @@ def test_simhash(spark, docs):
     assert (1, 2) in got
 
 
+def test_simhash_md5_family(spark, docs):
+    """The oracle-replayable md5 family: 60-bit signatures in [0, 2^60),
+    same exact-dup behavior, and Spark's conv(hex,16,10) prefix matches
+    Python's int(hex[:15], 16) (the identity the DuckDB oracle relies on)."""
+    sigs = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_signatures(docs, hash_family="md5").collect()
+    }
+    assert sigs[1] == sigs[2] != sigs[6]
+    assert all(0 <= s < (1 << 60) for s in sigs.values())
+    pairs = simhash_near_dups(docs, max_hamming=8, hash_family="md5")
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got
+
+    import hashlib
+
+    h = hashlib.md5(b"hello").hexdigest()
+    row = (
+        spark.range(1)
+        .selectExpr(f"cast(conv(substring('{h}', 1, 15), 16, 10) as long) v")
+        .first()
+    )
+    assert row["v"] == int(h[:15], 16)
+
+
 def test_text_analysis(spark, docs):
     out = docs.select(
         "doc_id",
