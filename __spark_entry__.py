@@ -670,6 +670,19 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_near_dups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs cosine top-20 — the brute-force baseline the LSH
+    near-dup variant is measured against; oracle-checked via DuckDB's
+    list_cosine_similarity over the identical pair set."""
+    from kafka_delta_ingest_spark.operators.similarity import (
+        embedding_near_dups_exact,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = embedding_near_dups_exact(emb, k=20)
+    return out.select("id_a", "id_b", F.round("cos", 5).alias("cos_r"))
+
+
 # ------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -725,6 +738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups_fast": q_simhash_near_dups_fast,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_near_dups": q_embedding_near_dups,
+        "embedding_near_dups_exact": q_embedding_near_dups_exact,
         "winnow_fingerprints": q_winnow_fingerprints,
     }
 
@@ -1179,6 +1193,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE c.shared >= a.n * 0.1
         """,
         "simhash_near_dups": _simhash_oracle_sql(),
+        "embedding_near_dups_exact": """
+            SELECT id_a, id_b, ROUND(cos, 5) AS cos_r FROM (
+              SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+                     list_cosine_similarity(CAST(l.embedding AS DOUBLE[]),
+                                            CAST(r.embedding AS DOUBLE[])) AS cos
+              FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id
+            ) ORDER BY cos DESC, id_a, id_b LIMIT 20
+        """,
         # ann_lsh_selfhit, minhash_near_dups_fast, simhash_near_dups_fast,
         # embedding_near_dups: xxhash64-keyed LSH / signature / bit-count
         # ops — rows-only checks (pytest covers semantics)

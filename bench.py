@@ -123,6 +123,7 @@ def run_maintenance(spark, root: str, mode: str | None = None) -> dict:
         "total_tokens": int(total_tokens),
         "files_before": n_files_before,
     }
+    cpu0 = _cpu_snapshot()
     t0 = time.time()
     if mode == "fused":
         om = optimize(
@@ -158,7 +159,35 @@ def run_maintenance(spark, root: str, mode: str | None = None) -> dict:
             "files_rewritten_per_sec": round(files_rewritten / wall, 2),
         }
     )
+    out.update(_cpu_delta(cpu0))
     return out
+
+
+def _cpu_snapshot():
+    """Aggregate jiffies from /proc/stat (user..steal), or None off-Linux."""
+    try:
+        with open("/proc/stat") as f:
+            return list(map(int, f.readline().split()[1:9]))
+    except OSError:
+        return None
+
+
+def _cpu_delta(before):
+    """Host-contention evidence for the timed section: this VM's hypervisor
+    is overcommitted (lifetime steal ≈ 40% of user time), which is what
+    collapses wide local[32] runs while local[8] stays stable — recording
+    steal%/iowait% per run makes every BENCH json self-documenting."""
+    after = _cpu_snapshot()
+    if before is None or after is None:
+        return {}
+    d = [y - x for x, y in zip(before, after)]
+    tot = sum(d) or 1
+    return {
+        "host_cpu_user_pct": round(100 * d[0] / tot, 1),
+        "host_cpu_idle_pct": round(100 * d[3] / tot, 1),
+        "host_cpu_iowait_pct": round(100 * d[4] / tot, 1),
+        "host_cpu_steal_pct": round(100 * d[7] / tot, 1),
+    }
 
 
 def run_queries(spark) -> dict:

@@ -25,7 +25,10 @@ def main():
     p.add_argument(
         "--op",
         required=True,
-        choices=["compact", "zorder", "hilbert", "manifest", "expire", "gc", "stats"],
+        choices=[
+            "compact", "zorder", "hilbert", "optimize", "manifest",
+            "expire", "gc", "stats",
+        ],
     )
     p.add_argument("--target-file-bytes", type=int, default=128 * 1024 * 1024)
     p.add_argument("--dims", default="source,n_tok,doc_id")
@@ -54,6 +57,15 @@ def main():
 
         out = cluster(
             spark, table, dims=args.dims.split(","), curve=args.op,
+            target_file_bytes=args.target_file_bytes, job_id=args.job_id,
+            verify=args.verify,
+        )
+    elif args.op == "optimize":
+        # fused compact+cluster: one read→shuffle→write pass, one commit
+        from kafka_delta_ingest_spark.maintenance.optimize import optimize
+
+        out = optimize(
+            spark, table, dims=args.dims.split(","), curve="zorder",
             target_file_bytes=args.target_file_bytes, job_id=args.job_id,
             verify=args.verify,
         )

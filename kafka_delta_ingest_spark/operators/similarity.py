@@ -177,3 +177,29 @@ def embedding_near_dups(
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+def embedding_near_dups_exact(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 20,
+) -> DataFrame:
+    """Exact top-k most-similar embedding pairs (id_a < id_b) by cosine.
+
+    The exactness baseline for ``embedding_near_dups``: brute-force
+    all-pairs, so O(n²) dot products — run it on samples or small corpora
+    to measure the LSH variant's recall; the LSH path is the scale path.
+    One side is broadcast, so the corpus partitioning never shuffles; ties
+    broken by (id_a, id_b) for a fully deterministic result."""
+    l = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    r = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    pairs = l.join(F.broadcast(r), F.col("id_a") < F.col("id_b"))
+    scored = pairs.select(
+        "id_a",
+        "id_b",
+        cosine_sim(
+            F.col("_va").cast("array<double>"), F.col("_vb").cast("array<double>")
+        ).alias("cos"),
+    )
+    return scored.orderBy(F.desc("cos"), "id_a", "id_b").limit(k)
