@@ -630,6 +630,23 @@ def q_minhash_near_dups_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_dups(d, "doc_id", "text", jaccard_threshold=0.5)
 
 
+def q_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash near-dup pairs resolved to connected-component GROUPS
+    (doc_id -> min-member group_id) via pointer-jumping label propagation —
+    the "keep one per group" dedup step. Oracle replays the pair pipeline
+    plus a recursive-CTE transitive closure."""
+    from kafka_delta_ingest_spark.operators.dedup import (
+        minhash_near_dups,
+        near_dup_groups,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dups(
+        d, "doc_id", "text", jaccard_threshold=0.5, hash_family="md5"
+    )
+    return near_dup_groups(pairs)
+
+
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs, md5 hash family: grams hash to md5 and vote
     with the 60-bit hex prefix, so DuckDB replays signature assembly,
@@ -734,6 +751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_selfhit": q_ann_lsh_selfhit,
         "minhash_near_dups": q_minhash_near_dups,
         "minhash_near_dups_fast": q_minhash_near_dups_fast,
+        "near_dup_groups": q_near_dup_groups,
         "simhash_near_dups": q_simhash_near_dups,
         "simhash_near_dups_fast": q_simhash_near_dups_fast,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1193,6 +1211,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE c.shared >= a.n * 0.1
         """,
         "simhash_near_dups": _simhash_oracle_sql(),
+        # connected components of the near-dup pair graph: recursive-CTE
+        # transitive closure (small graph — pairs only, never the corpus),
+        # labels = min reachable node, mirroring pointer-jumping's fixpoint
+        "near_dup_groups": f"""
+            WITH RECURSIVE pairs AS (
+              SELECT id_a, id_b FROM ({_minhash_oracle_sql()}) t
+            ),
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs
+            ),
+            reach(n, m) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT reach.n, e.b FROM reach JOIN edges e ON reach.m = e.a
+            )
+            SELECT n AS doc_id, LEAST(n, MIN(m)) AS group_id
+            FROM reach GROUP BY n
+        """,
         "embedding_near_dups_exact": """
             SELECT id_a, id_b, ROUND(cos, 5) AS cos_r FROM (
               SELECT l.vec_id AS id_a, r.vec_id AS id_b,

@@ -480,3 +480,79 @@ def simhash_near_dups(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def near_dup_groups(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve near-duplicate PAIRS into GROUPS: connected components of
+    the pair graph, labeled by the minimum member id — the step that turns
+    `minhash_near_dups`-style output into "keep one per group" dedup.
+
+    Plan: iterative min-label propagation with POINTER JUMPING. Each round
+    (a) takes the min label over direct neighbors (one join + one groupBy)
+    and (b) replaces every label by its label's label (self-join) — the
+    classic parallel connected-components shortcut that converges in
+    O(log n) rounds instead of O(graph diameter) (Shiloach-Vishkin style;
+    the same structure as large-star/small-star in the MapReduce CC
+    literature). Each round is two shuffles over the EDGE list only — the
+    corpus itself never enters the loop, so at web scale the loop runs on
+    the (much smaller) near-dup graph. Converged when no label changes
+    (one count() action per round, scalar).
+
+    Returns (doc_id, group_id); only documents that appear in at least one
+    pair are listed (singletons are trivially their own group)."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("dst"), F.col("label").alias("_dl")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("_dl").alias("_nl"))
+            .select(F.col("src").alias("node"), "_nl")
+        )
+        stepped = labels.join(nbr_min, "node", "left").select(
+            "node", F.least("label", F.coalesce("_nl", "label")).alias("label")
+        )
+        # pointer jumping: label <- label(label); every label value is a
+        # node id, so it resolves in the same frame
+        jumped = (
+            stepped.alias("a")
+            .join(
+                stepped.select(
+                    F.col("node").alias("label"), F.col("label").alias("_ll")
+                ).alias("b"),
+                "label",
+            )
+            .select("node", F.col("_ll").alias("label"))
+            .persist()
+        )
+        changed = (
+            jumped.join(labels.withColumnRenamed("label", "_old"), "node")
+            .where(F.col("label") != F.col("_old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = jumped
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("group_id"))

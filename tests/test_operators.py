@@ -211,3 +211,22 @@ def test_multimodal_plumbing(spark):
         assert feats2[r["media_id"]] == r["features"]
     with pytest.raises(NotImplementedError):
         real_decode(b"xx", "image")
+
+
+def test_near_dup_groups(spark):
+    from kafka_delta_ingest_spark.operators.dedup import near_dup_groups
+
+    # two components + a 6-node chain (exercises pointer jumping past
+    # direct neighbors) + an isolated pair
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23), (23, 24),
+         (24, 25), (40, 41)],
+        "id_a int, id_b int",
+    )
+    got = {r["doc_id"]: r["group_id"] for r in near_dup_groups(pairs).collect()}
+    assert got == {
+        1: 1, 2: 1, 3: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20, 23: 20, 24: 20, 25: 20,
+        40: 40, 41: 40,
+    }
