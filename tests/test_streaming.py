@@ -156,3 +156,62 @@ def test_ingest_metrics_stat_names(spark, tmp_path):
     assert by_name["messages.transform.completed"] == [("counter", 9)]
     assert by_name["messages.transform.failed"] == [("counter", 1)]
     assert by_name["messages.deserialization.completed"] == [("counter", 10)]
+
+
+def test_stateful_offset_dedupe_across_restarts(spark, tmp_path):
+    """applyInPandasWithState high-water dedupe: in-batch redeliveries are
+    dropped, and the state store restores the per-partition mark across a
+    full query restart (new query, same checkpoint) — the streaming form
+    of the reference's buffer dedupe (buffers.rs / lib.rs consume loop)."""
+    import json
+
+    from kafka_delta_ingest_spark.streaming.stateful import (
+        stateful_offset_dedupe,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    schema = "partition long, offset long, value string"
+
+    def write_file(name, rows):
+        with open(src / name, "w") as f:
+            for p, o in rows:
+                f.write(json.dumps({"partition": p, "offset": o, "value": f"m{p}-{o}"}) + "\n")
+
+    def run_once(qname):
+        # foreachBatch, not the memory sink: memory refuses checkpoint
+        # recovery, and recovery is exactly what this test exercises
+        stream = spark.readStream.schema(schema).json(str(src))
+        out = stateful_offset_dedupe(stream)
+        emitted = []
+
+        def capture(batch_df, batch_id):
+            emitted.extend(batch_df.collect())
+
+        q = (
+            out.writeStream.foreachBatch(capture)
+            .queryName(qname)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return {(r["partition"], r["offset"]): r["value"] for r in emitted}
+
+    # batch 1: p0 offsets 0-4 with (0,2) redelivered mid-batch, p1 offsets 0-2
+    write_file("b1.json", [(0, 0), (0, 1), (0, 2), (0, 3), (0, 2), (0, 4),
+                           (1, 0), (1, 1), (1, 2)])
+    got1 = run_once("dedupe_run1")
+    assert got1 == {
+        (0, 0): "m0-0", (0, 1): "m0-1", (0, 2): "m0-2", (0, 3): "m0-3",
+        (0, 4): "m0-4", (1, 0): "m1-0", (1, 1): "m1-1", (1, 2): "m1-2",
+    }
+
+    # restart: p0 redelivers 3-4 then continues 5-7; p1 continues with 3
+    write_file("b2.json", [(0, 3), (0, 4), (0, 5), (0, 6), (0, 7), (1, 3)])
+    got2 = run_once("dedupe_run2")
+    assert got2 == {
+        (0, 5): "m0-5", (0, 6): "m0-6", (0, 7): "m0-7", (1, 3): "m1-3",
+    }
