@@ -606,6 +606,20 @@ def q_ann_lsh_selfhit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.where(F.col("q_id") == F.col("vec_id")).select("q_id", "rank")
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-5: deterministic sampled centroids, 4-of-16 cell probe,
+    exact re-rank inside probed cells. The oracle replays assignment,
+    probing, and re-rank in SQL — full value parity, not rows-only."""
+    from kafka_delta_ingest_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = ivf_topk(queries, emb, k=5, n_centroids=16, n_probe=4)
+    return out.select("q_id", "vec_id", F.round("cos", 5).alias("cos_r"), "rank")
+
+
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs over documents, md5 hash family: every
     stage (shingle hash, 64 permutations, 16-band LSH, exact-Jaccard
@@ -749,6 +763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "ann_topk": q_ann_topk,
         "ann_lsh_selfhit": q_ann_lsh_selfhit,
+        "ivf_topk": q_ivf_topk,
         "minhash_near_dups": q_minhash_near_dups,
         "minhash_near_dups_fast": q_minhash_near_dups_fast,
         "near_dup_groups": q_near_dup_groups,
@@ -1164,6 +1179,46 @@ def oracle_sql() -> dict[str, str]:
                                 c.vec_id) AS rank
               FROM embeddings q CROSS JOIN embeddings c
               WHERE q.vec_id < 5
+            ) WHERE rank <= 5
+        """,
+        # full IVF replay: sampled centroids (smallest md5(id)), nearest-
+        # centroid assignment (sim DESC, cid tie-break), 4-cell probe,
+        # exact re-rank within probed cells
+        "ivf_topk": """
+            WITH cent AS (
+              SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+            ),
+            assign AS (
+              SELECT vec_id, embedding, cid AS cell FROM (
+                SELECT e.vec_id, e.embedding, c.cid,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                CAST(c.cvec AS DOUBLE[])) DESC,
+                         c.cid) AS rn
+                FROM embeddings e CROSS JOIN cent c
+              ) WHERE rn = 1
+            ),
+            probes AS (
+              SELECT q_id, q_vec, cid AS cell FROM (
+                SELECT q.vec_id AS q_id, q.embedding AS q_vec, c.cid,
+                       ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                CAST(c.cvec AS DOUBLE[])) DESC,
+                         c.cid) AS rn
+                FROM embeddings q CROSS JOIN cent c
+                WHERE q.vec_id < 5
+              ) WHERE rn <= 4
+            )
+            SELECT q_id, vec_id, ROUND(cos, 5) AS cos_r, rank FROM (
+              SELECT p.q_id, a.vec_id,
+                     list_cosine_similarity(CAST(p.q_vec AS DOUBLE[]),
+                                            CAST(a.embedding AS DOUBLE[])) AS cos,
+                     ROW_NUMBER() OVER (PARTITION BY p.q_id ORDER BY
+                       list_cosine_similarity(CAST(p.q_vec AS DOUBLE[]),
+                                              CAST(a.embedding AS DOUBLE[])) DESC,
+                       a.vec_id) AS rank
+              FROM probes p JOIN assign a ON p.cell = a.cell
             ) WHERE rank <= 5
         """,
         # Jaccard depends only on gram-set identity, so the SQL replays the

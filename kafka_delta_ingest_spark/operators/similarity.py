@@ -9,6 +9,13 @@
   seeded LCG, computed as SQL literals — no Python at run time); candidates
   only within matching buckets across ``n_tables`` hash tables, then exact
   re-rank. The scale path: shuffle is per-bucket, corpus scanned once.
+- ``ivf_topk``: inverted-file (IVF) ANN — the other classic scale path.
+  Centroids are a deterministic sample; every corpus vector is assigned to
+  its nearest centroid by a single JVM expression (no shuffle), queries
+  probe their ``n_probe`` nearest cells, and the exact re-rank runs only
+  inside probed cells. At warehouse scale the assignment column becomes a
+  partition key of a persisted index table, so a probe is partition
+  pruning — cells/``n_probe`` of the corpus is never read at all.
 """
 
 from __future__ import annotations
@@ -137,6 +144,106 @@ def ann_lsh(
     )
 
 
+def _sample_centroids(
+    corpus: DataFrame, n_centroids: int, c_id: str, c_vec: str
+) -> list[tuple[int, list[float]]]:
+    """Deterministic centroid sample: the ``n_centroids`` corpus vectors
+    with the smallest ``md5(id)`` — a seeded uniform draw that any engine
+    (and the DuckDB oracle) reproduces exactly. K-means would sharpen cell
+    balance but adds nothing to the plan shape; centroid *training* is a
+    driver-side concern in every IVF system (FAISS trains on a sample too).
+    The collect is n_centroids × dim floats — metadata-sized."""
+    rows = (
+        corpus.select(F.col(c_id), F.col(c_vec))
+        .orderBy(F.md5(F.col(c_id).cast("string")), F.col(c_id))
+        .limit(n_centroids)
+        .collect()
+    )
+    return [(r[0], [float(x) for x in r[1]]) for r in rows]
+
+
+def _cell_structs(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+    """Array of ``struct(sim, -cid)`` per centroid. ``array_max`` over it =
+    argmax by cosine with ties to the SMALLEST centroid id (max of -cid),
+    mirroring the oracle's ``ORDER BY sim DESC, cid``. Pure JVM expression:
+    assignment needs no join and no shuffle — O(K·d) fused multiply-adds
+    per row inside whole-stage codegen."""
+    v = vec.cast("array<double>")
+    return F.array(
+        *[
+            F.struct(
+                cosine_sim(v, F.array(*[F.lit(x) for x in cv])).alias("sim"),
+                F.lit(-cid).cast("long").alias("negc"),
+            )
+            for cid, cv in centroids
+        ]
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: exact cosine re-rank inside the ``n_probe``
+    cells nearest each query.
+
+    Plan: corpus→cell assignment is one codegen expression (no shuffle);
+    probes explode from an ``array_sort`` slice on the tiny query side;
+    the only join is a broadcast equi-join on ``_cell``. Each corpus row
+    has exactly ONE cell (unlike multi-table LSH), so (q_id, c_id)
+    candidate pairs are unique by construction — no dedup aggregate at
+    all. With ``n_probe == n_centroids`` this degrades gracefully to the
+    exact brute-force result (asserted in pytest).
+
+    At 100-TB scale the assignment column is written as a partition key
+    (``df.withColumn("_cell", ...).write.partitionBy("_cell")``) once, and
+    every probe after that is partition pruning — reading ``n_probe/K`` of
+    the corpus. This function expresses the same logical plan over an
+    unmaterialized index."""
+    cents = _sample_centroids(corpus, n_centroids, c_id, c_vec)
+
+    corpus_a = corpus.select(
+        F.col(c_id),
+        F.col(c_vec),
+        (-F.array_max(_cell_structs(F.col(c_vec), cents))["negc"]).alias("_cell"),
+    )
+    # top-n_probe cells per query: sort the K-struct array ascending
+    # (sim, -cid), reverse → sim DESC then cid ASC, slice, explode
+    probes = queries.select(
+        F.col(q_id),
+        F.col(q_vec),
+        F.explode(
+            F.slice(
+                F.reverse(F.array_sort(_cell_structs(F.col(q_vec), cents))),
+                1,
+                n_probe,
+            )
+        ).alias("_p"),
+    ).select(F.col(q_id), F.col(q_vec), (-F.col("_p.negc")).alias("_cell"))
+
+    cand = corpus_a.join(F.broadcast(probes), "_cell")
+    scored = cand.select(
+        F.col(q_id),
+        F.col(c_id),
+        cosine_sim(
+            F.col(q_vec).cast("array<double>"), F.col(c_vec).cast("array<double>")
+        ).alias("cos"),
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("cos"), F.col(c_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(q_id, c_id, "cos", "rank")
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     dim: int,
@@ -153,7 +260,11 @@ def embedding_near_dups(
     for t in range(n_tables):
         planes = _hyperplanes(dim, n_planes, seed=99 + 1000 * t)
         buckets.append(F.xxhash64(F.lit(t), lsh_bucket(F.col(vec_col), planes)))
-    b = df.select(F.col(id_col), F.col(vec_col), F.explode(F.array(*buckets)).alias("_bucket"))
+    # candidates carry ONLY ids: deduping (id_a, id_b) with the vectors
+    # attached would need first(array) aggregates, whose immutable buffers
+    # degrade the whole dedup to SortAggregate (and push the vectors
+    # through the exchange). Vectors re-attach via two hash joins after.
+    b = df.select(F.col(id_col), F.explode(F.array(*buckets)).alias("_bucket"))
     cand = (
         b.alias("l")
         .join(
@@ -164,13 +275,19 @@ def embedding_near_dups(
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
-            F.col(f"l.{vec_col}").alias("_va"),
-            F.col(f"r.{vec_col}").alias("_vb"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
     return (
-        cand.withColumn(
+        cand.join(
+            df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")),
+            "id_a",
+        )
+        .join(
+            df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")),
+            "id_b",
+        )
+        .withColumn(
             "cos",
             cosine_sim(F.col("_va").cast("array<double>"), F.col("_vb").cast("array<double>")),
         )

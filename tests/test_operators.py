@@ -184,6 +184,25 @@ def test_ann_bruteforce_and_lsh_recall(spark, vectors):
         assert q in ap.get(q, set())
 
 
+def test_ivf_topk(spark, vectors):
+    from kafka_delta_ingest_spark.operators.similarity import ivf_topk
+
+    queries = vectors.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    # full probe (n_probe == n_centroids) degrades to the exact result
+    exact = ann_bruteforce(queries, vectors, k=5)
+    full = ivf_topk(queries, vectors, k=5, n_centroids=8, n_probe=8)
+    ex = {(r["q_id"], r["rank"]): r["vec_id"] for r in exact.collect()}
+    fu = {(r["q_id"], r["rank"]): r["vec_id"] for r in full.collect()}
+    assert ex == fu
+    # partial probe: each query's own cell is its top-1 probe, so every
+    # query still retrieves itself at rank 1 (cos = 1)
+    part = ivf_topk(queries, vectors, k=5, n_centroids=8, n_probe=2)
+    selfhits = {r["q_id"] for r in part.collect() if r["q_id"] == r["vec_id"] and r["rank"] == 1}
+    assert selfhits == {0, 1, 2}
+
+
 def test_embedding_near_dups(spark, vectors):
     pairs = embedding_near_dups(vectors, dim=16, threshold=0.999)
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}

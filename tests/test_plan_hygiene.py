@@ -1,0 +1,56 @@
+"""Physical-plan lint for the document/embedding queries.
+
+Catalyst silently degrades plans in ways wall-clock tests at toy scale
+don't catch: min/max over STRING falls from HashAggregate to
+SortAggregate (immutable aggregation buffer — a full sort of every gram
+row; measured 51 s vs 6.5 s at sf0.1 before round 2 parsed hex slices to
+longs), and a join that loses its equi-condition becomes a cartesian
+product. This test asserts the executed-plan string of every
+documents/embeddings query stays free of those operators, so the
+degradation class can never ship silently again.
+
+Maintenance queries are excluded only because explaining them requires
+building a table first; their plans are audited in tools/explain_plans.py.
+"""
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# queries over raw parquet tables (no table build needed to plan them)
+PLANNED = [
+    "exact_dedup_docs",
+    "doc_fingerprints",
+    "lang_id",
+    "token_counts",
+    "quality_scores",
+    "minhash_near_dups",
+    "minhash_near_dups_fast",
+    "simhash_near_dups",
+    "simhash_near_dups_fast",
+    "ngram_jaccard",
+    "winnow_fingerprints",
+    "ann_topk",
+    "ivf_topk",
+    "embedding_near_dups",
+    "embedding_near_dups_exact",
+]
+
+# ann/exact pair scoring is an intentional broadcast nested-loop (queries
+# or one self-join side broadcast, corpus never shuffles); everything else
+# must keep equi-join conditions
+NESTED_LOOP_OK = {"ann_topk", "embedding_near_dups_exact", "ann_lsh_selfhit"}
+
+
+@pytest.mark.parametrize("name", PLANNED)
+def test_no_degraded_operators(spark, name):
+    df = entrymod.queries()[name](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortAggregate" not in plan, f"{name}: SortAggregate in plan"
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+    if name not in NESTED_LOOP_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: non-equi join fell back to nested loop"
+        )
