@@ -606,6 +606,23 @@ def q_ann_lsh_selfhit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.where(F.col("q_id") == F.col("vec_id")).select("q_id", "rank")
 
 
+def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters per doc (duplicate 2/3-gram
+    fractions, top-word share) — oracle replays explode + window-lead
+    n-grams + distinct counts in SQL."""
+    from kafka_delta_ingest_spark.operators.text import repetition_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    out = repetition_scores(d)
+    return out.select(
+        "doc_id",
+        "n_words",
+        F.round("dup_2gram_frac", 4).alias("dup2_r"),
+        F.round("dup_3gram_frac", 4).alias("dup3_r"),
+        F.round("top_word_frac", 4).alias("topw_r"),
+    )
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-5: deterministic sampled centroids, 4-of-16 cell probe,
     exact re-rank inside probed cells. The oracle replays assignment,
@@ -761,6 +778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
+        "repetition_scores": q_repetition_scores,
         "ann_topk": q_ann_topk,
         "ann_lsh_selfhit": q_ann_lsh_selfhit,
         "ivf_topk": q_ivf_topk,
@@ -1180,6 +1198,42 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings q CROSS JOIN embeddings c
               WHERE q.vec_id < 5
             ) WHERE rank <= 5
+        """,
+        # explode + window-lead n-grams + distinct counts, replayed 1:1
+        "repetition_scores": f"""
+            WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+            ws AS (SELECT doc_id, string_split(t, ' ') AS a FROM norm),
+            pos AS (
+              SELECT doc_id, a, unnest(generate_series(1, len(a))) AS i FROM ws
+            ),
+            w AS (SELECT doc_id, i, a[i] AS w FROM pos),
+            g AS (
+              SELECT doc_id, w,
+                     w || ' ' || lead(w, 1) OVER win AS g2,
+                     w || ' ' || lead(w, 1) OVER win || ' ' ||
+                       lead(w, 2) OVER win AS g3
+              FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+            ),
+            agg AS (
+              SELECT doc_id, COUNT(w) AS n_words,
+                     COUNT(g2) AS n_g2, COUNT(DISTINCT g2) AS u_g2,
+                     COUNT(g3) AS n_g3, COUNT(DISTINCT g3) AS u_g3
+              FROM g GROUP BY doc_id
+            ),
+            top AS (
+              SELECT doc_id, MAX(c) AS top_c, SUM(c) AS tot_c FROM (
+                SELECT doc_id, w, COUNT(*) AS c FROM g GROUP BY doc_id, w
+              ) GROUP BY doc_id
+            )
+            SELECT a.doc_id, a.n_words,
+                   ROUND(CASE WHEN n_g2 > 0
+                         THEN CAST(n_g2 - u_g2 AS DOUBLE) / n_g2
+                         ELSE 0.0 END, 4) AS dup2_r,
+                   ROUND(CASE WHEN n_g3 > 0
+                         THEN CAST(n_g3 - u_g3 AS DOUBLE) / n_g3
+                         ELSE 0.0 END, 4) AS dup3_r,
+                   ROUND(CAST(top_c AS DOUBLE) / tot_c, 4) AS topw_r
+            FROM agg a JOIN top t ON a.doc_id = t.doc_id
         """,
         # full IVF replay: sampled centroids (smallest md5(id)), nearest-
         # centroid assignment (sim DESC, cid tie-break), 4-cell probe,

@@ -47,7 +47,9 @@ BENCH_QUERIES = [
     "exact_dedup_docs",
     "lang_id",
     "token_counts",
+    "repetition_scores",
     "ann_topk",
+    "ivf_topk",
     # near-dup pipelines twice each: the md5 hash family (oracle-replayable
     # in DuckDB — what the correctness gate checks) and the xxhash64 fast
     # family (the production path: JVM long hashes, no hex strings)

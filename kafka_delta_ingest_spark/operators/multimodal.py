@@ -95,6 +95,91 @@ def extract_features(
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+
+def fake_resize(payload: bytes, w: int, h: int) -> bytes:
+    """Deterministic stand-in for an image resample: nearest-neighbor
+    re-index of the byte array to exactly w*h bytes. A real codec
+    (PIL ``Image.resize``) replaces this one function."""
+    if payload is None or len(payload) == 0:
+        return bytes(w * h)
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    idx = (np.arange(w * h) * len(arr) // (w * h)).clip(0, len(arr) - 1)
+    return arr[idx].tobytes()
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    resize: Callable[[bytes, int, int], bytes] = fake_resize,
+) -> DataFrame:
+    """Resize every image row to ``width``×``height``; non-image rows pass
+    through untouched. Same MEDIA_SCHEMA out as in, meta.width/height
+    updated — so resize composes with extract_features / table writes.
+    ``mapInPandas`` keeps payloads on executors; 1 row in → 1 row out, so
+    the operator preserves partitioning (no shuffle)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            is_img = out["kind"] == "image"
+            out.loc[is_img, "payload"] = out.loc[is_img, "payload"].map(
+                lambda p: None if p is None else resize(bytes(p), width, height)
+            )
+            out.loc[is_img, "meta"] = out.loc[is_img, "meta"].map(
+                lambda m: {**(m if isinstance(m, dict) else m.asDict()),
+                           "width": width, "height": height}
+            )
+            yield out
+
+    return df.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n: int = 10,
+    split: Callable[[bytes, int], list[bytes]] | None = None,
+) -> DataFrame:
+    """Sample every ``every_n``-th frame of each video row: one output row
+    per kept frame (1→N batch expansion through ``mapInPandas``). The
+    default ``split`` slices the payload into ``meta.n_frames`` equal
+    chunks — a real demuxer (PyAV) replaces it; the Spark-side shape
+    (schema, expansion, executor-local payloads) is what's under test."""
+
+    def default_split(payload: bytes, n_frames: int) -> list[bytes]:
+        if payload is None or n_frames in (None, 0):
+            return []
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        return [c.tobytes() for c in np.array_split(arr, n_frames)]
+
+    split = split or default_split
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, payloads = [], [], []
+            vids = pdf[pdf["kind"] == "video"]
+            for mid, p, m in zip(vids["media_id"], vids["payload"], vids["meta"]):
+                meta = m if isinstance(m, dict) else (m.asDict() if m is not None else {})
+                frames = split(None if p is None else bytes(p), meta.get("n_frames"))
+                for i in range(0, len(frames), every_n):
+                    ids.append(mid)
+                    idxs.append(i)
+                    payloads.append(frames[i])
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "payload": payloads}
+            )
+
+    return df.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def synthetic_media_df(spark, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic fake media rows (payload = seeded bytes)."""
     rows = []

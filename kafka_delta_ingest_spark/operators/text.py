@@ -4,7 +4,7 @@ also expressible in ANSI SQL so the DuckDB oracle can replay it."""
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -107,6 +107,68 @@ def normalize_text(text: Column | str) -> Column:
     whitespace, trim."""
     c = F.col(text) if isinstance(text, str) else text
     return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def repetition_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style within-document repetition signals, per doc:
+
+    - ``dup_2gram_frac`` / ``dup_3gram_frac``: fraction of word n-grams
+      that are repeats of an earlier identical n-gram in the same doc
+      ((total − distinct) / total) — the Rae et al. 2021 (Gopher) ngram
+      repetition filter family;
+    - ``top_word_frac``: share of the most frequent word — the "single
+      token dominates" degenerate-doc signal.
+
+    Plan: explode-first (never build n-grams inside HOF lambdas over an
+    unmaterialized split — Catalyst re-evaluates the outer expression per
+    element), n-grams via window ``lead`` over (doc, pos), then hash
+    aggregations. Word rows shuffle by doc exactly once for the window;
+    every aggregate has a primitive buffer, so the whole thing stays in
+    HashAggregate/codegen at any corpus size."""
+    w = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(normalize_text(text_col), " ")).alias("pos", "w"),
+    )
+    win = Window.partitionBy(id_col).orderBy("pos")
+    g = w.select(
+        F.col(id_col),
+        F.col("w"),
+        F.concat("w", F.lit(" "), F.lead("w", 1).over(win)).alias("g2"),
+        F.concat(
+            "w", F.lit(" "), F.lead("w", 1).over(win),
+            F.lit(" "), F.lead("w", 2).over(win),
+        ).alias("g3"),
+    )
+    # F.count(col) skips the NULL tail grams; count_distinct likewise
+    agg = g.groupBy(id_col).agg(
+        F.count("w").alias("n_words"),
+        F.count("g2").alias("n_g2"),
+        F.count_distinct("g2").alias("u_g2"),
+        F.count("g3").alias("n_g3"),
+        F.count_distinct("g3").alias("u_g3"),
+    )
+    top = (
+        g.groupBy(id_col, "w")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("tot_c"))
+    )
+
+    def frac(n: Column, u: Column) -> Column:
+        return F.when(n > 0, (n - u).cast("double") / n).otherwise(F.lit(0.0))
+
+    return (
+        agg.join(top, id_col)
+        .select(
+            F.col(id_col),
+            F.col("n_words"),
+            frac(F.col("n_g2"), F.col("u_g2")).alias("dup_2gram_frac"),
+            frac(F.col("n_g3"), F.col("u_g3")).alias("dup_3gram_frac"),
+            (F.col("top_c").cast("double") / F.col("tot_c")).alias("top_word_frac"),
+        )
+    )
 
 
 def doc_fingerprint(text: Column | str) -> Column:

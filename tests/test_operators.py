@@ -232,6 +232,63 @@ def test_multimodal_plumbing(spark):
         real_decode(b"xx", "image")
 
 
+def test_repetition_scores(spark):
+    from kafka_delta_ingest_spark.operators.text import repetition_scores
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x y z"), (3, "q q q q")],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_scores(df).collect()}
+    # doc 1: 2-grams (a a, a a, a b) -> 1 dup of 3; 3-grams all distinct
+    assert got[1]["n_words"] == 4
+    assert abs(got[1]["dup_2gram_frac"] - 1 / 3) < 1e-9
+    assert got[1]["dup_3gram_frac"] == 0.0
+    assert abs(got[1]["top_word_frac"] - 0.75) < 1e-9
+    # doc 2: no repetition at all
+    assert got[2]["dup_2gram_frac"] == 0.0
+    assert abs(got[2]["top_word_frac"] - 1 / 3) < 1e-9
+    # doc 3: fully degenerate -> 2-grams (q q)x3 dup 2/3, 3-grams dup 1/2
+    assert abs(got[3]["dup_2gram_frac"] - 2 / 3) < 1e-9
+    assert abs(got[3]["dup_3gram_frac"] - 0.5) < 1e-9
+    assert got[3]["top_word_frac"] == 1.0
+
+
+def test_multimodal_resize_and_frame_sample(spark):
+    from kafka_delta_ingest_spark.operators.multimodal import (
+        resize_images,
+        sample_frames,
+        synthetic_media_df,
+    )
+
+    media = synthetic_media_df(spark, n=30)  # kinds cycle image/audio/video
+    resized = resize_images(media.repartition(4), width=8, height=8)
+    rows = resized.collect()
+    assert len(rows) == 30  # 1-in-1-out, non-images pass through
+    for r in rows:
+        if r["kind"] == "image":
+            assert len(r["payload"]) == 64
+            assert (r["meta"]["width"], r["meta"]["height"]) == (8, 8)
+        else:
+            assert r["meta"] == media.where(
+                F.col("media_id") == r["media_id"]
+            ).first()["meta"]
+    # frame sampling: videos have n_frames=30, every 10th kept -> 3 rows each
+    frames = sample_frames(media.repartition(3), every_n=10)
+    frows = frames.collect()
+    vids = {r["media_id"] for r in media.where(F.col("kind") == "video").collect()}
+    assert {r["media_id"] for r in frows} == vids
+    assert len(frows) == 3 * len(vids)
+    assert {r["frame_idx"] for r in frows} == {0, 10, 20}
+    # deterministic across partitionings
+    f1 = {(r["media_id"], r["frame_idx"]): bytes(r["payload"]) for r in frows}
+    f2 = {
+        (r["media_id"], r["frame_idx"]): bytes(r["payload"])
+        for r in sample_frames(media.repartition(1), every_n=10).collect()
+    }
+    assert f1 == f2
+
+
 def test_near_dup_groups(spark):
     from kafka_delta_ingest_spark.operators.dedup import near_dup_groups
 

@@ -26,6 +26,7 @@ PLANNED = [
     "lang_id",
     "token_counts",
     "quality_scores",
+    "repetition_scores",
     "minhash_near_dups",
     "minhash_near_dups_fast",
     "simhash_near_dups",
