@@ -606,6 +606,25 @@ def q_ann_lsh_selfhit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.where(F.col("q_id") == F.col("vec_id")).select("q_id", "rank")
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified hash sample of documents (md5 family:
+    oracle replays membership exactly) — keep-all src0, half src1,
+    5% src2, 25% elsewhere, keyed by doc_id with salt 'r2'."""
+    from kafka_delta_ingest_spark.operators.sampling import stratified_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    out = stratified_sample(
+        d,
+        strata_col="source",
+        rates={"src0": 1.0, "src1": 0.5, "src2": 0.05},
+        default_rate=0.25,
+        key_cols=["doc_id"],
+        salt="r2",
+        family="md5",
+    )
+    return out.select("doc_id", "source")
+
+
 def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filters per doc (duplicate 2/3-gram
     fractions, top-word share) — oracle replays explode + window-lead
@@ -734,17 +753,16 @@ def q_embedding_near_dups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: bin-packing compaction + Z-order clustering of the tokens
-    table with scan-integrity verification, at sf0.001."""
-    from kafka_delta_ingest_spark.maintenance.compact import compact
-    from kafka_delta_ingest_spark.maintenance.zorder import cluster
+    """Flagship: fused OPTIMIZE (bin-packing compaction + Z-order
+    clustering in ONE read→shuffle→write pass) of the tokens table with
+    scan-integrity verification, at sf0.001."""
+    from kafka_delta_ingest_spark.maintenance.optimize import optimize
 
     sf_dir = "/root/testdata/sf0.001"
     t = _build_tokens_table(spark, sf_dir, _tmp_root("entry"))
-    compact(spark, t, target_file_bytes=8 * 1024 * 1024, job_id="entry-compact",
-            verify=True)
-    cluster(spark, t, dims=["source", "n_tok", "doc_id"], curve="zorder",
-            target_file_bytes=4 * 1024 * 1024, verify=True)
+    optimize(spark, t, dims=["source", "n_tok", "doc_id"], curve="zorder",
+             target_file_bytes=8 * 1024 * 1024, job_id="entry-optimize",
+             verify=True)
     return _scan_summary(t.snapshot().scan(spark))
 
 
@@ -779,6 +797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
         "repetition_scores": q_repetition_scores,
+        "stratified_sample": q_stratified_sample,
         "ann_topk": q_ann_topk,
         "ann_lsh_selfhit": q_ann_lsh_selfhit,
         "ivf_topk": q_ivf_topk,
@@ -1198,6 +1217,26 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings q CROSS JOIN embeddings c
               WHERE q.vec_id < 5
             ) WHERE rank <= 5
+        """,
+        # membership = nibble-parse(md5 first 8 hex)/2^32 < per-stratum rate
+        "stratified_sample": f"""
+            WITH h AS (
+              SELECT doc_id, source,
+                     md5('r2|' || CAST(doc_id AS VARCHAR)) AS hx
+              FROM documents
+            ),
+            f AS (
+              SELECT doc_id, source,
+                     CAST({" + ".join(
+                         f"(strpos('0123456789abcdef', substr(hx, {1 + j}, 1)) - 1)"
+                         f" * {16 ** (7 - j)}"
+                         for j in range(8)
+                     )} AS DOUBLE) / 4294967296.0 AS frac
+              FROM h
+            )
+            SELECT doc_id, source FROM f
+            WHERE frac < CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                         WHEN 'src2' THEN 0.05 ELSE 0.25 END
         """,
         # explode + window-lead n-grams + distinct counts, replayed 1:1
         "repetition_scores": f"""

@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "lang_id",
     "token_counts",
     "repetition_scores",
+    "stratified_sample",
     "ann_topk",
     "ivf_topk",
     # near-dup pipelines twice each: the md5 hash family (oracle-replayable

@@ -1,0 +1,75 @@
+"""Deterministic hash-based sampling for reproducible training-data splits.
+
+Random sampling (``df.sample``) is seed- and partitioning-dependent: the
+same row can land in different samples across runs, cluster sizes, or
+retries. Web-scale pipelines sample by KEY HASH instead — membership is a
+pure function of the row key, so samples are reproducible, resumable, and
+joinable across runs/tables (e.g. a doc sampled into eval stays in eval
+forever).
+
+Two hash families, same shape as the near-dup operators:
+- ``xxhash64`` (production): one JVM long hash, uniform in [0, 1).
+- ``md5`` (oracle): fraction from the first 8 hex chars — DuckDB replays
+  it exactly (positional nibble sum), so the correctness gate covers the
+  full pipeline.
+
+Filters are pure row-local expressions: no shuffle, no state, parquet
+predicate pushdown unaffected (the filter composes with pushed scans).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TWO_32 = float(1 << 32)
+
+
+def hash_fraction(
+    key_cols: list[Column | str], salt: str = "", family: str = "xxhash64"
+) -> Column:
+    """Uniform [0, 1) as a pure function of (salt, key columns).
+
+    Different salts give independent samples from the same keys — the
+    standard way to carve train/eval/test splits that never overlap."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in key_cols]
+    if family == "xxhash64":
+        # pmod maps the signed 64-bit hash into [0, 2^32)
+        return F.pmod(F.xxhash64(F.lit(salt), *cols), F.lit(1 << 32)).cast(
+            "double"
+        ) / F.lit(TWO_32)
+    if family == "md5":
+        h = F.md5(F.concat_ws("|", F.lit(salt), *cols).cast("binary"))
+        return F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / F.lit(TWO_32)
+    raise ValueError(f"unknown hash family: {family}")
+
+
+def hash_sample(
+    df: DataFrame,
+    rate: float,
+    key_cols: list[str],
+    salt: str = "",
+    family: str = "xxhash64",
+) -> DataFrame:
+    """Keep rows whose key-hash fraction < ``rate``."""
+    return df.where(hash_fraction(key_cols, salt=salt, family=family) < F.lit(rate))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float,
+    key_cols: list[str],
+    salt: str = "",
+    family: str = "xxhash64",
+) -> DataFrame:
+    """Per-stratum rates (e.g. downsample web crawl, keep all books).
+
+    The rate lookup is a literal CASE chain — no join, no broadcast; with
+    thousands of strata use a broadcast-joined rate table instead, the
+    membership predicate is identical."""
+    rate = F.lit(default_rate)
+    for k, v in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == k, F.lit(v)).otherwise(rate)
+    return df.where(hash_fraction(key_cols, salt=salt, family=family) < rate)

@@ -26,6 +26,43 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+# --- SQL-text builders for constant-vector math -------------------------
+#
+# Building K×d-literal expressions through the Column API costs a py4j
+# round-trip per F.lit and several per HOF lambda — measured ~13 s of
+# driver time to CONSTRUCT the 16-centroid IVF query (execution: 1.7 s).
+# Emitting the same expressions as SQL text parsed JVM-side by ONE
+# F.expr call removes that entirely. Python ``repr`` of a double is its
+# shortest exact round-trip form, so parsed literals are bit-identical,
+# and SQL zip_with/aggregate parse to the very same Catalyst nodes the
+# Column API builds — results are unchanged bit-for-bit.
+
+def _arr_sql(xs: list[float]) -> str:
+    return "array(" + ",".join(repr(float(x)) + "D" for x in xs) + ")"
+
+
+def _cast_vec_sql(col_name: str) -> str:
+    return f"CAST(`{col_name}` AS ARRAY<DOUBLE>)"
+
+
+def _dot_sql(vec_sql: str, arr_sql: str) -> str:
+    return (
+        f"aggregate(zip_with({vec_sql}, {arr_sql}, (x, y) -> x * y), "
+        f"0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def _norm_sql(vec_sql: str) -> str:
+    return f"sqrt(aggregate({vec_sql}, 0.0D, (acc, v) -> acc + v * v))"
+
+
+def _cos_const_sql(col_name: str, xs: list[float]) -> str:
+    """cosine_sim(CAST(col AS ARRAY<DOUBLE>), <literal vector>) as text —
+    the exact shape of the Column version below."""
+    v, a = _cast_vec_sql(col_name), _arr_sql(xs)
+    return f"({_dot_sql(v, a)} / ({_norm_sql(v)} * {_norm_sql(a)}))"
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -88,19 +125,15 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return out
 
 
-def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-of-dot-product bit per plane, packed into one long."""
-    bits = [
-        F.when(
-            dot(vec.cast("array<double>"), F.array(*[F.lit(x) for x in p])) >= 0,
-            F.lit(1).cast("long"),
-        )
-        .otherwise(F.lit(0))
-        .cast("long")
-        * F.lit(1 << i).cast("long")
+def lsh_bucket(vec_name: str, planes: list[list[float]]) -> Column:
+    """Sign-of-dot-product bit per plane, packed into one long. The whole
+    bucket is ONE F.expr (see SQL-text builders above)."""
+    v = _cast_vec_sql(vec_name)
+    bits = " + ".join(
+        f"(CASE WHEN {_dot_sql(v, _arr_sql(p))} >= 0 THEN {1 << i}L ELSE 0L END)"
         for i, p in enumerate(planes)
-    ]
-    return sum(bits[1:], bits[0])
+    )
+    return F.expr(f"({bits})")
 
 
 def ann_lsh(
@@ -120,8 +153,8 @@ def ann_lsh(
     c_buckets, q_buckets = [], []
     for t in range(n_tables):
         planes = _hyperplanes(dim, n_planes, seed=42 + 1000 * t)
-        c_buckets.append(F.xxhash64(F.lit(t), lsh_bucket(F.col(c_vec), planes)))
-        q_buckets.append(F.xxhash64(F.lit(t), lsh_bucket(F.col(q_vec), planes)))
+        c_buckets.append(F.xxhash64(F.lit(t), lsh_bucket(c_vec, planes)))
+        q_buckets.append(F.xxhash64(F.lit(t), lsh_bucket(q_vec, planes)))
     corpus_b = corpus.select(
         F.col(c_id), F.col(c_vec), F.explode(F.array(*c_buckets)).alias("_bucket")
     )
@@ -162,22 +195,20 @@ def _sample_centroids(
     return [(r[0], [float(x) for x in r[1]]) for r in rows]
 
 
-def _cell_structs(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+def _cell_structs(
+    vec_name: str, centroids: list[tuple[int, list[float]]]
+) -> Column:
     """Array of ``struct(sim, -cid)`` per centroid. ``array_max`` over it =
     argmax by cosine with ties to the SMALLEST centroid id (max of -cid),
     mirroring the oracle's ``ORDER BY sim DESC, cid``. Pure JVM expression:
-    assignment needs no join and no shuffle — O(K·d) fused multiply-adds
-    per row inside whole-stage codegen."""
-    v = vec.cast("array<double>")
-    return F.array(
-        *[
-            F.struct(
-                cosine_sim(v, F.array(*[F.lit(x) for x in cv])).alias("sim"),
-                F.lit(-cid).cast("long").alias("negc"),
-            )
-            for cid, cv in centroids
-        ]
+    assignment needs no join and no shuffle — O(K·d) multiply-adds per
+    row. Built as ONE F.expr (see SQL-text builders above)."""
+    structs = ",".join(
+        f"named_struct('sim', {_cos_const_sql(vec_name, cv)}, "
+        f"'negc', {-int(cid)}L)"
+        for cid, cv in centroids
     )
+    return F.expr(f"array({structs})")
 
 
 def ivf_topk(
@@ -212,7 +243,7 @@ def ivf_topk(
     corpus_a = corpus.select(
         F.col(c_id),
         F.col(c_vec),
-        (-F.array_max(_cell_structs(F.col(c_vec), cents))["negc"]).alias("_cell"),
+        (-F.array_max(_cell_structs(c_vec, cents))["negc"]).alias("_cell"),
     )
     # top-n_probe cells per query: sort the K-struct array ascending
     # (sim, -cid), reverse → sim DESC then cid ASC, slice, explode
@@ -221,7 +252,7 @@ def ivf_topk(
         F.col(q_vec),
         F.explode(
             F.slice(
-                F.reverse(F.array_sort(_cell_structs(F.col(q_vec), cents))),
+                F.reverse(F.array_sort(_cell_structs(q_vec, cents))),
                 1,
                 n_probe,
             )
@@ -259,7 +290,7 @@ def embedding_near_dups(
     buckets = []
     for t in range(n_tables):
         planes = _hyperplanes(dim, n_planes, seed=99 + 1000 * t)
-        buckets.append(F.xxhash64(F.lit(t), lsh_bucket(F.col(vec_col), planes)))
+        buckets.append(F.xxhash64(F.lit(t), lsh_bucket(vec_col, planes)))
     # candidates carry ONLY ids: deduping (id_a, id_b) with the vectors
     # attached would need first(array) aggregates, whose immutable buffers
     # degrade the whole dedup to SortAggregate (and push the vectors

@@ -232,6 +232,50 @@ def test_multimodal_plumbing(spark):
         real_decode(b"xx", "image")
 
 
+def test_hash_sampling(spark):
+    from kafka_delta_ingest_spark.operators.sampling import (
+        hash_sample,
+        stratified_sample,
+    )
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 4).cast("string")).alias("source"),
+    )
+    for family in ("xxhash64", "md5"):
+        half = hash_sample(df, 0.5, ["doc_id"], salt="s1", family=family)
+        n = half.count()
+        assert 850 < n < 1150  # binomial(2000, .5), generous bounds
+        # deterministic: membership survives repartitioning
+        ids = {r["doc_id"] for r in half.collect()}
+        ids2 = {
+            r["doc_id"]
+            for r in hash_sample(
+                df.repartition(13), 0.5, ["doc_id"], salt="s1", family=family
+            ).collect()
+        }
+        assert ids == ids2
+        # nested: rate 0.2 sample is a subset of rate 0.5 (same salt)
+        small = {
+            r["doc_id"]
+            for r in hash_sample(df, 0.2, ["doc_id"], salt="s1", family=family).collect()
+        }
+        assert small < ids
+        # independent salts give a different (overlapping-but-not-equal) draw
+        other = {
+            r["doc_id"]
+            for r in hash_sample(df, 0.5, ["doc_id"], salt="s2", family=family).collect()
+        }
+        assert other != ids
+    strat = stratified_sample(
+        df, "source", {"src0": 1.0, "src1": 0.0}, 0.5, ["doc_id"], salt="s1"
+    )
+    by_src = {r["source"]: r["c"] for r in strat.groupBy("source").agg(F.count("*").alias("c")).collect()}
+    assert by_src["src0"] == 500
+    assert "src1" not in by_src
+    assert 180 < by_src["src2"] < 320
+
+
 def test_repetition_scores(spark):
     from kafka_delta_ingest_spark.operators.text import repetition_scores
 

@@ -27,6 +27,7 @@ PLANNED = [
     "token_counts",
     "quality_scores",
     "repetition_scores",
+    "stratified_sample",
     "minhash_near_dups",
     "minhash_near_dups_fast",
     "simhash_near_dups",
