@@ -275,6 +275,113 @@ def ivf_topk(
     )
 
 
+def ivf_write_index(
+    df: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Materialize the IVF index: one pass assigning every vector to its
+    nearest centroid, written as parquet PARTITIONED BY the cell id, with
+    the centroids saved next to it. This is the 100-TB shape: the index
+    build is a single embarrassingly-parallel scan+write, and every
+    subsequent probe is partition PRUNING — Spark never opens the other
+    ``(K - n_probe)/K`` of the files (asserted on the plan in pytest)."""
+    import json
+    import os
+
+    cents = _sample_centroids(df, n_centroids, c_id, c_vec)
+    (
+        df.select(
+            F.col(c_id),
+            F.col(c_vec),
+            (-F.array_max(_cell_structs(c_vec, cents))["negc"]).alias("_cell"),
+        )
+        .write.partitionBy("_cell")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    with open(os.path.join(path, "_ivf_centroids.json"), "w") as f:
+        json.dump([[cid, cv] for cid, cv in cents], f)
+    return cents
+
+
+def _probe_cells(q: list[float], cents: list[tuple[int, list[float]]], n_probe: int) -> list[int]:
+    """Driver-side probe-cell selection for a collected query vector.
+    Sequential Python float ops are IEEE double in the same order as the
+    JVM aggregate fold, so this ranks cells identically to _cell_structs."""
+    import math
+
+    sims = []
+    for cid, cv in cents:
+        d = 0.0
+        for x, y in zip(q, cv):
+            d += x * y
+        nq = 0.0
+        for x in q:
+            nq += x * x
+        nc = 0.0
+        for y in cv:
+            nc += y * y
+        sims.append((d / (math.sqrt(nq) * math.sqrt(nc)), -cid))
+    sims.sort(reverse=True)
+    return [-negc for _, negc in sims[:n_probe]]
+
+
+def ivf_search_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """Serve top-k from a materialized IVF index with partition pruning.
+
+    The query set collects to the driver (ANN serving: queries are
+    request-sized, never corpus-sized); their probe cells become a
+    LITERAL ``_cell IN (...)`` predicate, which parquet partition
+    discovery prunes BEFORE any file is opened. The exact re-rank then
+    runs only over the probed partitions."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_ivf_centroids.json")) as f:
+        cents = [(int(cid), [float(x) for x in cv]) for cid, cv in json.load(f)]
+    qrows = queries.select(q_id, q_vec).collect()
+    pairs = []  # (query id, probed cell)
+    all_cells = set()
+    for r in qrows:
+        cells = _probe_cells([float(x) for x in r[1]], cents, n_probe)
+        all_cells.update(cells)
+        pairs.extend((r[0], c) for c in cells)
+    probe_df = F.broadcast(
+        spark.createDataFrame(pairs, f"{q_id} long, _cell long").join(
+            F.broadcast(queries), q_id
+        )
+    )
+    idx = spark.read.parquet(path).where(
+        F.col("_cell").isin([int(c) for c in sorted(all_cells)])
+    )
+    scored = idx.join(probe_df, "_cell").select(
+        F.col(q_id),
+        F.col(c_id),
+        cosine_sim(
+            F.col(q_vec).cast("array<double>"), F.col(c_vec).cast("array<double>")
+        ).alias("cos"),
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("cos"), F.col(c_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(q_id, c_id, "cos", "rank")
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     dim: int,

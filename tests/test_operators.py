@@ -203,6 +203,32 @@ def test_ivf_topk(spark, vectors):
     assert selfhits == {0, 1, 2}
 
 
+def test_ivf_index_roundtrip(spark, vectors, tmp_path):
+    from kafka_delta_ingest_spark.operators.similarity import (
+        ivf_search_index,
+        ivf_topk,
+        ivf_write_index,
+    )
+
+    path = str(tmp_path / "ivfidx")
+    ivf_write_index(vectors, path, n_centroids=8)
+    queries = vectors.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    got = ivf_search_index(spark, path, queries, k=5, n_probe=2)
+    # driver-side probe-cell math must rank cells identically to the JVM
+    # expression: the served result equals the unmaterialized-plan result
+    want = ivf_topk(queries, vectors, k=5, n_centroids=8, n_probe=2)
+    as_set = lambda df: {
+        (r["q_id"], r["vec_id"], round(r["cos"], 9), r["rank"]) for r in df.collect()
+    }
+    assert as_set(got) == as_set(want)
+    # the probe is partition PRUNING on the index scan, not a post-filter
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf_lines and any("_cell" in l for l in pf_lines), plan
+
+
 def test_embedding_near_dups(spark, vectors):
     pairs = embedding_near_dups(vectors, dim=16, threshold=0.999)
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
