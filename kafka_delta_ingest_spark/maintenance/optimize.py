@@ -39,7 +39,7 @@ def optimize(
     small_file_threshold: float = 0.75,
     job_id: str | None = None,
     verify: bool = False,
-    key_impl: str = "arrow",
+    key_impl: str = "auto",
 ) -> dict:
     """Compact + cluster the whole table in a single rewrite pass.
 

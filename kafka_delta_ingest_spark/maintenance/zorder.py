@@ -209,9 +209,18 @@ def cluster_keyed_df(
     dims: list[str],
     curve: str,
     stats_ranges: dict[str, tuple] | None = None,
-    key_impl: str = "arrow",  # arrow (pandas UDF) | sql (pure Catalyst, zorder only)
+    key_impl: str = "auto",  # auto | arrow (pandas UDF) | sql (pure Catalyst)
 ) -> DataFrame:
-    """Attach the clustering key column ``_ckey`` to a DataFrame."""
+    """Attach the clustering key column ``_ckey`` to a DataFrame.
+
+    ``auto`` picks the pure-Catalyst morton expression whenever it can
+    (zorder, ≤3 dims) and the Arrow UDF otherwise (hilbert's iterative
+    bit transform is not SQL-expressible). The SQL path is not just a
+    nicety: at local[32] the Arrow path collapsed 6.6× (92.6 s vs 14.0 s
+    on tmpfs, 154M tokens — ~40% of machine time went to KERNEL overhead
+    around 32 Python workers' Arrow IPC and allocator churn), while the
+    JVM expression stays inside whole-stage codegen with zero Python
+    processes. Both paths produce identical keys (pytest equivalence)."""
     bits = _BITS_FOR_DIMS.get(len(dims), max(1, 63 // len(dims)))
     ranges = stats_ranges or {}
     schema = {f.name: f.dataType for f in df.schema.fields}
@@ -219,7 +228,7 @@ def cluster_keyed_df(
     for d in dims:
         lo, hi = ranges.get(d, (None, None))
         coords.append(dim_to_coord(d, schema[d], bits, lo, hi))
-    if key_impl == "sql" and curve == "zorder" and len(dims) <= 3:
+    if key_impl in ("sql", "auto") and curve == "zorder" and len(dims) <= 3:
         return df.withColumn("_ckey", morton_key_sql(coords))
     udf = make_curve_udf(len(dims), curve)
     return df.withColumn("_ckey", udf(*coords))
@@ -246,7 +255,7 @@ def cluster(
     target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
     job_id: str | None = None,
     verify: bool = False,
-    key_impl: str = "arrow",
+    key_impl: str = "auto",
     sort_rows: bool = False,
 ) -> dict:
     """Rewrite the whole table clustered by the space-filling-curve key.
