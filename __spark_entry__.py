@@ -27,6 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from kafka_delta_ingest_spark.datagen import TOKENS_SCHEMA
 from kafka_delta_ingest_spark.sources.testdata import (
+    TOKENS_FROM_DOCUMENTS_SQL,
     load_table,
     tokens_from_documents,
 )
@@ -606,6 +607,14 @@ def q_ann_lsh_selfhit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.where(F.col("q_id") == F.col("vec_id")).select("q_id", "rank")
 
 
+def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 token frequencies over the derived tokens table (vocab
+    census). Oracle replays the derivation + unnest + count in SQL."""
+    from kafka_delta_ingest_spark.operators.text import token_histogram
+
+    return token_histogram(tokens_from_documents(spark, sf_dir), k=50)
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified hash sample of documents (md5 family:
     oracle replays membership exactly) — keep-all src0, half src1,
@@ -798,6 +807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "repetition_scores": q_repetition_scores,
         "stratified_sample": q_stratified_sample,
+        "token_histogram": q_token_histogram,
         "ann_topk": q_ann_topk,
         "ann_lsh_selfhit": q_ann_lsh_selfhit,
         "ivf_topk": q_ivf_topk,
@@ -1217,6 +1227,12 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings q CROSS JOIN embeddings c
               WHERE q.vec_id < 5
             ) WHERE rank <= 5
+        """,
+        "token_histogram": f"""
+            WITH t AS ({TOKENS_FROM_DOCUMENTS_SQL}),
+            u AS (SELECT unnest(tokens) AS token FROM t)
+            SELECT token, COUNT(*) AS cnt FROM u
+            GROUP BY token ORDER BY cnt DESC, token LIMIT 50
         """,
         # membership = nibble-parse(md5 first 8 hex)/2^32 < per-stratum rate
         "stratified_sample": f"""

@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "token_counts",
     "repetition_scores",
     "stratified_sample",
+    "token_histogram",
     "ann_topk",
     "ivf_topk",
     # near-dup pipelines twice each: the md5 hash family (oracle-replayable

@@ -171,6 +171,24 @@ def repetition_scores(
     )
 
 
+def token_histogram(
+    tokens_df: DataFrame, tokens_col: str = "tokens", k: int = 50
+) -> DataFrame:
+    """Top-k token frequencies over a pre-tokenized corpus — the vocab
+    census every training pipeline runs (coverage checks, vocab pruning,
+    frequency-based filtering). explode → two-phase hash count (map-side
+    partial aggregation means the shuffle carries one row per distinct
+    token per task, not one per token occurrence) → TakeOrdered top-k;
+    ties broken by token id for a deterministic cut."""
+    return (
+        tokens_df.select(F.explode(tokens_col).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "token")
+        .limit(k)
+    )
+
+
 def doc_fingerprint(text: Column | str) -> Column:
     """Deterministic content fingerprint: md5 of the normalized text —
     identical hex in Spark and DuckDB, so the oracle can verify it."""

@@ -28,6 +28,7 @@ PLANNED = [
     "quality_scores",
     "repetition_scores",
     "stratified_sample",
+    "token_histogram",
     "minhash_near_dups",
     "minhash_near_dups_fast",
     "simhash_near_dups",
