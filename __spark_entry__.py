@@ -607,6 +607,15 @@ def q_ann_lsh_selfhit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.where(F.col("q_id") == F.col("vec_id")).select("q_id", "rank")
 
 
+def q_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source p50/p90/p99 of document length (rank-based, no
+    interpolation — Spark and DuckDB agree bit-for-bit)."""
+    from kafka_delta_ingest_spark.operators.text import exact_percentiles
+
+    d = load_table(spark, sf_dir, "documents")
+    return exact_percentiles(d, "n_chars", "source").orderBy("source")
+
+
 def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 token frequencies over the derived tokens table (vocab
     census). Oracle replays the derivation + unnest + count in SQL."""
@@ -808,6 +817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_scores": q_repetition_scores,
         "stratified_sample": q_stratified_sample,
         "token_histogram": q_token_histogram,
+        "length_percentiles": q_length_percentiles,
         "ann_topk": q_ann_topk,
         "ann_lsh_selfhit": q_ann_lsh_selfhit,
         "ivf_topk": q_ivf_topk,
@@ -1227,6 +1237,20 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings q CROSS JOIN embeddings c
               WHERE q.vec_id < 5
             ) WHERE rank <= 5
+        """,
+        # rank-based exact percentiles: value at ceil(q*n) in sort order
+        "length_percentiles": """
+            WITH r AS (
+              SELECT source, n_chars,
+                     ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+                     COUNT(*) OVER (PARTITION BY source) AS n
+              FROM documents
+            )
+            SELECT source, COUNT(*) AS n,
+                   MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS INT) THEN n_chars END) AS p50,
+                   MAX(CASE WHEN rn = CAST(CEIL(0.9 * n) AS INT) THEN n_chars END) AS p90,
+                   MAX(CASE WHEN rn = CAST(CEIL(0.99 * n) AS INT) THEN n_chars END) AS p99
+            FROM r GROUP BY source ORDER BY source
         """,
         "token_histogram": f"""
             WITH t AS ({TOKENS_FROM_DOCUMENTS_SQL}),

@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "repetition_scores",
     "stratified_sample",
     "token_histogram",
+    "length_percentiles",
     "ann_topk",
     "ivf_topk",
     # near-dup pipelines twice each: the md5 hash family (oracle-replayable

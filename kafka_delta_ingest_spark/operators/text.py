@@ -189,6 +189,40 @@ def token_histogram(
     )
 
 
+def exact_percentiles(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Exact per-group percentiles by rank (value at ``ceil(q*n)`` in sort
+    order) — the length-distribution report a corpus curation pass ends
+    with. Rank-based (no interpolation), so Spark and the SQL oracle agree
+    bit-for-bit where interpolating definitions (percentile_cont et al.)
+    would differ. One shuffle: rows sort within each group's partition;
+    the aggregation reuses that partitioning."""
+    # ties need no explicit tiebreak: whichever duplicate row lands at
+    # rank r, the VALUE at rank r is the same — the output depends only
+    # on the sorted multiset
+    w = Window.partitionBy(group_col).orderBy(value_col)
+    ranked = df.select(
+        F.col(group_col),
+        F.col(value_col),
+        F.row_number().over(w).alias("_rn"),
+        F.count("*").over(Window.partitionBy(group_col)).alias("_n"),
+    )
+    aggs = [F.count("*").alias("n")] + [
+        F.max(
+            F.when(
+                F.col("_rn") == F.ceil(F.lit(q) * F.col("_n")).cast("int"),
+                F.col(value_col),
+            )
+        ).alias(f"p{int(q * 100)}")
+        for q in qs
+    ]
+    return ranked.groupBy(group_col).agg(*aggs)
+
+
 def doc_fingerprint(text: Column | str) -> Column:
     """Deterministic content fingerprint: md5 of the normalized text —
     identical hex in Spark and DuckDB, so the oracle can verify it."""

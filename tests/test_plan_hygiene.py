@@ -29,6 +29,7 @@ PLANNED = [
     "repetition_scores",
     "stratified_sample",
     "token_histogram",
+    "length_percentiles",
     "minhash_near_dups",
     "minhash_near_dups_fast",
     "simhash_near_dups",
