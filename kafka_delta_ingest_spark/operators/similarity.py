@@ -221,9 +221,11 @@ def ivf_topk(
     q_vec: str = "q_vec",
     c_id: str = "vec_id",
     c_vec: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: exact cosine re-rank inside the ``n_probe``
-    cells nearest each query.
+    cells nearest each query. ``centroids`` overrides the deterministic
+    sample — pass ``kmeans_centroids(...)`` for trained cells.
 
     Plan: corpus→cell assignment is one codegen expression (no shuffle);
     probes explode from an ``array_sort`` slice on the tiny query side;
@@ -238,7 +240,7 @@ def ivf_topk(
     every probe after that is partition pruning — reading ``n_probe/K`` of
     the corpus. This function expresses the same logical plan over an
     unmaterialized index."""
-    cents = _sample_centroids(corpus, n_centroids, c_id, c_vec)
+    cents = centroids or _sample_centroids(corpus, n_centroids, c_id, c_vec)
 
     corpus_a = corpus.select(
         F.col(c_id),
@@ -273,6 +275,48 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select(q_id, c_id, "cos", "rank")
     )
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 5,
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Lloyd k-means over the corpus, orchestrated the way every
+    distributed k-means is (MLlib included): per iteration, ONE job —
+    assignment is the same no-shuffle codegen expression the IVF index
+    uses, the element-wise mean is a hash aggregation over
+    ``posexplode``-ed components (rows × dim rows, keyed (cell, pos) —
+    linear, skew-free), and only the k×dim means cross to the driver.
+    Init = the deterministic md5 sample, so results are reproducible at
+    any parallelism. Cells that lose all members keep their previous
+    centroid. Returns (centroid_id, vector) with ids 0..k-1."""
+    cents = [
+        (i, cv)
+        for i, (_, cv) in enumerate(
+            _sample_centroids(df, n_centroids, c_id, c_vec)
+        )
+    ]
+    dim = len(cents[0][1])
+    for _ in range(iters):
+        assigned = df.select(
+            (-F.array_max(_cell_structs(c_vec, cents))["negc"]).alias("_cell"),
+            F.posexplode(F.col(c_vec).cast("array<double>")).alias("_pos", "_x"),
+        )
+        rows = (
+            assigned.groupBy("_cell", "_pos")
+            .agg(F.avg("_x").alias("_m"))
+            .collect()
+        )
+        means: dict[int, list[float]] = {}
+        for r in rows:
+            means.setdefault(int(r["_cell"]), [0.0] * dim)[int(r["_pos"])] = float(
+                r["_m"]
+            )
+        cents = [(cid, means.get(cid, cv)) for cid, cv in cents]
+    return cents
 
 
 def ivf_write_index(

@@ -203,6 +203,40 @@ def test_ivf_topk(spark, vectors):
     assert selfhits == {0, 1, 2}
 
 
+def test_kmeans_centroids_separate_blobs(spark):
+    import numpy as np
+
+    from kafka_delta_ingest_spark.operators.similarity import (
+        _cell_structs,
+        kmeans_centroids,
+    )
+
+    # three well-separated direction blobs (cosine k-means ground truth)
+    rng = np.random.default_rng(7)
+    rows, truth = [], {}
+    for b, center_dim in enumerate((0, 5, 10)):
+        center = np.zeros(16)
+        center[center_dim] = 10.0
+        for i in range(30):
+            v = center + rng.normal(scale=0.3, size=16)
+            vid = b * 100 + i
+            rows.append((vid, [float(x) for x in v]))
+            truth[vid] = b
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = kmeans_centroids(df, n_centroids=3, iters=4)
+    assert len(cents) == 3 and all(len(cv) == 16 for _, cv in cents)
+    assigned = df.select(
+        "vec_id",
+        (-F.array_max(_cell_structs("embedding", cents))["negc"]).alias("cell"),
+    ).collect()
+    by_blob = {}
+    for r in assigned:
+        by_blob.setdefault(truth[r["vec_id"]], set()).add(r["cell"])
+    # every blob maps unanimously to its own distinct cell
+    assert all(len(cells) == 1 for cells in by_blob.values())
+    assert len({c for cells in by_blob.values() for c in cells}) == 3
+
+
 def test_ivf_index_roundtrip(spark, vectors, tmp_path):
     from kafka_delta_ingest_spark.operators.similarity import (
         ivf_search_index,
