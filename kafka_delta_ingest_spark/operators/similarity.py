@@ -403,10 +403,17 @@ def ivf_search_index(
         cells = _probe_cells([float(x) for x in r[1]], cents, n_probe)
         all_cells.update(cells)
         pairs.extend((r[0], c) for c in cells)
+    from pyspark.sql import types as T
+
+    qid_type = queries.schema[q_id].dataType
+    pair_schema = T.StructType(
+        [
+            T.StructField(q_id, qid_type, False),
+            T.StructField("_cell", T.LongType(), False),
+        ]
+    )
     probe_df = F.broadcast(
-        spark.createDataFrame(pairs, f"{q_id} long, _cell long").join(
-            F.broadcast(queries), q_id
-        )
+        spark.createDataFrame(pairs, pair_schema).join(F.broadcast(queries), q_id)
     )
     idx = spark.read.parquet(path).where(
         F.col("_cell").isin([int(c) for c in sorted(all_cells)])
