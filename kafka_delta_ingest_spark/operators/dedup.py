@@ -45,21 +45,13 @@ def _gram_hash(gram: Column, hash_family: str) -> Column:
     return F.xxhash64(gram)
 
 
-def _perm_hash(key: Column, i: int, hash_family: str) -> Column:
-    """The i-th MinHash permutation of a gram key. xxhash64(key, i) is an
-    i.i.d.-per-i 64-bit family, all JVM long ops. The md5 family orders by
-    hex substrings (a valid total order DuckDB reproduces exactly) and
-    amortizes digests: one md5 of ``key || ':' || i//4`` yields FOUR
-    independent 32-bit permutations as 8-hex-char slices — 16 digests per
-    gram instead of 64 (measured ~3× cheaper; 32-bit values are plenty for
-    a min over ~10²-10³ shingles)."""
-    if hash_family == "md5":
-        return F.substring(
-            F.md5(F.concat(key, F.lit(f":{i // 4}")).cast("binary")),
-            (i % 4) * 8 + 1,
-            8,
-        )
-    return F.xxhash64(key, F.lit(i))
+# MinHash permutation families (built inline in minhash_signatures as SQL
+# text): xxhash64(key, i) is an i.i.d.-per-i 64-bit family, all JVM long
+# ops. The md5 family orders by hex substrings (a valid total order DuckDB
+# reproduces exactly) and amortizes digests: one md5 of ``key || ':' ||
+# i//4`` yields FOUR independent 32-bit permutations as 8-hex-char slices
+# — 16 digests per gram instead of 64 (measured ~3× cheaper; 32-bit values
+# are plenty for a min over ~10²-10³ shingles).
 
 
 def char_gram_rows(
@@ -188,39 +180,59 @@ def minhash_signatures(
     orders lexicographically exactly as its numeric value, so the minimum
     is the same permutation either way, and DuckDB replays the parse as a
     positional nibble sum."""
+    # num_perm-wide expression lists are built as SQL text (one F.expr per
+    # aggregate, one for the final array): the Column-API equivalents cost
+    # several py4j round-trips per node — measured seconds of DRIVER time
+    # per query at num_perm=64 (same finding as similarity._cell_structs)
     ex = char_gram_rows(df, id_col, text_col, shingle_n, hash_family)
     if hash_family == "md5":
         n_dig = (num_perm + 3) // 4
         ex = ex.select(
             F.col(id_col),
             *[
-                F.md5(F.concat(F.col("_h"), F.lit(f":{g}")).cast("binary")).alias(f"_d{g}")
+                F.expr(f"md5(CAST(concat(_h, ':{g}') AS BINARY))").alias(f"_d{g}")
                 for g in range(n_dig)
             ],
         )
         aggs = [
-            F.min(
-                F.conv(
-                    F.substring(F.col(f"_d{i // 4}"), (i % 4) * 8 + 1, 8), 16, 10
-                ).cast("long")
+            F.expr(
+                f"min(CAST(conv(substring(_d{i // 4}, {(i % 4) * 8 + 1}, 8),"
+                f" 16, 10) AS BIGINT))"
             ).alias(f"h{i}")
             for i in range(num_perm)
         ]
     else:
         aggs = [
-            F.min(_perm_hash(F.col("_h"), i, hash_family)).alias(f"h{i}")
+            F.expr(f"min(xxhash64(_h, {i}))").alias(f"h{i}")
             for i in range(num_perm)
         ]
     sigs = ex.groupBy(id_col).agg(*aggs)
     return sigs.select(
-        id_col, F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("sig")
+        id_col,
+        F.expr("array(" + ",".join(f"h{i}" for i in range(num_perm)) + ")").alias(
+            "sig"
+        ),
     )
 
 
-def _band_hash(sig_parts: list[Column], band: int, hash_family: str) -> Column:
+def _band_array(
+    bands: int, rows_per_band: int, hash_family: str
+) -> Column:
+    """array of per-band bucket hashes over the ``sig`` column, as ONE
+    F.expr (SQL ``sig[i]`` is 0-based like ``Column.getItem``)."""
+    def parts(b: int) -> str:
+        return ", ".join(
+            f"sig[{b * rows_per_band + r}]" for r in range(rows_per_band)
+        )
+
     if hash_family == "md5":
-        return F.md5(F.concat_ws("|", F.lit(str(band)), *sig_parts).cast("binary"))
-    return F.xxhash64(F.lit(band), *sig_parts)
+        els = ", ".join(
+            f"md5(CAST(concat_ws('|', '{b}', {parts(b)}) AS BINARY))"
+            for b in range(bands)
+        )
+    else:
+        els = ", ".join(f"xxhash64({b}, {parts(b)})" for b in range(bands))
+    return F.expr(f"array({els})")
 
 
 def minhash_near_dups(
@@ -254,16 +266,7 @@ def minhash_near_dups(
     production LSH dedup makes."""
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_n, hash_family).persist()
-    band_arr = F.array(
-        *[
-            _band_hash(
-                [F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)],
-                b,
-                hash_family,
-            )
-            for b in range(bands)
-        ]
-    )
+    band_arr = _band_array(bands, rows_per_band, hash_family)
     banded = sigs.select(
         F.col(id_col), F.posexplode(band_arr).alias("_band", "_bhash")
     ).persist()
@@ -411,20 +414,20 @@ def simhash_signatures(
             id_col,
             F.conv(F.substring("_h", 1, 15), 16, 10).cast("long").alias("_h"),
         )
+    # bit-width expression lists as SQL text — one F.expr per aggregate and
+    # one for the sign-bit reassembly (Column-API construction cost seconds
+    # of driver time at 60-63 bits; see minhash_signatures)
     aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        F.expr(
+            f"sum(CASE WHEN (shiftright(_h, {b}) & 1) = 1 THEN 1 ELSE -1 END)"
         ).alias(f"b{b}")
         for b in range(bits)
     ]
     agg = ex.groupBy(id_col).agg(*aggs)
-    sig = sum(
-        (
-            F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0)).cast("long")
-            * F.lit(1 << b).cast("long")
-            for b in range(bits)
-        ),
-        F.lit(0).cast("long"),
+    sig = F.expr(
+        "(" + " + ".join(
+            f"(CASE WHEN b{b} > 0 THEN {1 << b}L ELSE 0L END)" for b in range(bits)
+        ) + ")"
     )
     return agg.select(F.col(id_col), sig.alias("simhash"))
 

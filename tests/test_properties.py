@@ -93,3 +93,31 @@ def test_hilbert_bijective(ndim, bits):
     idx = hilbert_key(coords, bits=bits)
     assert len(set(idx.tolist())) == side**ndim
     assert idx.max() == side**ndim - 1
+
+
+@given(
+    st.integers(2, 16),           # dim
+    st.integers(2, 8),            # n centroids
+    st.integers(1, 8),            # n_probe (clamped to k)
+    st.integers(0, 2**31),        # rng seed
+)
+@settings(max_examples=40, deadline=None)
+def test_probe_cells_match_numpy_argsort(dim, k, n_probe, seed):
+    """_probe_cells (driver-side IVF probe ranking, sequential Python
+    floats) must rank cells exactly like an independent numpy cosine
+    reference with (sim DESC, cid ASC) ordering."""
+    from kafka_delta_ingest_spark.operators.similarity import _probe_cells
+
+    rng = np.random.default_rng(seed)
+    n_probe = min(n_probe, k)
+    q = rng.normal(size=dim).tolist()
+    cents = [(cid * 3 + 1, rng.normal(size=dim).tolist()) for cid in range(k)]
+    got = _probe_cells(q, cents, n_probe)
+
+    qv = np.array(q)
+    sims = []
+    for cid, cv in cents:
+        c = np.array(cv)
+        sims.append((-float(qv @ c / (np.linalg.norm(qv) * np.linalg.norm(c))), cid))
+    want = [cid for _, cid in sorted(sims)][:n_probe]
+    assert got == want
