@@ -674,6 +674,24 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("q_id", "vec_id", F.round("cos", 5).alias("cos_r"), "rank")
 
 
+def q_ivf_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5 with k-means-TRAINED centroids (2 Lloyd iterations,
+    deterministic sampled init). Rows-only: the iterative training loop
+    is not single-statement SQL; recall/equivalence is pytest-covered."""
+    from kafka_delta_ingest_spark.operators.similarity import (
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(emb, n_centroids=16, iters=2)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = ivf_topk(queries, emb, k=5, n_probe=4, centroids=cents)
+    return out.select("q_id", "vec_id", F.round("cos", 5).alias("cos_r"), "rank")
+
+
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs over documents, md5 hash family: every
     stage (shingle hash, 64 permutations, 16-band LSH, exact-Jaccard
@@ -821,6 +839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_lsh_selfhit": q_ann_lsh_selfhit,
         "ivf_topk": q_ivf_topk,
+        "ivf_topk_trained": q_ivf_topk_trained,
         "minhash_near_dups": q_minhash_near_dups,
         "minhash_near_dups_fast": q_minhash_near_dups_fast,
         "near_dup_groups": q_near_dup_groups,
