@@ -1422,10 +1422,10 @@ def oracle_sql() -> dict[str, str]:
         # transitive closure (small graph — pairs only, never the corpus),
         # labels = min reachable node, mirroring pointer-jumping's fixpoint
         "near_dup_groups": f"""
-            WITH RECURSIVE pairs AS (
+            WITH RECURSIVE pairs AS MATERIALIZED (
               SELECT id_a, id_b FROM ({_minhash_oracle_sql()}) t
             ),
-            edges AS (
+            edges AS MATERIALIZED (
               SELECT id_a AS a, id_b AS b FROM pairs
               UNION
               SELECT id_b, id_a FROM pairs
