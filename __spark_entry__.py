@@ -17,7 +17,7 @@ import shutil
 import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -67,6 +67,21 @@ _SCAN_SUMMARY_SQL = f"""
 SELECT doc_id, n_tok, source, {_TOK_CHECKSUM_SQL} AS tok_sum
 FROM ({_TOKENS_SQL})
 """
+
+
+# Hash-robust float aggregation: double summation order is nondeterministic
+# across engines/runs, so a raw ROUND(SUM(double), k) can land on either
+# side of a rounding boundary. Casting each row to an exact DECIMAL first
+# (bit-identical in Spark and DuckDB — verified per-row over events.value
+# and lineitem price expressions at sf0.01 and sf0.1) makes the sum exact
+# and commutative; rounding the exact sum and casting back to double is
+# then deterministic in both engines. SQL mirror: _DEC_SUM_SQL.
+def _dec_sum(col: Column, digits: int) -> Column:
+    return F.round(F.sum(col.cast("decimal(18,6)")), digits).cast("double")
+
+
+def _dec_sum_sql(expr: str, digits: int) -> str:
+    return f"CAST(ROUND(SUM(CAST({expr} AS DECIMAL(18,6))), {digits}) AS DOUBLE)"
 
 
 def _scan_summary(df: DataFrame) -> DataFrame:
@@ -328,8 +343,16 @@ def q_dead_letters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     good, dead = split_dead_letters(coerce_json(msgs, schema))
-    return spark.createDataFrame(
-        [(good.count(), dead.count())], "good long, dead long"
+    # counts come from a Spark aggregation (not a driver-built row) with
+    # explicit BIGINT casts mirrored in the oracle SQL: DuckDB's
+    # SUM(CASE ...) is HUGEINT, which widens to float64 on the driver's
+    # pandas path and hash-mismatches a plain long (round-2 red row)
+    tagged = good.select(F.lit(1).alias("_g")).unionAll(
+        dead.select(F.lit(0).alias("_g"))
+    )
+    return tagged.agg(
+        F.sum("_g").cast("long").alias("good"),
+        F.sum(1 - F.col("_g")).cast("long").alias("dead"),
     )
 
 
@@ -361,8 +384,8 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum("l_quantity").cast("double").alias("sum_qty"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            _dec_sum(F.col("l_quantity"), 6).alias("sum_qty"),
+            _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2)
             .alias("sum_disc_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
@@ -383,7 +406,7 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2)
             .alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
@@ -410,7 +433,7 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("l_extendedprice"), 2).alias("price_sum"),
+            _dec_sum(F.col("l_extendedprice"), 2).alias("price_sum"),
         )
         .orderBy("o_orderpriority")
     )
@@ -450,7 +473,7 @@ def q_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_cols=["event_type"],
         aggs=[
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("value_sum"),
+            _dec_sum(F.col("value"), 4).alias("value_sum"),
         ],
     )
     return out.select(
@@ -481,7 +504,7 @@ def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sess.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 4).alias("value_sum"),
+        _dec_sum(F.col("value"), 4).alias("value_sum"),
     )
 
 
@@ -564,9 +587,17 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_delta_ingest_spark.operators.text import quality_score
 
     d = load_table(spark, sf_dir, "documents")
+    # avg = exact decimal sum / count (AVG(double) is order-sensitive —
+    # same latent flake as the ROUND(SUM(double)) queries)
     return (
         d.groupBy("source")
-        .agg(F.round(F.avg(quality_score("text")), 4).alias("avg_quality"))
+        .agg(
+            F.round(
+                F.sum(quality_score("text").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_quality")
+        )
         .orderBy("source")
     )
 
@@ -1100,8 +1131,10 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY user_id % 8
         """,
         "dead_letters": """
-            SELECT SUM(CASE WHEN event_id % 7 <> 0 THEN 1 ELSE 0 END) AS good,
-                   SUM(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END) AS dead
+            SELECT CAST(SUM(CASE WHEN event_id % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS good,
+                   CAST(SUM(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS dead
             FROM events
         """,
         "scalar_functions": """
@@ -1114,8 +1147,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 6) AS DOUBLE)
+                     AS sum_qty,
+                   CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                       AS DECIMAL(18,6))), 2) AS DOUBLE)
+                     AS sum_disc_price,
                    COUNT(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= '1998-09-02'
@@ -1124,7 +1160,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "revenue_by_nation": """
             SELECT n_name,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                       AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
                    COUNT(*) AS n_items
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
@@ -1148,7 +1185,8 @@ def oracle_sql() -> dict[str, str]:
               ) WHERE rn = 1 GROUP BY jkey
             )
             SELECT o.o_orderpriority, COUNT(*) AS n,
-                   ROUND(SUM(li.l_extendedprice), 2) AS price_sum
+                   CAST(ROUND(SUM(CAST(li.l_extendedprice AS DECIMAL(18,6))), 2)
+                        AS DOUBLE) AS price_sum
             FROM li JOIN o ON li.jkey = o.jkey
             GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
         """,
@@ -1172,7 +1210,8 @@ def oracle_sql() -> dict[str, str]:
                      AS win_start_us,
                    event_type,
                    COUNT(*) AS n_events,
-                   ROUND(SUM(value), 4) AS value_sum
+                   CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
+                     AS value_sum
             FROM events
             GROUP BY 1, 2
         """,
@@ -1192,7 +1231,8 @@ def oracle_sql() -> dict[str, str]:
               FROM marked
             )
             SELECT user_id, session_id, COUNT(*) AS n_events,
-                   ROUND(SUM(value), 4) AS value_sum
+                   CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
+                     AS value_sum
             FROM sess GROUP BY user_id, session_id
         """,
         "exact_dedup_docs": f"""
@@ -1241,7 +1281,9 @@ def oracle_sql() -> dict[str, str]:
               SELECT source, {_QUALITY_SQL} AS qs
               FROM (SELECT source, text, ' ' || lower(text) || ' ' AS p FROM documents)
             )
-            SELECT source, ROUND(AVG(qs), 4) AS avg_quality
+            SELECT source,
+                   ROUND(CAST(SUM(CAST(qs AS DECIMAL(18,6))) AS DOUBLE)
+                         / COUNT(*), 4) AS avg_quality
             FROM q GROUP BY source ORDER BY source
         """,
         "ann_topk": """

@@ -28,7 +28,11 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.9g}"
+        # full round-trip repr: STRICTER than the driver's normalization —
+        # round 2 proved %.9g hides 1-ulp engine differences the driver
+        # flags (dead_letters / event_sessions were locally green, driver
+        # red); bit-identical doubles are the only safe target
+        return repr(v)
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_norm_cell(x) for x in v) + "]"
     if isinstance(v, bytes):
