@@ -134,8 +134,10 @@ class IngestMetrics:
     def batch_started(self):
         self._rec("recordbatch.started", 1)
 
+    # timers are MILLISECONDS: the reference records elapsed().as_millis()
+    # (metrics.rs:90-99) and statsd's |ms kind expects ms on the wire
     def batch_completed(self, buffered_record_batches: int, started_at: float):
-        self._rec("recordbatch.write_duration", int((time.time() - started_at) * 1e6))
+        self._rec("recordbatch.write_duration", int((time.time() - started_at) * 1e3))
         self._rec("recordbatch.completed", 1)
         self._rec("buffered.record_batches", buffered_record_batches)
 
@@ -144,7 +146,7 @@ class IngestMetrics:
 
     def delta_write_completed(self, started_at: float):
         self._rec("delta.write.completed", 1)
-        self._rec("delta.write.duration", int((time.time() - started_at) * 1e6))
+        self._rec("delta.write.duration", int((time.time() - started_at) * 1e3))
 
     def delta_write_failed(self):
         self._rec("delta.write.failed", 1)

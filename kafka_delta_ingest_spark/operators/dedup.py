@@ -31,10 +31,27 @@ Scale notes
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from kafka_delta_ingest_spark.operators.text import normalize_text
+
+log = logging.getLogger(__name__)
+
+
+def _finalize(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Materialize ``result`` (eager localCheckpoint — truncates lineage to
+    the small pair/group list), then release the gram/signature-scale
+    caches. Without this, every operator call in a long-lived session
+    leaves persisted shingle frames behind until executor storage evicts
+    or OOMs (round-2 ADVICE). The checkpointed result is executor-resident
+    and request-sized; its blocks are GC'd with the DataFrame."""
+    out = result.localCheckpoint(eager=True)
+    for df in cached:
+        df.unpersist()
+    return out
 
 
 def _gram_hash(gram: Column, hash_family: str) -> Column:
@@ -330,7 +347,7 @@ def minhash_near_dups(
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return verified
+    return _finalize(verified, sigs, banded, sh)
 
 
 def ngram_jaccard_pairs(
@@ -380,7 +397,7 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return out
+    return _finalize(out, grams)
 
 
 def simhash_bits(hash_family: str) -> int:
@@ -457,11 +474,13 @@ def simhash_near_dups(
             for c in range(4)
         ]
     )
-    b = sigs.select(F.col(id_col), F.col("simhash"), F.posexplode(chunks).alias("_c", "_v")).persist()
-    small = b.groupBy("_c", "_v").agg(F.count(F.lit(1)).alias("_bsz")).where(
+    chunked = sigs.select(
+        F.col(id_col), F.col("simhash"), F.posexplode(chunks).alias("_c", "_v")
+    ).persist()
+    small = chunked.groupBy("_c", "_v").agg(F.count(F.lit(1)).alias("_bsz")).where(
         F.col("_bsz") <= max_docs_per_bucket
     ).select("_c", "_v")
-    b = b.join(small, ["_c", "_v"])
+    b = chunked.join(small, ["_c", "_v"])
     cand = (
         b.alias("l")
         .join(
@@ -478,11 +497,12 @@ def simhash_near_dups(
         )
         .distinct()
     )
-    return (
+    out = (
         cand.withColumn("hamming", F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))))
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+    return _finalize(out, sigs, chunked)
 
 
 def near_dup_groups(
@@ -520,6 +540,7 @@ def near_dup_groups(
         .withColumn("label", F.col("node"))
         .persist()
     )
+    changed = 0
     for _ in range(max_iter):
         nbr_min = (
             edges.join(
@@ -532,9 +553,12 @@ def near_dup_groups(
             .agg(F.min("_dl").alias("_nl"))
             .select(F.col("src").alias("node"), "_nl")
         )
+        # persisted: the pointer-jump self-join below reads it twice —
+        # without the cache the neighbor-min join + groupBy re-executes
+        # per reference (round-2 verdict)
         stepped = labels.join(nbr_min, "node", "left").select(
             "node", F.least("label", F.coalesce("_nl", "label")).alias("label")
-        )
+        ).persist()
         # pointer jumping: label <- label(label); every label value is a
         # node id, so it resolves in the same frame
         jumped = (
@@ -548,14 +572,27 @@ def near_dup_groups(
             .select("node", F.col("_ll").alias("label"))
             .persist()
         )
+        # ONE action per round: this count materializes jumped (caching it
+        # for the next round) and computes the convergence delta in the
+        # same pass
         changed = (
             jumped.join(labels.withColumnRenamed("label", "_old"), "node")
             .where(F.col("label") != F.col("_old"))
             .count()
         )
         labels.unpersist()
+        stepped.unpersist()
         labels = jumped
         if changed == 0:
             break
-    edges.unpersist()
-    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("group_id"))
+    if changed != 0:
+        log.warning(
+            "near_dup_groups: label propagation did not converge in %d "
+            "rounds (%d labels still changing) — group ids may be split; "
+            "raise max_iter for graphs with diameter > 2^%d",
+            max_iter, changed, max_iter,
+        )
+    result = labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("group_id")
+    )
+    return _finalize(result, labels, edges)

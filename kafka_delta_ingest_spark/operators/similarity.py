@@ -383,6 +383,7 @@ def ivf_search_index(
     q_vec: str = "q_vec",
     c_id: str = "vec_id",
     c_vec: str = "embedding",
+    max_queries: int = 10_000,
 ) -> DataFrame:
     """Serve top-k from a materialized IVF index with partition pruning.
 
@@ -390,13 +391,22 @@ def ivf_search_index(
     request-sized, never corpus-sized); their probe cells become a
     LITERAL ``_cell IN (...)`` predicate, which parquet partition
     discovery prunes BEFORE any file is opened. The exact re-rank then
-    runs only over the probed partitions."""
+    runs only over the probed partitions. ``max_queries`` guards the
+    collect: a corpus-sized query frame is a caller bug — batch-score
+    with ``ivf_topk`` instead of the serving path."""
     import json
     import os
 
     with open(os.path.join(path, "_ivf_centroids.json")) as f:
         cents = [(int(cid), [float(x) for x in cv]) for cid, cv in json.load(f)]
-    qrows = queries.select(q_id, q_vec).collect()
+    qrows = queries.select(q_id, q_vec).limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"ivf_search_index collects queries to the driver; got more "
+            f"than max_queries={max_queries} rows — this serving path is "
+            f"for request-sized query sets (use ivf_topk for batch scoring, "
+            f"or raise max_queries deliberately)"
+        )
     pairs = []  # (query id, probed cell)
     all_cells = set()
     for r in qrows:

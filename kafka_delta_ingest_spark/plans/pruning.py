@@ -92,7 +92,10 @@ def _may_match(
         vals = [_canon(x, dt) for x in lit]
         if any(x is None for x in vals):
             return True
-        return any(lo <= x <= hi for x in vals)
+        try:
+            return any(lo <= x <= hi for x in vals)
+        except (TypeError, InvalidOperation):
+            return True  # NaN bound / cross-type ⇒ keep conservatively
     clit = _canon(lit, dt)
     if clit is None:
         return True
@@ -100,6 +103,8 @@ def _may_match(
 
 
 def _range_ok(lo: Any, hi: Any, op: str, lit: Any) -> bool:
+    # InvalidOperation: a NaN float stat canonicalizes to Decimal('NaN'),
+    # whose ordered comparison raises — keep the file conservatively
     try:
         if op in ("=", "=="):
             return lo <= lit <= hi
@@ -111,7 +116,7 @@ def _range_ok(lo: Any, hi: Any, op: str, lit: Any) -> bool:
             return hi > lit
         if op == ">=":
             return hi >= lit
-    except TypeError:
+    except (TypeError, InvalidOperation):
         return True
     return True
 

@@ -31,6 +31,7 @@ def kafka_options(
     kafka_settings: dict[str, str] | None = None,
     seek_offsets: dict[int, int] | None = None,
     end_at_last_offsets: bool = False,
+    n_partitions: int | None = None,
 ) -> dict[str, str]:
     """Build the Spark Kafka source option map.
 
@@ -38,8 +39,13 @@ def kafka_options(
       (main.rs:424-431, e.g. TLS settings) → prefixed ``kafka.<key>``.
     - ``seek_offsets``: partition → LAST PROCESSED offset (the reference
       seeks to stored offset + 1, src/offsets.rs:35-75); rendered as the
-      source's ``startingOffsets`` JSON with +1 applied. Partitions not
-      listed start at ``earliest`` (-2 in the source's JSON dialect).
+      source's ``startingOffsets`` JSON with +1 applied. Spark's Kafka
+      source REJECTS specific-offsets JSON that does not list every
+      TopicPartition, so ``n_partitions`` (the topic's partition count,
+      from the cluster admin API or deploy config) is required alongside
+      ``seek_offsets``; unlisted partitions are filled with -2 (the
+      source's "earliest" sentinel) — newly added partitions resume from
+      the beginning, matching the reference's consumer behavior.
     - ``end_at_last_offsets``: bounded run — pair with ``spark.read``
       (batch) where it maps to ``endingOffsets=latest``.
     """
@@ -56,9 +62,23 @@ def kafka_options(
             continue
         opts[f"kafka.{k}"] = str(v)
     if seek_offsets:
-        opts["startingOffsets"] = json.dumps(
-            {topic: {str(p): int(o) + 1 for p, o in seek_offsets.items()}}
-        )
+        if n_partitions is None:
+            raise ValueError(
+                "seek_offsets requires n_partitions: Spark's Kafka source "
+                "rejects a specific-offsets startingOffsets JSON unless "
+                "EVERY TopicPartition is listed ('you must specify all "
+                "TopicPartitions'); pass the topic's partition count so "
+                "unlisted partitions can be filled with -2 (earliest)"
+            )
+        bad = [p for p in seek_offsets if p < 0 or p >= n_partitions]
+        if bad:
+            raise ValueError(
+                f"seek_offsets partitions {bad} out of range for "
+                f"n_partitions={n_partitions}"
+            )
+        positions = {str(p): -2 for p in range(n_partitions)}
+        positions.update({str(p): int(o) + 1 for p, o in seek_offsets.items()})
+        opts["startingOffsets"] = json.dumps({topic: positions})
     if end_at_last_offsets:
         opts["endingOffsets"] = "latest"
     return opts
@@ -91,11 +111,15 @@ def kafka_stream(
     kafka_settings: dict[str, str] | None = None,
     seek_offsets: dict[int, int] | None = None,
     payload: str = "string",
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """Streaming source → envelope. Requires the spark-sql-kafka package on
     the classpath (standard on real clusters; absent in this sandbox)."""
     reader = spark.readStream.format("kafka")
-    for k, v in kafka_options(topic, bootstrap_servers, kafka_settings, seek_offsets).items():
+    for k, v in kafka_options(
+        topic, bootstrap_servers, kafka_settings, seek_offsets,
+        n_partitions=n_partitions,
+    ).items():
         reader = reader.option(k, v)
     return envelope(reader.load(), payload)
 
@@ -107,12 +131,14 @@ def kafka_batch(
     kafka_settings: dict[str, str] | None = None,
     seek_offsets: dict[int, int] | None = None,
     payload: str = "string",
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """Bounded read to the current end offsets — the reference's
     ``--end_at_last_offsets`` run mode (src/lib.rs:526-592)."""
     reader = spark.read.format("kafka")
     opts = kafka_options(
-        topic, bootstrap_servers, kafka_settings, seek_offsets, end_at_last_offsets=True
+        topic, bootstrap_servers, kafka_settings, seek_offsets,
+        end_at_last_offsets=True, n_partitions=n_partitions,
     )
     for k, v in opts.items():
         reader = reader.option(k, v)

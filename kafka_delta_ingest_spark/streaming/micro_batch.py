@@ -47,12 +47,18 @@ class IngestPipeline:
         transforms: dict[str, str] | None = None,
         dlq_table: Table | None = None,
         metrics=None,  # kafka_delta_ingest_spark.metrics.IngestMetrics
+        high_watermarks: dict[int, int] | None = None,
     ):
         self.table = table
         self.app_id = app_id
         self.transformer = Transformer(transforms or {})
         self.dlq_table = dlq_table
         self.metrics = metrics
+        # broker high watermarks (partition → next offset to be produced),
+        # from the Kafka admin/consumer API when a broker exists; without
+        # them TRUE lag is unknowable and the reference-named buffer.lag.*
+        # gauges are skipped rather than fed absolute positions
+        self.high_watermarks = high_watermarks
 
     def stored_offsets(self) -> dict[int, int]:
         """Per-partition last committed offsets from the table's app txns
@@ -135,11 +141,18 @@ class IngestPipeline:
             if n_dead:
                 self.metrics.message_transform_failed(n_dead)
             self.metrics.message_deserialized_size(sum(a.size for a in adds))
-            # batch mode has no broker high-watermark: the lag gauges carry
-            # the committed per-partition positions (true lag = high
-            # watermark - position is computed by ingest.buffers.consumer_lag
-            # when the caller supplies watermarks)
-            self.metrics.buffer_lag(list(app_txns.values()))
+            # lag gauges only with real broker high watermarks: emitting
+            # committed positions under the reference's buffer.lag.* names
+            # would read as monotonically growing lag on ported dashboards
+            if self.high_watermarks is not None:
+                from kafka_delta_ingest_spark.ingest.buffers import consumer_lag
+
+                prefix = f"{self.app_id}-"
+                stored = {
+                    int(k[len(prefix):]): v for k, v in app_txns.items()
+                }
+                lag = consumer_lag(self.high_watermarks, stored)
+                self.metrics.buffer_lag(list(lag["per_partition"].values()))
             self.metrics.batch_completed(len(adds), t0)
         return {
             "version": v,

@@ -168,3 +168,21 @@ def test_pruning_typed_values():
     assert prune_files([f], [("d", ">", Decimal("99"))], schema) == []
     # un-normalizable literal -> conservative keep, never a TypeError
     assert prune_files([f], [("ts", "=", object())], schema) == [f]
+
+
+def test_pruning_nan_stat_bound_keeps_file():
+    """A NaN min/max stat on a float column canonicalizes to Decimal('NaN'),
+    whose ordered comparison raises InvalidOperation — the scan must keep
+    the file conservatively, not crash (round-2 ADVICE)."""
+    from kafka_delta_ingest_spark.plans.pruning import prune_files
+
+    schema = T.StructType([T.StructField("x", T.DoubleType(), True)])
+    f = FileEntry(
+        path="p",
+        size=1,
+        num_records=1,
+        stats={"min": {"x": float("nan")}, "max": {"x": float("nan")}},
+    )
+    for op in ("=", "<", "<=", ">", ">="):
+        assert prune_files([f], [("x", op, 1.5)], schema) == [f]
+    assert prune_files([f], [("x", "in", [1.5, 2.5])], schema) == [f]

@@ -410,3 +410,47 @@ def test_near_dup_groups(spark):
         20: 20, 21: 20, 22: 20, 23: 20, 24: 20, 25: 20,
         40: 40, 41: 40,
     }
+
+
+def test_ivf_search_index_query_guard(spark, vectors, tmp_path):
+    """The serving path collects queries to the driver — a corpus-sized
+    query frame must be rejected, not silently collected."""
+    from kafka_delta_ingest_spark.operators.similarity import (
+        ivf_search_index,
+        ivf_write_index,
+    )
+
+    path = str(tmp_path / "ivfguard")
+    ivf_write_index(vectors, path, n_centroids=4)
+    queries = vectors.select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    with pytest.raises(ValueError, match="max_queries"):
+        ivf_search_index(spark, path, queries, k=3, max_queries=3)
+    # at or under the cap it serves normally
+    got = ivf_search_index(
+        spark, path, queries.limit(2), k=3, max_queries=3
+    )
+    assert got.count() > 0
+
+
+def test_dedup_operators_release_caches(spark, docs):
+    """Round-2 ADVICE: repeated operator calls in a long-lived session must
+    not accumulate persisted gram/signature frames. Only the checkpointed
+    (request-sized) result frame may remain cached per call."""
+    from kafka_delta_ingest_spark.operators.dedup import (
+        minhash_near_dups,
+        near_dup_groups,
+        ngram_jaccard_pairs,
+        simhash_near_dups,
+    )
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    pairs = minhash_near_dups(docs, "doc_id", "text", jaccard_threshold=0.6)
+    simhash_near_dups(docs, max_hamming=8)
+    ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    near_dup_groups(pairs)
+    after = jsc.getPersistentRDDs().size()
+    # one localCheckpoint RDD per operator call is the allowed residue
+    assert after - before <= 4, f"cached RDDs grew {before} -> {after}"

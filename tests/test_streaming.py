@@ -130,6 +130,9 @@ def test_ingest_metrics_stat_names(spark, tmp_path):
         app_id="metrics-test",
         transforms={"date": "substr(epoch_micros_to_iso8601(unix_micros(ts)), 0, 10)"},
         metrics=IngestMetrics(sink=sink, prefix="kafka_delta_ingest"),
+        # broker high watermark for partition 0: true lag is computable,
+        # so the reference-named buffer.lag.* gauges are emitted
+        high_watermarks={0: 15},
     )
     m = pipe.ingest_batch(spark, _msgs(spark, range(10), bad={3}))
     assert m["rows"] == 9
@@ -156,6 +159,11 @@ def test_ingest_metrics_stat_names(spark, tmp_path):
     assert by_name["messages.transform.completed"] == [("counter", 9)]
     assert by_name["messages.transform.failed"] == [("counter", 1)]
     assert by_name["messages.deserialization.completed"] == [("counter", 10)]
+    # lag = high watermark - (last committed offset + 1) = 15 - 10
+    assert by_name["buffer.lag.total"] == [("gauge", 5)]
+    # timers are milliseconds (ref metrics.rs elapsed().as_millis())
+    (kind, dur_ms), = by_name["recordbatch.write_duration"]
+    assert kind == "timer" and 0 <= dur_ms < 600_000
 
 
 def test_stateful_offset_dedupe_across_restarts(spark, tmp_path):

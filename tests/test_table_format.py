@@ -181,3 +181,93 @@ def test_cas_backend_conflict_path(spark, tmp_table_root):
     with _pytest.raises(FileExistsError):
         mem.put_if_absent("/x", b"b")
     assert mem.read("/x") == b"a" and mem.exists("/x")
+
+
+def test_s3_cas_conditional_put_win_and_lose(tmp_table_root):
+    """S3 backend: commit via conditional PUT (IfNoneMatch='*'). A 412
+    PreconditionFailed from a concurrent committer maps to FileExistsError
+    and the optimistic loop retries at the next version — no network, the
+    boto3-shaped client is a write-through fake (objects mirror to the
+    local log dir so snapshot() reads see committed versions, as an
+    S3-mounted deployment would)."""
+    import io
+    import json as _json
+
+    from kafka_delta_ingest_spark.datagen import TOKENS_SCHEMA
+    from kafka_delta_ingest_spark.table.cas import S3Cas
+    from kafka_delta_ingest_spark.table.format import Table, Transaction
+
+    class ClientError(Exception):
+        def __init__(self, code):
+            self.response = {"Error": {"Code": code}}
+
+    class FakeS3Client:
+        """Minimal boto3 surface honoring IfNoneMatch='*' semantics."""
+
+        def __init__(self):
+            self.objects = {}
+            self.put_calls = 0
+            self.inject_race_once = None  # (key, body) written before a 412
+
+        def put_object(self, Bucket, Key, Body, IfNoneMatch=None):
+            self.put_calls += 1
+            if self.inject_race_once is not None:
+                rk, rb = self.inject_race_once
+                self.inject_race_once = None
+                self._store(Bucket, rk, rb)
+                if rk == Key:
+                    raise ClientError("PreconditionFailed")
+            if IfNoneMatch == "*" and (Bucket, Key) in self.objects:
+                raise ClientError("PreconditionFailed")
+            self._store(Bucket, Key, Body)
+
+        def _store(self, bucket, key, body):
+            self.objects[(bucket, key)] = body
+            local = "/" + key  # write-through mirror for local log reads
+            os.makedirs(os.path.dirname(local), exist_ok=True)
+            with open(local, "wb") as f:
+                f.write(body)
+
+        def get_object(self, Bucket, Key):
+            if (Bucket, Key) not in self.objects:
+                raise ClientError("NoSuchKey")
+            return {"Body": io.BytesIO(self.objects[(Bucket, Key)])}
+
+        def head_object(self, Bucket, Key):
+            if (Bucket, Key) not in self.objects:
+                raise ClientError("404")
+            return {}
+
+    client = FakeS3Client()
+    cas = S3Cas("test-bucket", client=client)
+    t = Table.create(tmp_table_root, TOKENS_SCHEMA, [])
+    t.cas = cas
+
+    # win path: plain commit lands at v1, object exists in the bucket
+    v = t.commit(Transaction(operation="append"))
+    assert v == 1
+    key = cas._key(t._version_path(1))
+    assert ("test-bucket", key) in client.objects
+    assert cas.exists(t._version_path(1))
+    assert _json.loads(cas.read(t._version_path(1)))["version"] == 1
+
+    # lose path: a concurrent committer wins v2 mid-flight (412); the loop
+    # must re-validate against the new head and land at v3
+    competitor = _json.dumps(
+        {"version": 2, "operation": "append", "add": [], "remove": [],
+         "app_txns": {}}
+    ).encode()
+    client.inject_race_once = (cas._key(t._version_path(2)), competitor)
+    v = t.commit(Transaction(operation="append"))
+    assert v == 3
+    assert cas.exists(t._version_path(2)) and cas.exists(t._version_path(3))
+
+    # unknown client errors propagate (misconfig must not look like a race)
+    class BrokenClient(FakeS3Client):
+        def put_object(self, **kw):
+            raise ClientError("AccessDenied")
+
+    t.cas = S3Cas("test-bucket", client=BrokenClient())
+    with pytest.raises(Exception) as ei:
+        t.commit(Transaction(operation="append"))
+    assert "AccessDenied" in str(getattr(ei.value, "response", ei.value))
