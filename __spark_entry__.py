@@ -1074,6 +1074,106 @@ _NGRAM_JACCARD_SQL = """
 """
 
 
+# Embedding dimensionality of the driver's testdata (identical across
+# sf0.001/0.01/0.1 — verified via parquet metadata). The LSH oracles bake
+# the hyperplanes as SQL literals, so they need the dim at generation time;
+# queries discover it from the parquet at run time (_embedding_dim).
+_EMB_DIM = 64
+
+
+def _duck_arr(xs) -> str:
+    """DuckDB DOUBLE[] literal; repr() is the exact round-trip form, so the
+    parsed planes are bit-identical to the Spark side's F.expr literals."""
+    return "[" + ",".join(repr(float(x)) for x in xs) + "]"
+
+
+def _duck_lsh_bucket(vec_expr: str, planes) -> str:
+    """DuckDB mirror of similarity.lsh_bucket: bit i set iff
+    dot(vec, plane_i) >= 0, packed into one BIGINT. list_dot_product folds
+    left-to-right like Spark's aggregate(zip_with(...)), so the signs (and
+    hence buckets) agree bit-for-bit."""
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product({vec_expr}, {_duck_arr(p)}) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"({bits})"
+
+
+def _lsh_tables_cte(n_planes: int, n_tables: int, seed_base: int) -> str:
+    """CTE body: one row per (vec, hash table) with the table's bucket id.
+    Spark joins on xxhash64(t, bucket); joining on (t, bucket) directly is
+    the same partition of candidates (modulo 64-bit hash collisions — the
+    same caveat as the ngram_jaccard oracle)."""
+    from kafka_delta_ingest_spark.operators.similarity import _hyperplanes
+
+    selects = []
+    for t in range(n_tables):
+        planes = _hyperplanes(_EMB_DIM, n_planes, seed=seed_base + 1000 * t)
+        selects.append(
+            f"SELECT vec_id, v, {t} AS t, {_duck_lsh_bucket('v', planes)} AS b FROM e"
+        )
+    return "\n          UNION ALL ".join(selects)
+
+
+def _ann_lsh_selfhit_oracle() -> str:
+    """Full replay of ann_lsh (similarity.py:139-177) for the selfhit
+    query: per-table bucket assignment over literal hyperplanes, candidate
+    union across tables, exact cosine re-rank, keep q_id == vec_id."""
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        cb AS (
+          {_lsh_tables_cte(n_planes=8, n_tables=4, seed_base=42)}
+        ),
+        qb AS (SELECT * FROM cb WHERE vec_id < 5),
+        cand AS (
+          SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS vec_id
+          FROM qb q JOIN cb c ON q.t = c.t AND q.b = c.b
+        ),
+        scored AS (
+          SELECT cand.q_id, cand.vec_id,
+                 ROW_NUMBER() OVER (PARTITION BY cand.q_id ORDER BY
+                   list_cosine_similarity(qv.v, cv.v) DESC, cand.vec_id)
+                   AS rank
+          FROM cand
+          JOIN e qv ON qv.vec_id = cand.q_id
+          JOIN e cv ON cv.vec_id = cand.vec_id
+        )
+        SELECT q_id, rank FROM scored WHERE rank <= 5 AND q_id = vec_id
+    """
+
+
+def _embedding_near_dups_oracle() -> str:
+    """Full replay of embedding_near_dups (similarity.py:436-485): 3-table
+    12-plane LSH self-join candidates, exact cosine, top-10 by
+    (cos DESC, id_a, id_b)."""
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        cb AS (
+          {_lsh_tables_cte(n_planes=12, n_tables=3, seed_base=99)}
+        ),
+        cand AS (
+          SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+          FROM cb l JOIN cb r
+            ON l.t = r.t AND l.b = r.b AND l.vec_id < r.vec_id
+        ),
+        scored AS (
+          SELECT cand.id_a, cand.id_b,
+                 list_cosine_similarity(a.v, b.v) AS cos
+          FROM cand
+          JOIN e a ON a.vec_id = cand.id_a
+          JOIN e b ON b.vec_id = cand.id_b
+        )
+        SELECT id_a, id_b, ROUND(cos, 5) AS cos_r
+        FROM scored WHERE cos >= -1.0
+        ORDER BY cos DESC, id_a, id_b LIMIT 10
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     scan_sql = _SCAN_SUMMARY_SQL
     return {
@@ -1425,7 +1525,10 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dups": _minhash_oracle_sql(),
         # winnowing replayed via SQL window functions (md5 hash family):
         # min over ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING == the k-gram
-        # window minima; valid starts are pos <= n_grams - window
+        # window minima; valid starts are pos <= n_grams - window. The
+        # fingerprint value is the 60-bit hex-prefix LONG (nibble sum ==
+        # Spark's conv(substring(h,1,15),16,10) — long buffers keep Spark's
+        # window/agg stages on primitive types)
         "winnow_fingerprints": f"""
             WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
             pos AS (
@@ -1433,8 +1536,17 @@ def oracle_sql() -> dict[str, str]:
                      unnest(generate_series(1, greatest(length(t) - 4, 1))) AS i
               FROM norm
             ),
+            hexg AS (
+              SELECT doc_id, i - 1 AS p, md5(substring(t, i, 5)) AS hx FROM pos
+            ),
             grams AS (
-              SELECT doc_id, i - 1 AS p, md5(substring(t, i, 5)) AS h FROM pos
+              SELECT doc_id, p,
+                     CAST({" + ".join(
+                         f"(strpos('0123456789abcdef', substr(hx, {1 + j}, 1)) - 1)"
+                         f" * {16 ** (14 - j)}"
+                         for j in range(15)
+                     )} AS BIGINT) AS h
+              FROM hexg
             ),
             mins AS (
               SELECT doc_id, p,
@@ -1488,7 +1600,15 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id
             ) ORDER BY cos DESC, id_a, id_b LIMIT 20
         """,
-        # ann_lsh_selfhit, minhash_near_dups_fast, simhash_near_dups_fast,
-        # embedding_near_dups: xxhash64-keyed LSH / signature / bit-count
-        # ops — rows-only checks (pytest covers semantics)
+        # deterministic-hyperplane LSH replays (literal plane arrays, same
+        # trick as the IVF centroid oracle)
+        "ann_lsh_selfhit": _ann_lsh_selfhit_oracle(),
+        "embedding_near_dups": _embedding_near_dups_oracle(),
+        # remaining rows-only (each with a reason):
+        # - minhash_near_dups_fast / simhash_near_dups_fast: xxhash64 has no
+        #   DuckDB equivalent; pytest asserts pair-set equality with the
+        #   oracle-checked md5 family on the same corpus
+        #   (tests/test_operators.py::test_fast_families_match_md5_pairs).
+        # - ivf_topk_trained: iterative k-means training is not a single
+        #   SQL statement; pytest covers trained-centroid equivalence.
     }

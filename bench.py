@@ -33,36 +33,9 @@ N_DOCS = int(os.environ.get("KDI_BENCH_DOCS", "150000"))
 MAX_TOK = int(os.environ.get("KDI_BENCH_MAX_TOK", "512"))
 N_SMALL_FILES = int(os.environ.get("KDI_BENCH_FILES", "96"))
 
-BENCH_QUERIES = [
-    "compact_scan",
-    "zorder_scan",
-    "merge_upsert",
-    "manifest_stats",
-    "ingest_e2e",
-    "pricing_summary",
-    "revenue_by_nation",
-    "salted_join",
-    "top_orders_per_customer",
-    "event_sessions",
-    "exact_dedup_docs",
-    "lang_id",
-    "token_counts",
-    "repetition_scores",
-    "stratified_sample",
-    "token_histogram",
-    "length_percentiles",
-    "ann_topk",
-    "ivf_topk",
-    # near-dup pipelines twice each: the md5 hash family (oracle-replayable
-    # in DuckDB — what the correctness gate checks) and the xxhash64 fast
-    # family (the production path: JVM long hashes, no hex strings)
-    "minhash_near_dups",
-    "minhash_near_dups_fast",
-    "simhash_near_dups",
-    "simhash_near_dups_fast",
-    "ngram_jaccard",
-    "winnow_fingerprints",
-]
+# EVERY queries() entry is timed — no untimed query can ship (round-1's
+# gate hang and round-2's verdict both came from unbenched entries).
+# KDI_BENCH_QUERIES=a,b,c restricts to a subset for local iteration.
 
 
 def build_bench_table(spark, root: str):
@@ -195,12 +168,38 @@ def _cpu_delta(before):
     }
 
 
+def _warm_session(spark):
+    """Prime JIT/codegen, shuffle machinery, and the Python worker pool
+    before any query is timed: the first heavy job in a fresh session
+    costs 5-8x its warm time (measured 34.9 s cold vs 4-6 s warm for the
+    same winnow plan) — one-time session costs a long-lived cluster
+    amortizes, so they don't belong in per-query numbers."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(F.col("id") % 17).orderBy("id").rowsBetween(0, 7)
+    (
+        spark.range(0, 500_000, numPartitions=64)
+        .select(
+            "id",
+            F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 15), 16, 10)
+            .cast("long").alias("h"),
+        )
+        .select((F.col("id") % 97).alias("k"), F.min("h").over(w).alias("m"))
+        .groupBy("k").agg(F.count(F.lit(1)).alias("n"), F.min("m").alias("m"))
+        .write.format("noop").mode("overwrite").save()
+    )
+
+
 def run_queries(spark) -> dict:
     import __spark_entry__ as entrymod
 
     timings = {}
     qs = entrymod.queries()
-    for name in BENCH_QUERIES:
+    only = os.environ.get("KDI_BENCH_QUERIES")
+    names = [n for n in only.split(",") if n] if only else list(qs)
+    _warm_session(spark)
+    for name in names:
         fn = qs[name]
         t0 = time.time()
         try:

@@ -137,8 +137,21 @@ def winnow_fingerprints(
     round-1 Column expression whose per-window ``array_min(slice(grams,...))``
     re-evaluated the entire gram array per window element — measured >15 min
     on 500 docs; this plan does the same 500 docs in seconds.)
+
+    The md5 family fingerprints on the 60-bit hex-prefix LONG, not the
+    32-char hex string: the window sort, min buffers, collect_set, and the
+    downstream candidate self-join all run on JVM longs (same reasoning as
+    minhash_signatures' buffer parse; measured ~40% off the gram+window
+    stages at sf0.1). Fixed-width hex orders identically to its numeric
+    value, and the DuckDB oracle replays the parse as a nibble sum.
     """
     grams = char_gram_rows(df, id_col, text_col, n=k, hash_family=hash_family)
+    if hash_family == "md5":
+        grams = grams.select(
+            F.col(id_col),
+            F.col("_pos"),
+            F.conv(F.substring("_h", 1, 15), 16, 10).cast("long").alias("_h"),
+        )
     frame = (
         Window.partitionBy(id_col).orderBy("_pos").rowsBetween(0, window - 1)
     )

@@ -454,3 +454,27 @@ def test_dedup_operators_release_caches(spark, docs):
     after = jsc.getPersistentRDDs().size()
     # one localCheckpoint RDD per operator call is the allowed residue
     assert after - before <= 4, f"cached RDDs grew {before} -> {after}"
+
+
+def test_fast_families_match_md5_pairs(spark, docs):
+    """The xxhash64 fast families have no DuckDB oracle; this is their
+    correctness anchor: on the same corpus they must emit the same
+    near-dup PAIR SETS as the md5 families the driver hash-checks.
+    (Signatures differ — the permutations are different hash families —
+    but both bound the same Jaccard/Hamming neighborhoods, and the exact
+    verify stages decide membership on the true gram sets.)"""
+    from kafka_delta_ingest_spark.operators.dedup import (
+        minhash_near_dups,
+        simhash_near_dups,
+    )
+
+    as_pairs = lambda df: {(r["id_a"], r["id_b"]) for r in df.collect()}
+    fast_mh = as_pairs(minhash_near_dups(docs, jaccard_threshold=0.5))
+    md5_mh = as_pairs(
+        minhash_near_dups(docs, jaccard_threshold=0.5, hash_family="md5")
+    )
+    assert fast_mh == md5_mh and fast_mh  # non-empty and identical
+
+    fast_sh = as_pairs(simhash_near_dups(docs, max_hamming=3))
+    md5_sh = as_pairs(simhash_near_dups(docs, max_hamming=3, hash_family="md5"))
+    assert fast_sh == md5_sh and fast_sh
