@@ -75,13 +75,10 @@ FROM ({_TOKENS_SQL})
 # (bit-identical in Spark and DuckDB — verified per-row over events.value
 # and lineitem price expressions at sf0.01 and sf0.1) makes the sum exact
 # and commutative; rounding the exact sum and casting back to double is
-# then deterministic in both engines. SQL mirror: _DEC_SUM_SQL.
+# then deterministic in both engines. Oracle mirror:
+# CAST(ROUND(SUM(CAST(expr AS DECIMAL(18,6))), digits) AS DOUBLE).
 def _dec_sum(col: Column, digits: int) -> Column:
     return F.round(F.sum(col.cast("decimal(18,6)")), digits).cast("double")
-
-
-def _dec_sum_sql(expr: str, digits: int) -> str:
-    return f"CAST(ROUND(SUM(CAST({expr} AS DECIMAL(18,6))), {digits}) AS DOUBLE)"
 
 
 def _scan_summary(df: DataFrame) -> DataFrame:

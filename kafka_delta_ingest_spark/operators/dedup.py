@@ -523,6 +523,7 @@ def near_dup_groups(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    driver_edge_threshold: int = 100_000,
 ) -> DataFrame:
     """Resolve near-duplicate PAIRS into GROUPS: connected components of
     the pair graph, labeled by the minimum member id — the step that turns
@@ -540,13 +541,54 @@ def near_dup_groups(
     (one count() action per round, scalar).
 
     Returns (doc_id, group_id); only documents that appear in at least one
-    pair are listed (singletons are trivially their own group)."""
+    pair are listed (singletons are trivially their own group).
+
+    Size-adaptive: verified near-dup graphs are usually orders of
+    magnitude smaller than the corpus, so when the (deduplicated) edge
+    list fits comfortably on the driver (``driver_edge_threshold``), a
+    driver-side union-find resolves the components exactly in one pass —
+    no iterative jobs at all. The distributed pointer-jumping loop below
+    is the path for graphs beyond that (boilerplate-heavy web corpora),
+    where the edge list itself is cluster-sized."""
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
         .persist()
     )
+    n_edges = edges.count()
+    if n_edges <= driver_edge_threshold:
+        rows = edges.collect()
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.setdefault(root, root) != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in rows:
+            ra, rb = find(r["src"]), find(r["dst"])
+            if ra != rb:  # union by min: the smaller id becomes the root
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        out_rows = [(n, find(n)) for n in parent]
+        schema = pairs.schema[id_a].dataType
+        from pyspark.sql import types as T
+
+        result = pairs.sparkSession.createDataFrame(
+            out_rows,
+            T.StructType(
+                [
+                    T.StructField("doc_id", schema, False),
+                    T.StructField("group_id", schema, False),
+                ]
+            ),
+        )
+        return _finalize(result, edges)
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()

@@ -403,13 +403,21 @@ def test_near_dup_groups(spark):
          (24, 25), (40, 41)],
         "id_a int, id_b int",
     )
-    got = {r["doc_id"]: r["group_id"] for r in near_dup_groups(pairs).collect()}
-    assert got == {
+    want = {
         1: 1, 2: 1, 3: 1,
         10: 10, 11: 10,
         20: 20, 21: 20, 22: 20, 23: 20, 24: 20, 25: 20,
         40: 40, 41: 40,
     }
+    # driver union-find path (small graph)
+    got = {r["doc_id"]: r["group_id"] for r in near_dup_groups(pairs).collect()}
+    assert got == want
+    # distributed pointer-jumping path (forced): identical labels
+    dist = {
+        r["doc_id"]: r["group_id"]
+        for r in near_dup_groups(pairs, driver_edge_threshold=0).collect()
+    }
+    assert dist == want
 
 
 def test_ivf_search_index_query_guard(spark, vectors, tmp_path):
