@@ -505,6 +505,47 @@ def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured rollup: extract a field from the JSON ``props``
+    column with a JSON path and aggregate per event type — the query-side
+    complement of the ingest path's JSON deserialization (A4)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.sum(k).alias("k_sum"),
+            F.count(F.when(k > 50, 1)).alias("n_high"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (emails/phones/IPv4 → <kind> tags) with per-kind
+    counts and a fingerprint of the scrubbed text. The corpus is synthetic
+    and PII-free, so the query injects deterministic PII per document
+    first — the oracle replays injection + counting + redaction
+    byte-for-byte (patterns live in the Java∩RE2 regex subset)."""
+    from kafka_delta_ingest_spark.operators.text import pii_counts, scrub_pii
+
+    d = load_table(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1 555-123-4567, host 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7"),
+    )
+    return d.select(
+        "doc_id",
+        *pii_counts(injected),
+        F.md5(scrub_pii(injected).cast("binary")).alias("scrubbed_fp"),
+    )
+
+
 # ------------------------------------------------- training-data queries
 
 def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -854,6 +895,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_union": q_distinct_union,
         "event_sessions": q_event_sessions,
         "windowed_rollup": q_windowed_rollup,
+        "event_props_rollup": q_event_props_rollup,
+        "pii_scrub": q_pii_scrub,
         # training-data ops
         "exact_dedup_docs": q_exact_dedup_docs,
         "doc_fingerprints": q_doc_fingerprints,
@@ -1113,6 +1156,38 @@ def _lsh_tables_cte(n_planes: int, n_tables: int, seed_base: int) -> str:
     return "\n          UNION ALL ".join(selects)
 
 
+def _pii_oracle_sql() -> str:
+    """Replays q_pii_scrub: PII injection, per-kind regexp counts, chained
+    redaction — built from the SAME PII_PATTERNS list the operator uses
+    (patterns are in the Java∩RE2 subset, so both engines match and
+    replace identically)."""
+    from kafka_delta_ingest_spark.operators.text import PII_PATTERNS
+
+    def esc(p: str) -> str:
+        return p.replace("'", "''")
+
+    count_cols = ",\n               ".join(
+        f"CAST(len(regexp_extract_all(t, '{esc(pat)}')) AS INTEGER) AS n_{name}"
+        for name, pat in PII_PATTERNS
+    )
+    scrub = "t"
+    for name, pat in PII_PATTERNS:
+        scrub = f"regexp_replace({scrub}, '{esc(pat)}', '<{name}>', 'g')"
+    return f"""
+        WITH inj AS (
+          SELECT doc_id,
+                 text || ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com or +1 555-123-4567, host 10.0.'
+                      || CAST(doc_id % 256 AS VARCHAR) || '.7' AS t
+          FROM documents
+        )
+        SELECT doc_id,
+               {count_cols},
+               md5({scrub}) AS scrubbed_fp
+        FROM inj
+    """
+
+
 def _ann_lsh_selfhit_oracle() -> str:
     """Full replay of ann_lsh (similarity.py:139-177) for the selfhit
     query: per-table bucket assignment over literal hyperplanes, candidate
@@ -1332,6 +1407,17 @@ def oracle_sql() -> dict[str, str]:
                      AS value_sum
             FROM sess GROUP BY user_id, session_id
         """,
+        "event_props_rollup": """
+            SELECT event_type,
+                   CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS k_sum,
+                   CAST(COUNT(CASE WHEN CAST(json_extract_string(props, '$.k')
+                                             AS BIGINT) > 50 THEN 1 END)
+                        AS BIGINT) AS n_high,
+                   COUNT(*) AS n
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "pii_scrub": _pii_oracle_sql(),
         "exact_dedup_docs": f"""
             SELECT doc_id, source, n_chars FROM (
               SELECT doc_id, source, n_chars,

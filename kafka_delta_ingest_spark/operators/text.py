@@ -227,3 +227,34 @@ def doc_fingerprint(text: Column | str) -> Column:
     """Deterministic content fingerprint: md5 of the normalized text —
     identical hex in Spark and DuckDB, so the oracle can verify it."""
     return F.md5(normalize_text(text).cast("binary"))
+
+
+# PII scrubbing — the redaction pass every training-data pipeline runs
+# before anything leaves the raw zone. Patterns are deliberately written
+# in the common subset of Java regex (Spark) and RE2 (DuckDB) so the
+# oracle replays redaction byte-for-byte; all pure-JVM regexp_replace /
+# regexp_count, no Python in the hot path.
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("phone", r"\+?\d{3}[-. ]\d{3,4}[-. ]\d{4}"),
+    ("ipv4", r"\b(\d{1,3}\.){3}\d{1,3}\b"),
+]
+
+
+def scrub_pii(text: Column | str) -> Column:
+    """Replace each PII match with its ``<kind>`` tag, patterns applied in
+    PII_PATTERNS order (emails first so the ip pattern never sees the
+    digits of an already-redacted address)."""
+    out = F.col(text) if isinstance(text, str) else text
+    for name, pat in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, f"<{name}>")
+    return out
+
+
+def pii_counts(text: Column | str) -> list[Column]:
+    """One count column per PII kind (aliased ``n_<kind>``)."""
+    col = F.col(text) if isinstance(text, str) else text
+    return [
+        F.regexp_count(col, F.lit(pat)).cast("int").alias(f"n_{name}")
+        for name, pat in PII_PATTERNS
+    ]

@@ -486,3 +486,24 @@ def test_fast_families_match_md5_pairs(spark, docs):
     fast_sh = as_pairs(simhash_near_dups(docs, max_hamming=3))
     md5_sh = as_pairs(simhash_near_dups(docs, max_hamming=3, hash_family="md5"))
     assert fast_sh == md5_sh and fast_sh
+
+
+def test_pii_scrub_and_counts(spark):
+    from kafka_delta_ingest_spark.operators.text import pii_counts, scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@corp.example.org or call 555-123-4567"),
+            (2, "server 192.168.0.12 answered; backup at 10.0.0.1"),
+            (3, "no pii here, just text with numbers 12 and 3456"),
+        ],
+        "id int, text string",
+    )
+    out = df.select("id", scrub_pii("text").alias("t"), *pii_counts("text")).collect()
+    rows = {r["id"]: r for r in out}
+    assert rows[1]["t"] == "mail me at <email> or call <phone>"
+    assert rows[1]["n_email"] == 1 and rows[1]["n_phone"] == 1 and rows[1]["n_ipv4"] == 0
+    assert rows[2]["t"] == "server <ipv4> answered; backup at <ipv4>"
+    assert rows[2]["n_ipv4"] == 2
+    assert rows[3]["t"] == rows[3]["t"] and rows[3]["n_email"] == 0
+    assert rows[3]["n_phone"] == 0 and rows[3]["n_ipv4"] == 0
