@@ -546,6 +546,45 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/dedup.py decontaminate): eval
+    set = docs with doc_id % 97 == 0, train = the rest; flag train docs
+    sharing any word-5-gram with the eval set. Eval grams broadcast; md5
+    family so the oracle replays gram identity on raw strings."""
+    from kafka_delta_ingest_spark.operators.dedup import decontaminate
+
+    d = load_table(spark, sf_dir, "documents")
+    ev = d.where(F.col("doc_id") % 97 == 0)
+    tr = d.where(F.col("doc_id") % 97 != 0)
+    out = decontaminate(tr, ev, n=5, min_overlap=1, hash_family="md5")
+    return out.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+        "contaminated",
+    )
+
+
+def q_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling (operators/sampling.py resample_to_mix):
+    water-filling keep-rates toward a 0.5/0.25/0.15/0.1 target mix over
+    four sources (all other sources dropped), deterministic md5-hash
+    membership keyed by doc_id — the oracle recomputes counts, rates, and
+    membership with the identical IEEE expressions."""
+    from kafka_delta_ingest_spark.operators.sampling import resample_to_mix
+
+    d = load_table(spark, sf_dir, "documents")
+    out = resample_to_mix(
+        d,
+        strata_col="source",
+        weights={"src0": 0.5, "src1": 0.25, "src2": 0.15, "src3": 0.1},
+        key_cols=["doc_id"],
+        salt="mix3",
+        family="md5",
+    )
+    return out.select("doc_id", "source")
+
+
 # ------------------------------------------------- training-data queries
 
 def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -897,6 +936,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_rollup": q_windowed_rollup,
         "event_props_rollup": q_event_props_rollup,
         "pii_scrub": q_pii_scrub,
+        "decontam": q_decontam,
+        "mix_resample": q_mix_resample,
         # training-data ops
         "exact_dedup_docs": q_exact_dedup_docs,
         "doc_fingerprints": q_doc_fingerprints,
@@ -1188,6 +1229,82 @@ def _pii_oracle_sql() -> str:
     """
 
 
+_DECONTAM_SQL = """
+    WITH norm AS (SELECT doc_id, {norm} AS t FROM documents),
+    w AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+    pos AS (
+      SELECT doc_id, w,
+             unnest(generate_series(1, greatest(len(w) - {nm1}, 1))) AS i
+      FROM w
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+{nm1}], ' ') AS g FROM pos
+    ),
+    eg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+    tg AS (SELECT doc_id, g FROM grams WHERE doc_id % 97 <> 0),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM tg GROUP BY doc_id),
+    hits AS (
+      SELECT doc_id, COUNT(*) AS n_hits FROM tg JOIN eg USING (g)
+      GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           CAST(s.n_grams AS BIGINT) AS n_grams,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           COALESCE(h.n_hits, 0) >= {min_overlap} AS contaminated
+    FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+"""
+
+
+def _nibble_frac_sql(hx: str) -> str:
+    """DuckDB replay of sampling.hash_fraction's md5 family: positional
+    nibble sum of the first 8 hex chars / 2^32 (identical doubles to
+    Spark's conv(substring(md5, 1, 8), 16, 10) / 2^32)."""
+    return (
+        "CAST("
+        + " + ".join(
+            f"(strpos('0123456789abcdef', substr({hx}, {1 + j}, 1)) - 1)"
+            f" * {16 ** (7 - j)}"
+            for j in range(8)
+        )
+        + " AS DOUBLE) / 4294967296.0"
+    )
+
+
+def _mix_resample_oracle_sql() -> str:
+    """Replays q_mix_resample end-to-end: per-stratum counts, the
+    water-filling rate ``(T * w) / n`` with ``T = min(n / w)`` (the exact
+    IEEE expression shape mix_rates computes on the driver), then md5-hash
+    membership. Weight literals are identical decimal text on both sides,
+    so every rate is bit-identical."""
+    frac = _nibble_frac_sql("hx")
+    return f"""
+        WITH v(s, w) AS (
+          SELECT * FROM (VALUES ('src0', 0.5), ('src1', 0.25),
+                                ('src2', 0.15), ('src3', 0.1))
+        ),
+        c AS (
+          SELECT source, COUNT(*) AS n FROM documents
+          WHERE source IN (SELECT s FROM v) GROUP BY source
+        ),
+        t AS (
+          SELECT MIN(CAST(n AS DOUBLE) / CAST(w AS DOUBLE)) AS tv
+          FROM c JOIN v ON c.source = v.s
+        ),
+        r AS (
+          SELECT s, (tv * CAST(w AS DOUBLE)) / CAST(n AS DOUBLE) AS rate
+          FROM c JOIN v ON c.source = v.s CROSS JOIN t
+        ),
+        h AS (
+          SELECT doc_id, source,
+                 md5('mix3|' || CAST(doc_id AS VARCHAR)) AS hx
+          FROM documents
+        ),
+        f AS (SELECT doc_id, source, {frac} AS frac FROM h)
+        SELECT doc_id, source FROM f JOIN r ON f.source = r.s
+        WHERE frac < rate
+    """
+
+
 def _ann_lsh_selfhit_oracle() -> str:
     """Full replay of ann_lsh (similarity.py:139-177) for the selfhit
     query: per-table bucket assignment over literal hyperplanes, candidate
@@ -1418,6 +1535,8 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type ORDER BY event_type
         """,
         "pii_scrub": _pii_oracle_sql(),
+        "decontam": _DECONTAM_SQL.format(norm=_NORM_SQL, nm1=4, min_overlap=1),
+        "mix_resample": _mix_resample_oracle_sql(),
         "exact_dedup_docs": f"""
             SELECT doc_id, source, n_chars FROM (
               SELECT doc_id, source, n_chars,

@@ -124,6 +124,7 @@ def winnow_fingerprints(
     k: int = 5,
     window: int = 8,
     hash_family: str = "xxhash64",
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003):
     rolling k-gram hashes, keep the minimum of each ``window`` — the
@@ -144,8 +145,15 @@ def winnow_fingerprints(
     minhash_signatures' buffer parse; measured ~40% off the gram+window
     stages at sf0.1). Fixed-width hex orders identically to its numeric
     value, and the DuckDB oracle replays the parse as a nibble sum.
+
+    ``grams``: optionally pass a precomputed (persisted) ``char_gram_rows``
+    frame with MATCHING (id_col, text_col, n=k, hash_family) — winnowing,
+    MinHash, and SimHash all explode the same gram rows, so a pipeline
+    running several of them should shingle the corpus once and share the
+    frame instead of paying the normalize+explode pass per operator.
     """
-    grams = char_gram_rows(df, id_col, text_col, n=k, hash_family=hash_family)
+    if grams is None:
+        grams = char_gram_rows(df, id_col, text_col, n=k, hash_family=hash_family)
     if hash_family == "md5":
         grams = grams.select(
             F.col(id_col),
@@ -190,8 +198,11 @@ def minhash_signatures(
     num_perm: int = 64,
     shingle_n: int = 5,
     hash_family: str = "xxhash64",
+    grams: DataFrame | None = None,
 ) -> DataFrame:
-    """(id, sig: array<hash>) MinHash signatures.
+    """(id, sig: array<hash>) MinHash signatures. ``grams``: optional
+    precomputed ``char_gram_rows`` frame (matching params) — see
+    winnow_fingerprints.
 
     Explode shingles once, then ``num_perm`` min-aggregates in ONE groupBy —
     map-side partial aggregation keeps the shuffle tiny (num_perm values per
@@ -214,7 +225,9 @@ def minhash_signatures(
     # aggregate, one for the final array): the Column-API equivalents cost
     # several py4j round-trips per node — measured seconds of DRIVER time
     # per query at num_perm=64 (same finding as similarity._cell_structs)
-    ex = char_gram_rows(df, id_col, text_col, shingle_n, hash_family)
+    ex = grams if grams is not None else char_gram_rows(
+        df, id_col, text_col, shingle_n, hash_family
+    )
     if hash_family == "md5":
         n_dig = (num_perm + 3) // 4
         ex = ex.select(
@@ -275,8 +288,15 @@ def minhash_near_dups(
     jaccard_threshold: float = 0.8,
     hash_family: str = "xxhash64",
     max_docs_per_bucket: int = 200,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
+
+    The gram frame is computed ONCE and persisted — both the signature
+    pass and the exact-Jaccard shingle sets consume it (round-3: the two
+    branches used to shingle the corpus independently). Pass ``grams`` (a
+    matching ``char_gram_rows`` frame, ideally already persisted) to share
+    it with sibling operators; caller-provided frames are not unpersisted.
 
     LSH banding for candidates; exact Jaccard on shingle sets verifies.
     The signature and shingle-set frames are persisted: the band self-join
@@ -295,7 +315,12 @@ def minhash_near_dups(
     confined to pathological cliques — the documented tradeoff every
     production LSH dedup makes."""
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_n, hash_family).persist()
+    own_grams = grams is None
+    if own_grams:
+        grams = char_gram_rows(df, id_col, text_col, shingle_n, hash_family).persist()
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_perm, shingle_n, hash_family, grams=grams
+    ).persist()
     band_arr = _band_array(bands, rows_per_band, hash_family)
     banded = sigs.select(
         F.col(id_col), F.posexplode(band_arr).alias("_band", "_bhash")
@@ -324,7 +349,7 @@ def minhash_near_dups(
     # arrays hash/compare several times faster, prefix collisions within a
     # document's shingle set are ~n²/2^61, and the DuckDB oracle computes
     # the identical prefixes (nibble sum), so parity holds by construction.
-    gram_rows = char_gram_rows(df, id_col, text_col, shingle_n, hash_family)
+    gram_rows = grams
     if hash_family == "md5":
         gram_rows = gram_rows.select(
             F.col(id_col),
@@ -360,7 +385,8 @@ def minhash_near_dups(
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return _finalize(verified, sigs, banded, sh)
+    cached = [sigs, banded, sh] + ([grams] if own_grams else [])
+    return _finalize(verified, *cached)
 
 
 def ngram_jaccard_pairs(
@@ -427,6 +453,7 @@ def simhash_signatures(
     text_col: str = "text",
     shingle_n: int = 5,
     hash_family: str = "xxhash64",
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """SimHash per doc: distinct shingle hashes (set semantics), sum ±1 per
     bit, one groupBy with one conditional sum per bit (all JVM), reassemble
@@ -434,11 +461,9 @@ def simhash_signatures(
     60-bit prefix (``conv(hex, 16, 10)``), which DuckDB reproduces exactly
     via a per-nibble positional sum."""
     bits = simhash_bits(hash_family)
-    ex = (
-        char_gram_rows(df, id_col, text_col, shingle_n, hash_family)
-        .select(id_col, "_h")
-        .distinct()
-    )
+    if grams is None:
+        grams = char_gram_rows(df, id_col, text_col, shingle_n, hash_family)
+    ex = grams.select(id_col, "_h").distinct()
     if hash_family == "md5":
         ex = ex.select(
             id_col,
@@ -469,6 +494,7 @@ def simhash_near_dups(
     max_hamming: int = 3,
     hash_family: str = "xxhash64",
     max_docs_per_bucket: int = 200,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate pairs with Hamming(simhash) <= max_hamming, bucketed by
     4 equal-width bit chunks (pigeonhole: ≤3 differing bits over 4 chunks
@@ -480,7 +506,9 @@ def simhash_near_dups(
     width = simhash_bits(hash_family) + 1 if hash_family != "md5" else simhash_bits(hash_family)
     cw = width // 4
     mask = (1 << cw) - 1
-    sigs = simhash_signatures(df, id_col, text_col, hash_family=hash_family).persist()
+    sigs = simhash_signatures(
+        df, id_col, text_col, hash_family=hash_family, grams=grams
+    ).persist()
     chunks = F.array(
         *[
             F.shiftright(F.col("simhash"), c * cw).bitwiseAND(F.lit(mask))
@@ -651,3 +679,63 @@ def near_dup_groups(
         F.col("node").alias("doc_id"), F.col("label").alias("group_id")
     )
     return _finalize(result, labels, edges)
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_overlap: int = 1,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    word-``n``-gram with an evaluation/benchmark set (the GPT-3 appendix-C
+    / Llama-style n-gram overlap check every serious pretraining pipeline
+    runs before training).
+
+    Returns one row per TRAINING doc: ``(id_col, n_grams, n_hits,
+    contaminated)`` where ``n_grams`` is the doc's distinct gram count,
+    ``n_hits`` how many of those grams occur anywhere in the eval set, and
+    ``contaminated`` is ``n_hits >= min_overlap``. Keeping every doc (not
+    just the flagged ones) makes the output directly joinable as a filter
+    AND auditable as a report.
+
+    Scale shape: the eval set is benchmark-sized (thousands of docs) while
+    the train side is the 100-TB corpus, so the eval gram set is distinct'd
+    and **broadcast** — the contamination check is then a map-side hash
+    join against the exploded train grams with NO shuffle of gram rows;
+    the only shuffle is the per-doc count aggregation (partial map-side
+    combine, ≤1 row per doc). Grams are joined on 64-bit hashes (xxhash64
+    family) so the broadcast table is longs, not strings — same
+    gram-set-identity argument as ngram_jaccard_pairs; the DuckDB oracle
+    replays raw gram strings.
+    """
+    tg = (
+        word_gram_rows(train, id_col, text_col, n, hash_family)
+        .select(F.col(id_col), F.col("_h").alias("_g"))
+        .distinct()
+        .persist()
+    )
+    eg = (
+        word_gram_rows(eval_df, id_col, text_col, n, hash_family)
+        .select(F.col("_h").alias("_g"))
+        .distinct()
+    )
+    sizes = tg.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        tg.join(F.broadcast(eg), "_g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    out = (
+        sizes.join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_grams"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        )
+        .withColumn("contaminated", F.col("n_hits") >= F.lit(min_overlap))
+    )
+    return _finalize(out, tg)

@@ -73,3 +73,66 @@ def stratified_sample(
     for k, v in sorted(rates.items()):
         rate = F.when(F.col(strata_col) == k, F.lit(v)).otherwise(rate)
     return df.where(hash_fraction(key_cols, salt=salt, family=family) < rate)
+
+
+def mix_rates(
+    counts: dict[str, int], weights: dict[str, float]
+) -> dict[str, float]:
+    """Per-stratum keep rates that hit a target domain mixture exactly.
+
+    Given observed stratum sizes ``counts`` and RELATIVE target weights
+    ``weights`` (any positive scale — only ratios matter), return the
+    keep-rate per stratum that yields the LARGEST possible output whose
+    expected composition matches the target mix without upsampling: the
+    bottleneck stratum (min n/w) is kept in full, every other stratum is
+    downsampled to match. This is the standard water-filling solution used
+    to hit domain mixtures (web/books/code/...) in pretraining pipelines.
+
+    Rates are plain IEEE doubles computed as ``(T * w) / n`` with
+    ``T = min(n / w)`` — the exact expression shape the DuckDB oracle
+    replays, so membership decisions are bit-identical across engines.
+    """
+    missing = [s for s in weights if counts.get(s, 0) <= 0]
+    if missing:
+        raise ValueError(
+            f"strata in target mix but absent from data: {sorted(missing)}"
+        )
+    bad = [s for s, w in weights.items() if w <= 0]
+    if bad:
+        raise ValueError(f"non-positive target weights: {sorted(bad)}")
+    t = min(counts[s] / weights[s] for s in weights)
+    return {s: (t * weights[s]) / counts[s] for s in weights}
+
+
+def resample_to_mix(
+    df: DataFrame,
+    strata_col: str,
+    weights: dict[str, float],
+    key_cols: list[str],
+    salt: str = "",
+    family: str = "xxhash64",
+) -> DataFrame:
+    """Deterministically resample ``df`` to a target domain mixture.
+
+    Strata not named in ``weights`` are dropped (weight 0). Two Spark jobs:
+    a per-stratum count (tiny aggregate — one row per stratum, collected to
+    the driver exactly like MLlib's ``sampleByKeyExact``), then a pure
+    row-local hash filter with the literal per-stratum rate CASE chain —
+    no join, no extra shuffle, and parquet predicate pushdown on the
+    stratum column still applies. Membership is a pure function of
+    (salt, key), so the resample is reproducible and resumable across
+    runs and cluster sizes.
+    """
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(strata_col).count().collect()
+        if r[0] in weights
+    }
+    rates = mix_rates(counts, weights)
+    in_mix = F.col(strata_col).isin(*rates.keys())
+    rate = F.lit(0.0)
+    for s, v in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == s, F.lit(v)).otherwise(rate)
+    return df.where(
+        in_mix & (hash_fraction(key_cols, salt=salt, family=family) < rate)
+    )

@@ -507,3 +507,94 @@ def test_pii_scrub_and_counts(spark):
     assert rows[2]["n_ipv4"] == 2
     assert rows[3]["t"] == rows[3]["t"] and rows[3]["n_email"] == 0
     assert rows[3]["n_phone"] == 0 and rows[3]["n_ipv4"] == 0
+
+
+def test_shared_gram_frame_equivalence(spark, docs):
+    """Passing a precomputed char_gram_rows frame must give identical
+    results for winnowing, MinHash-LSH, and SimHash — the share-the-
+    shingles pipeline pattern."""
+    from kafka_delta_ingest_spark.operators.dedup import (
+        char_gram_rows,
+        minhash_near_dups,
+        simhash_near_dups,
+        winnow_fingerprints,
+    )
+
+    g = char_gram_rows(docs, "doc_id", "text", n=5).persist()
+    try:
+        w0 = {(r["doc_id"], tuple(r["fps"])) for r in winnow_fingerprints(docs).collect()}
+        w1 = {
+            (r["doc_id"], tuple(r["fps"]))
+            for r in winnow_fingerprints(docs, grams=g).collect()
+        }
+        assert w0 == w1 and w0
+
+        m0 = {(r["id_a"], r["id_b"]) for r in minhash_near_dups(docs).collect()}
+        m1 = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_near_dups(docs, grams=g).collect()
+        }
+        assert m0 == m1 and m0
+
+        s0 = {(r["id_a"], r["id_b"]) for r in simhash_near_dups(docs).collect()}
+        s1 = {
+            (r["id_a"], r["id_b"])
+            for r in simhash_near_dups(docs, grams=g).collect()
+        }
+        assert s0 == s1
+    finally:
+        g.unpersist()
+
+
+def test_decontaminate(spark):
+    from kafka_delta_ingest_spark.operators.dedup import decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "a completely unrelated sentence about spark plans"),
+            (3, "quick brown fox jumps over nothing at all today"),
+        ],
+        "doc_id int, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "we saw the quick brown fox jumps over a fence")],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in decontaminate(train, ev, n=3).collect()}
+    assert set(out) == {1, 2, 3}
+    # "quick brown fox", "brown fox jumps", "fox jumps over" shared
+    assert out[1]["contaminated"] and out[1]["n_hits"] >= 3
+    assert out[3]["contaminated"]
+    assert not out[2]["contaminated"] and out[2]["n_hits"] == 0
+    assert out[2]["n_grams"] == 5  # 7 words -> 5 trigrams
+
+
+def test_mix_rates_waterfill():
+    from kafka_delta_ingest_spark.operators.sampling import mix_rates
+
+    # b is the bottleneck (n/w: a=100, b=50): keep all of b, half of a
+    r = mix_rates({"a": 100, "b": 50, "ignored": 7}, {"a": 1.0, "b": 1.0})
+    assert r == {"a": 0.5, "b": 1.0}
+    with pytest.raises(ValueError, match="absent"):
+        mix_rates({"a": 10}, {"a": 1.0, "missing": 1.0})
+    with pytest.raises(ValueError, match="non-positive"):
+        mix_rates({"a": 10}, {"a": -1.0})
+
+
+def test_resample_to_mix_deterministic(spark):
+    from kafka_delta_ingest_spark.operators.sampling import resample_to_mix
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 3 else "b") for i in range(600)], "id int, s string"
+    )
+    kw = dict(
+        strata_col="s", weights={"a": 3.0, "b": 1.0}, key_cols=["id"], salt="t"
+    )
+    out1 = {r["id"] for r in resample_to_mix(df, **kw).collect()}
+    out2 = {r["id"] for r in resample_to_mix(df.repartition(7), **kw).collect()}
+    assert out1 == out2 and out1  # membership independent of partitioning
+    # strata not in the target mix are dropped entirely
+    df2 = df.union(spark.createDataFrame([(10_000, "c")], "id int, s string"))
+    out3 = resample_to_mix(df2, **kw)
+    assert out3.where(F.col("s") == "c").count() == 0
