@@ -585,6 +585,33 @@ def q_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source")
 
 
+def q_curation_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full curation pipeline verdicts (pipelines/curate.py curate_flags):
+    exact-dup via content fingerprint, near-dup via word-trigram Jaccard
+    graph + connected components, decontamination vs the doc_id%97 eval
+    set, quality threshold 0.62 — one flag column each, per document. The
+    oracle composes the fingerprint window, the replayed Jaccard pipeline
+    + recursive-CTE closure, the gram-overlap check, and the quality
+    expression into ONE statement."""
+    from kafka_delta_ingest_spark.pipelines.curate import curate_flags
+
+    d = load_table(spark, sf_dir, "documents")
+    ev = d.where(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    out = curate_flags(
+        d,
+        ev,
+        ngram_n=3,
+        jaccard_threshold=0.8,
+        decontam_n=5,
+        quality_min=0.62,
+        hash_family="md5",
+    )
+    return out.select(
+        "doc_id", "source", "exact_dup", "near_dup", "contaminated",
+        "low_quality",
+    )
+
+
 # ------------------------------------------------- training-data queries
 
 def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -938,6 +965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "decontam": q_decontam,
         "mix_resample": q_mix_resample,
+        "curation_verdicts": q_curation_verdicts,
         # training-data ops
         "exact_dedup_docs": q_exact_dedup_docs,
         "doc_fingerprints": q_doc_fingerprints,
@@ -1240,8 +1268,8 @@ _DECONTAM_SQL = """
     grams AS (
       SELECT DISTINCT doc_id, array_to_string(w[i:i+{nm1}], ' ') AS g FROM pos
     ),
-    eg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
-    tg AS (SELECT doc_id, g FROM grams WHERE doc_id % 97 <> 0),
+    eg AS (SELECT DISTINCT g FROM grams WHERE {eval_pred}),
+    tg AS (SELECT doc_id, g FROM grams WHERE {train_pred}),
     sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM tg GROUP BY doc_id),
     hits AS (
       SELECT doc_id, COUNT(*) AS n_hits FROM tg JOIN eg USING (g)
@@ -1268,6 +1296,63 @@ def _nibble_frac_sql(hx: str) -> str:
         )
         + " AS DOUBLE) / 4294967296.0"
     )
+
+
+def _curation_verdicts_oracle() -> str:
+    """One statement composing every curate_flags stage: md5-fingerprint
+    window for exact dups, the full ngram-Jaccard pair replay + recursive
+    transitive closure for near-dup groups, the eval-gram overlap check
+    (train side = whole corpus), and the quality expression vs 0.62."""
+    pairs = _NGRAM_JACCARD_SQL.format(
+        norm=_NORM_SQL, nm1=2, max_df=200, threshold=0.8
+    )
+    contam = _DECONTAM_SQL.format(
+        norm=_NORM_SQL, nm1=4, min_overlap=1,
+        eval_pred="doc_id % 97 = 0", train_pred="TRUE",
+    )
+    return f"""
+        WITH RECURSIVE pr AS MATERIALIZED (
+          SELECT id_a, id_b FROM ({pairs}) t
+        ),
+        edges AS MATERIALIZED (
+          SELECT id_a AS a, id_b AS b FROM pr
+          UNION
+          SELECT id_b, id_a FROM pr
+        ),
+        reach(n, m) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT reach.n, e.b FROM reach JOIN edges e ON reach.m = e.a
+        ),
+        grp AS (
+          SELECT n AS doc_id, LEAST(n, MIN(m)) AS group_id
+          FROM reach GROUP BY n
+        ),
+        fp AS (SELECT doc_id, md5({_NORM_SQL}) AS f FROM documents),
+        ex AS (
+          SELECT doc_id,
+                 (ROW_NUMBER() OVER (PARTITION BY f ORDER BY doc_id)) > 1
+                   AS exact_dup
+          FROM fp
+        ),
+        co AS MATERIALIZED (
+          SELECT doc_id, contaminated FROM ({contam}) c
+        ),
+        q AS (
+          SELECT doc_id, ({_QUALITY_SQL}) < 0.62 AS low_quality
+          FROM (SELECT doc_id, text, ' ' || lower(text) || ' ' AS p
+                FROM documents)
+        )
+        SELECT d.doc_id, d.source, e.exact_dup,
+               COALESCE(g.group_id <> d.doc_id, FALSE) AS near_dup,
+               COALESCE(co.contaminated, FALSE) AS contaminated,
+               q.low_quality
+        FROM documents d
+        JOIN ex e USING (doc_id)
+        LEFT JOIN grp g USING (doc_id)
+        LEFT JOIN co USING (doc_id)
+        JOIN q USING (doc_id)
+    """
 
 
 def _mix_resample_oracle_sql() -> str:
@@ -1535,8 +1620,12 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type ORDER BY event_type
         """,
         "pii_scrub": _pii_oracle_sql(),
-        "decontam": _DECONTAM_SQL.format(norm=_NORM_SQL, nm1=4, min_overlap=1),
+        "decontam": _DECONTAM_SQL.format(
+            norm=_NORM_SQL, nm1=4, min_overlap=1,
+            eval_pred="doc_id % 97 = 0", train_pred="doc_id % 97 <> 0",
+        ),
         "mix_resample": _mix_resample_oracle_sql(),
+        "curation_verdicts": _curation_verdicts_oracle(),
         "exact_dedup_docs": f"""
             SELECT doc_id, source, n_chars FROM (
               SELECT doc_id, source, n_chars,
