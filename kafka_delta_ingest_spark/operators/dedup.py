@@ -689,6 +689,7 @@ def decontaminate(
     n: int = 8,
     min_overlap: int = 1,
     hash_family: str = "xxhash64",
+    materialize: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination: flag training documents that share any
     word-``n``-gram with an evaluation/benchmark set (the GPT-3 appendix-C
@@ -711,13 +712,17 @@ def decontaminate(
     family) so the broadcast table is longs, not strings — same
     gram-set-identity argument as ngram_jaccard_pairs; the DuckDB oracle
     replays raw gram strings.
+
+    ``materialize=False`` returns the lazy plan (no persist/checkpoint) —
+    for plan inspection or composition into a larger single-pass job.
     """
     tg = (
         word_gram_rows(train, id_col, text_col, n, hash_family)
         .select(F.col(id_col), F.col("_h").alias("_g"))
         .distinct()
-        .persist()
     )
+    if materialize:
+        tg = tg.persist()
     eg = (
         word_gram_rows(eval_df, id_col, text_col, n, hash_family)
         .select(F.col("_h").alias("_g"))
@@ -738,4 +743,6 @@ def decontaminate(
         )
         .withColumn("contaminated", F.col("n_hits") >= F.lit(min_overlap))
     )
+    if not materialize:
+        return out
     return _finalize(out, tg)

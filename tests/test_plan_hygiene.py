@@ -14,6 +14,7 @@ building a table first; their plans are audited in tools/explain_plans.py.
 """
 
 import pytest
+from pyspark.sql import functions as F
 
 import __spark_entry__ as entrymod
 
@@ -40,6 +41,11 @@ PLANNED = [
     "ivf_topk",
     "embedding_near_dups",
     "embedding_near_dups_exact",
+    "pii_scrub",
+    "event_props_rollup",
+    "decontam",
+    "mix_resample",
+    "curation_verdicts",
 ]
 
 # ann/exact pair scoring is an intentional broadcast nested-loop (queries
@@ -58,3 +64,24 @@ def test_no_degraded_operators(spark, name):
         assert "BroadcastNestedLoopJoin" not in plan, (
             f"{name}: non-equi join fell back to nested loop"
         )
+
+
+def test_decontam_broadcasts_eval_grams(spark):
+    """The eval gram set must reach the train-gram join as a broadcast —
+    the corpus-side gram rows must never shuffle for the contamination
+    check."""
+    from kafka_delta_ingest_spark.operators.dedup import decontaminate
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    ev = d.where(F.col("doc_id") % 97 == 0)
+    df = decontaminate(d, ev, n=5, materialize=False)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_mix_resample_filter_is_row_local(spark):
+    """After the driver-side rate computation, membership is a pure filter:
+    no exchange in the surviving plan (scan -> filter -> project only)."""
+    df = entrymod.queries()["mix_resample"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
