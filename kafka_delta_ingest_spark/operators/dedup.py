@@ -292,11 +292,14 @@ def minhash_near_dups(
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
 
-    The gram frame is computed ONCE and persisted — both the signature
-    pass and the exact-Jaccard shingle sets consume it (round-3: the two
-    branches used to shingle the corpus independently). Pass ``grams`` (a
-    matching ``char_gram_rows`` frame, ideally already persisted) to share
-    it with sibling operators; caller-provided frames are not unpersisted.
+    ``grams``: optional precomputed ``char_gram_rows`` frame shared with
+    sibling operators (caller manages its persistence). When omitted, the
+    signature and Jaccard-verify branches each recompute the gram explode
+    — deliberately: the explode+hash is cheap and stays inside one
+    whole-stage-codegen pipeline per branch, while persisting the ~2
+    orders-of-magnitude-larger exploded frame was measured 4-5x SLOWER at
+    sf0.1 (cache materialization + storage pressure beat the recompute;
+    244 s vs 60 s md5 family, 57 s vs 10 s xxhash64).
 
     LSH banding for candidates; exact Jaccard on shingle sets verifies.
     The signature and shingle-set frames are persisted: the band self-join
@@ -315,9 +318,8 @@ def minhash_near_dups(
     confined to pathological cliques — the documented tradeoff every
     production LSH dedup makes."""
     rows_per_band = num_perm // bands
-    own_grams = grams is None
-    if own_grams:
-        grams = char_gram_rows(df, id_col, text_col, shingle_n, hash_family).persist()
+    if grams is None:
+        grams = char_gram_rows(df, id_col, text_col, shingle_n, hash_family)
     sigs = minhash_signatures(
         df, id_col, text_col, num_perm, shingle_n, hash_family, grams=grams
     ).persist()
@@ -385,8 +387,7 @@ def minhash_near_dups(
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    cached = [sigs, banded, sh] + ([grams] if own_grams else [])
-    return _finalize(verified, *cached)
+    return _finalize(verified, sigs, banded, sh)
 
 
 def ngram_jaccard_pairs(
@@ -713,36 +714,34 @@ def decontaminate(
     gram-set-identity argument as ngram_jaccard_pairs; the DuckDB oracle
     replays raw gram strings.
 
-    ``materialize=False`` returns the lazy plan (no persist/checkpoint) —
-    for plan inspection or composition into a larger single-pass job.
+    ``materialize=False`` returns the lazy plan (no checkpoint) — for plan
+    inspection or composition into a larger single-pass job.
+
+    Plan shape: the train gram frame is consumed ONCE — a left broadcast
+    join tags each distinct train gram with a hit marker, and a single
+    groupBy produces both the gram count and the hit count. No persist, no
+    second aggregation, no frame-vs-frame join of per-doc counts.
     """
     tg = (
         word_gram_rows(train, id_col, text_col, n, hash_family)
         .select(F.col(id_col), F.col("_h").alias("_g"))
         .distinct()
     )
-    if materialize:
-        tg = tg.persist()
     eg = (
         word_gram_rows(eval_df, id_col, text_col, n, hash_family)
         .select(F.col("_h").alias("_g"))
         .distinct()
-    )
-    sizes = tg.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
-    hits = (
-        tg.join(F.broadcast(eg), "_g")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .withColumn("_hit", F.lit(1))
     )
     out = (
-        sizes.join(hits, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.col("n_grams"),
-            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        tg.join(F.broadcast(eg), "_g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("_hit").alias("n_hits"),
         )
         .withColumn("contaminated", F.col("n_hits") >= F.lit(min_overlap))
     )
     if not materialize:
         return out
-    return _finalize(out, tg)
+    return _finalize(out)
