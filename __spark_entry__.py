@@ -390,6 +390,28 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP grouping sets — per (returnflag,
+    linestatus), per returnflag, and grand total in one aggregation pass
+    (Catalyst expands the grouping sets; one shuffle). Decimal-exact sums;
+    subtotal NULLs coalesced to 'ALL' on both sides (the flags are never
+    NULL in data, so the label is unambiguous)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum(F.col("l_quantity"), 6).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("rf"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("ls"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
 def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-join with broadcast dims (nation/region are tiny — the plan
     must show BroadcastHashJoin, no shuffle of lineitem beyond the agg)."""
@@ -966,6 +988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam": q_decontam,
         "mix_resample": q_mix_resample,
         "curation_verdicts": q_curation_verdicts,
+        "rollup_pricing": q_rollup_pricing,
         # training-data ops
         "exact_dedup_docs": q_exact_dedup_docs,
         "doc_fingerprints": q_doc_fingerprints,
@@ -1626,6 +1649,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "mix_resample": _mix_resample_oracle_sql(),
         "curation_verdicts": _curation_verdicts_oracle(),
+        "rollup_pricing": """
+            SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+                   COALESCE(l_linestatus, 'ALL') AS ls,
+                   CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 6)
+                        AS DOUBLE) AS sum_qty,
+                   COUNT(*) AS n
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
         "exact_dedup_docs": f"""
             SELECT doc_id, source, n_chars FROM (
               SELECT doc_id, source, n_chars,

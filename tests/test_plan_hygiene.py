@@ -46,6 +46,7 @@ PLANNED = [
     "decontam",
     "mix_resample",
     "curation_verdicts",
+    "rollup_pricing",
 ]
 
 # ann/exact pair scoring is an intentional broadcast nested-loop (queries
