@@ -412,6 +412,83 @@ def q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every purchase event, the most recent click by the
+    same user at or before it. Implemented as union + running last_value
+    (ONE shuffle on user_id, linear window — see operators/temporal.py);
+    the oracle replays it with DuckDB's NATIVE ASOF LEFT JOIN, a genuinely
+    independent engine path. Output is ids + epoch-micros gap only."""
+    from kafka_delta_ingest_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    return asof_join(
+        left, right, on="user_id", ts="ts", left_id="event_id",
+        right_id="event_id",
+    )
+
+
+BM25_TERMS = ["merge", "vector", "spark"]
+
+
+def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rational-idf BM25 relevance over documents (log-free so the score
+    arithmetic is bit-identical across engines; the per-term score SQL is
+    instantiated from ONE shared template on both sides — see
+    operators/relevance.py)."""
+    from kafka_delta_ingest_spark.operators.relevance import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_scores(docs, BM25_TERMS)
+
+
+def _bm25_oracle_sql() -> str:
+    from kafka_delta_ingest_spark.operators.relevance import score_sql
+
+    tf_exprs = ",\n           ".join(
+        f"CAST(len(list_filter(string_split(lower(text), ' '), "
+        f"x -> x = '{t}')) AS BIGINT) AS tf_{t}"
+        for t in BM25_TERMS
+    )
+    df_exprs = ",\n           ".join(
+        f"CAST(SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT) "
+        f"AS df_{t}"
+        for t in BM25_TERMS
+    )
+    avgdl = "(CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    scores = " + ".join(
+        score_sql(
+            n="CAST(n_docs AS DOUBLE)",
+            df=f"CAST(df_{t} AS DOUBLE)",
+            tf=f"CAST(tf_{t} AS DOUBLE)",
+            dl="CAST(dl AS DOUBLE)",
+            avgdl=avgdl,
+        )
+        for t in BM25_TERMS
+    )
+    tf_cols = ", ".join(f"tf_{t}" for t in BM25_TERMS)
+    return f"""
+        WITH per_doc AS (
+          SELECT doc_id,
+           {tf_exprs},
+           CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl
+          FROM documents
+        ), stats AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           {df_exprs},
+           CAST(SUM(dl) AS BIGINT) AS sum_dl
+          FROM per_doc
+        )
+        SELECT doc_id, {tf_cols}, dl, ({scores}) AS score
+        FROM per_doc CROSS JOIN stats
+    """
+
+
 def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-join with broadcast dims (nation/region are tiny — the plan
     must show BroadcastHashJoin, no shuffle of lineitem beyond the agg)."""
@@ -989,6 +1066,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_resample": q_mix_resample,
         "curation_verdicts": q_curation_verdicts,
         "rollup_pricing": q_rollup_pricing,
+        "asof_join_events": q_asof_join_events,
+        "bm25_scores": q_bm25_scores,
         # training-data ops
         "exact_dedup_docs": q_exact_dedup_docs,
         "doc_fingerprints": q_doc_fingerprints,
@@ -1658,6 +1737,21 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             GROUP BY ROLLUP(l_returnflag, l_linestatus)
         """,
+        "asof_join_events": """
+            WITH r AS (
+              SELECT user_id, ts, MAX(event_id) AS matched_event_id
+              FROM events WHERE event_type = 'click'
+              GROUP BY user_id, ts
+            ), l AS (
+              SELECT event_id, user_id, ts
+              FROM events WHERE event_type = 'purchase'
+            )
+            SELECT l.event_id, l.user_id, r.matched_event_id,
+                   CAST(epoch_us(l.ts) - epoch_us(r.ts) AS BIGINT) AS gap_us
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "bm25_scores": _bm25_oracle_sql(),
         "exact_dedup_docs": f"""
             SELECT doc_id, source, n_chars FROM (
               SELECT doc_id, source, n_chars,

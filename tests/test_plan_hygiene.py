@@ -47,12 +47,20 @@ PLANNED = [
     "mix_resample",
     "curation_verdicts",
     "rollup_pricing",
+    "asof_join_events",
+    "bm25_scores",
 ]
 
 # ann/exact pair scoring is an intentional broadcast nested-loop (queries
 # or one self-join side broadcast, corpus never shuffles); everything else
 # must keep equi-join conditions
-NESTED_LOOP_OK = {"ann_topk", "embedding_near_dups_exact", "ann_lsh_selfhit"}
+NESTED_LOOP_OK = {
+    "ann_topk",
+    "embedding_near_dups_exact",
+    "ann_lsh_selfhit",
+    # 1-row corpus-stats broadcast cross join (the two-pass BM25 shape)
+    "bm25_scores",
+}
 
 
 @pytest.mark.parametrize("name", PLANNED)
