@@ -489,6 +489,57 @@ def _bm25_oracle_sql() -> str:
     """
 
 
+EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def q_pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event_type columns in one aggregation pass. The
+    pivot VALUES are an explicit literal list — at 100 TB the implicit
+    form costs a full distinct-scan discovery job before planning even
+    starts. Decimal-exact sums; users missing a type get NULL (same as
+    SQL conditional aggregation)."""
+    ev = load_table(spark, sf_dir, "events")
+    piv = (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(_dec_sum(F.col("value"), 4))
+    )
+    return piv.select(
+        "user_id", *[F.col(t).alias(f"{t}_sum") for t in EVENT_TYPES]
+    )
+
+
+def q_range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join with NO equality key: event values against
+    overlapping, non-uniform value bands derived deterministically from
+    `part`. Implemented by bucket decomposition (operators/ranges.py) —
+    one equi-shuffle on the bucket instead of a nested loop; the oracle
+    replays the raw non-equi join, proving decomposition ≡ direct."""
+    from kafka_delta_ingest_spark.operators.ranges import point_in_interval_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    bands = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 50)
+        .select(
+            F.col("p_partkey").alias("band_id"),
+            (F.col("p_partkey") * 7 % 97).cast("double").alias("lo"),
+            (
+                F.col("p_partkey") * 7 % 97
+                + (F.col("p_partkey") % 13) + 1
+            ).cast("double").alias("hi"),
+        )
+    )
+    joined = point_in_interval_join(
+        ev, bands, point_col="value", lo_col="lo", hi_col="hi",
+        bucket_width=5.0,
+    )
+    return joined.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        _dec_sum(F.col("value"), 4).alias("value_sum"),
+    )
+
+
 def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-join with broadcast dims (nation/region are tiny — the plan
     must show BroadcastHashJoin, no shuffle of lineitem beyond the agg)."""
@@ -1068,6 +1119,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_pricing": q_rollup_pricing,
         "asof_join_events": q_asof_join_events,
         "bm25_scores": q_bm25_scores,
+        "pivot_event_values": q_pivot_event_values,
+        "range_join_value_bands": q_range_join_value_bands,
         # training-data ops
         "exact_dedup_docs": q_exact_dedup_docs,
         "doc_fingerprints": q_doc_fingerprints,
@@ -1752,6 +1805,33 @@ def oracle_sql() -> dict[str, str]:
               ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "bm25_scores": _bm25_oracle_sql(),
+        "pivot_event_values": """
+            SELECT user_id,
+                   """
+        + ",\n                   ".join(
+            f"CAST(ROUND(SUM(CASE WHEN event_type = '{t}' THEN "
+            f"CAST(value AS DECIMAL(18,6)) END), 4) AS DOUBLE) AS {t}_sum"
+            for t in EVENT_TYPES
+        )
+        + """
+            FROM events GROUP BY user_id
+        """,
+        "range_join_value_bands": """
+            WITH bands AS (
+              SELECT p_partkey AS band_id,
+                     CAST(p_partkey * 7 % 97 AS DOUBLE) AS lo,
+                     CAST(p_partkey * 7 % 97 + (p_partkey % 13) + 1
+                          AS DOUBLE) AS hi
+              FROM part WHERE p_partkey < 50
+            )
+            SELECT band_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_points,
+                   CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4)
+                        AS DOUBLE) AS value_sum
+            FROM events e JOIN bands b
+              ON e.value >= b.lo AND e.value < b.hi
+            GROUP BY band_id
+        """,
         "exact_dedup_docs": f"""
             SELECT doc_id, source, n_chars FROM (
               SELECT doc_id, source, n_chars,

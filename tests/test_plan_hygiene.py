@@ -49,6 +49,10 @@ PLANNED = [
     "rollup_pricing",
     "asof_join_events",
     "bm25_scores",
+    "pivot_event_values",
+    # bucket decomposition must keep this a hash equi-join — the whole
+    # point is that the naive plan would be BroadcastNestedLoopJoin
+    "range_join_value_bands",
 ]
 
 # ann/exact pair scoring is an intentional broadcast nested-loop (queries
