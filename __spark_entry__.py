@@ -1071,6 +1071,33 @@ def q_embedding_near_dups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("cos", 5).alias("cos_r"))
 
 
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup (Lee et al. 2021) at word-8-gram granularity:
+    every repeated ≥8-word run keeps its first (doc_id, pos) occurrence
+    and loses all others; documents are returned rebuilt without the
+    removed words. md5 family so DuckDB replays gram identity, winner
+    election, coverage, and reassembly byte-for-byte."""
+    from kafka_delta_ingest_spark.operators.dedup import span_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    return span_dedup(d, "doc_id", "text", k=8, hash_family="md5")
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents in doc_id order are
+    virtually concatenated and cut into 512-token context windows; each
+    doc reports its window id/offset/span. The operator's two-phase
+    distributed prefix sum (range partition → per-partition totals →
+    broadcast offsets) must equal the oracle's single global window
+    cumsum exactly — that equality IS the correctness claim."""
+    from kafka_delta_ingest_spark.operators.packing import pack_sequences
+    from kafka_delta_ingest_spark.operators.text import token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", token_count("text").alias("n_tok"))
+    return pack_sequences(toks, "doc_id", "n_tok", budget=512)
+
+
 # ------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1144,6 +1171,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_near_dups_exact": q_embedding_near_dups_exact,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "span_dedup": q_span_dedup,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -1601,6 +1630,84 @@ def _embedding_near_dups_oracle() -> str:
         FROM scored WHERE cos >= -1.0
         ORDER BY cos DESC, id_a, id_b LIMIT 10
     """
+
+
+# Full replay of span_dedup's pipeline: normalize/split, k-gram md5
+# occurrences with the same (doc_id*2^32 + pos) winner codes, duplicate
+# grams (count >= 2), coverage expansion, anti-join, ordered reassembly.
+# DuckDB zips the parallel unnest()s in `words`; the LEFT JOIN ... IS NULL
+# replays Spark's left_anti (right-side multiplicity irrelevant — matched
+# rows are discarded).
+_SPAN_DEDUP_SQL = """
+    WITH d AS (
+      SELECT doc_id, string_split({norm}, ' ') AS w FROM documents
+    ),
+    words AS (
+      SELECT doc_id, unnest(w) AS word, unnest(range(1, len(w) + 1)) AS i
+      FROM d
+    ),
+    occ AS (
+      SELECT doc_id, w,
+             unnest(range(1, greatest(len(w) - {k} + 1, 1) + 1)) AS i
+      FROM d
+    ),
+    g AS (
+      SELECT doc_id, i,
+             md5(array_to_string(w[i:i+{k}-1], ' ')) AS gh,
+             CAST(doc_id AS BIGINT) * 4294967296 + i AS code
+      FROM occ
+    ),
+    dup AS (
+      SELECT gh, MIN(code) AS win FROM g GROUP BY gh HAVING COUNT(*) >= 2
+    ),
+    rem AS (
+      SELECT g.doc_id, g.i FROM g JOIN dup USING (gh) WHERE g.code <> dup.win
+    ),
+    cov AS (
+      SELECT doc_id, unnest(range(i, i + {k})) AS i FROM rem
+    ),
+    kept AS (
+      SELECT w.doc_id, w.i, w.word
+      FROM words w LEFT JOIN (SELECT DISTINCT doc_id, i FROM cov) c
+        ON w.doc_id = c.doc_id AND w.i = c.i
+      WHERE c.doc_id IS NULL
+    ),
+    tot AS (SELECT doc_id, COUNT(*) AS n_words FROM words GROUP BY doc_id),
+    reb AS (
+      SELECT doc_id, string_agg(word, ' ' ORDER BY i) AS text,
+             COUNT(*) AS nk
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           COALESCE(r.text, '') AS text,
+           CAST(t.n_words AS BIGINT) AS n_words,
+           CAST(t.n_words - COALESCE(r.nk, 0) AS BIGINT) AS n_removed
+    FROM tot t LEFT JOIN reb r USING (doc_id)
+"""
+
+# pack_sequences oracle: ONE global window cumsum — deliberately the naive
+# plan, so the operator's distributed two-phase scan is checked against
+# the textbook definition. Integer // division matches Spark's DIV.
+_PACK_SEQUENCES_SQL = """
+    WITH t AS (
+      SELECT doc_id, CAST({tokcnt} AS BIGINT) AS n_tok FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tok,
+             CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS start_off
+      FROM t
+    )
+    SELECT doc_id, n_tok, start_off,
+           CAST(start_off // {b} AS BIGINT) AS seq_id,
+           CAST(start_off % {b} AS BIGINT) AS seq_offset,
+           CAST(CASE WHEN n_tok <= 0 THEN 1
+                     ELSE (start_off + n_tok - 1) // {b}
+                          - start_off // {b} + 1
+                END AS BIGINT) AS n_seqs
+    FROM c
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2068,6 +2175,8 @@ def oracle_sql() -> dict[str, str]:
             FROM common c JOIN sizes a ON a.doc_id = c.id_a
             WHERE c.shared >= a.n * 0.1
         """,
+        "span_dedup": _SPAN_DEDUP_SQL.format(norm=_NORM_SQL, k=8),
+        "pack_sequences": _PACK_SEQUENCES_SQL.format(tokcnt=_TOKCNT_SQL, b=512),
         "simhash_near_dups": _simhash_oracle_sql(),
         # connected components of the near-dup pair graph: recursive-CTE
         # transitive closure (small graph — pairs only, never the corpus),

@@ -191,6 +191,25 @@ def _warm_session(spark):
     )
 
 
+def _drop_leftover_blocks(spark):
+    """Release every persisted/localCheckpointed RDD between timed queries.
+
+    The dedup/ANN operators checkpoint their small result frames eagerly
+    (lineage truncation + cache release, round-2 ADVICE); the checkpoint
+    BLOCKS are only freed when the async ContextCleaner notices the RDD is
+    unreachable. Across 51 back-to-back queries the backlog grows into
+    executor-storage pressure that inflated late heavy queries 4-6x
+    (measured: near_dup_groups 480 s in-bench vs 80 s isolated, same
+    session config). A long-lived production session issues queries
+    seconds-to-minutes apart and never sees this; the bench must clean
+    deterministically so each number reflects the query, not the queue."""
+    spark.catalog.clearCache()
+    jsc = spark.sparkContext._jsc
+    for jrdd in list(jsc.getPersistentRDDs().values()):
+        jrdd.unpersist(True)
+    spark.sparkContext._jvm.System.gc()
+
+
 def run_queries(spark) -> dict:
     import __spark_entry__ as entrymod
 
@@ -206,8 +225,10 @@ def run_queries(spark) -> dict:
             df = fn(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.time() - t0, 3)
+            del df
         except Exception as e:  # noqa: BLE001
             timings[name] = f"error: {e}"[:120]
+        _drop_leftover_blocks(spark)
     return timings
 
 

@@ -745,3 +745,129 @@ def decontaminate(
     if not materialize:
         return out
     return _finalize(out)
+
+
+def span_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    hash_family: str = "xxhash64",
+    materialize: bool = True,
+) -> DataFrame:
+    """Exact-substring deduplication at word-``k``-gram granularity
+    (Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+    Better": remove repeated spans from all but one occurrence, keeping
+    the corpus' unique content). The suffix-array span finder of the paper
+    is replaced by the shuffle-native equivalent: any word-``k``-gram that
+    occurs ≥2 times corpus-wide marks its non-winning occurrences for
+    removal, so every repeated run of ≥k words loses all copies but one —
+    the same guarantee the paper's ≥50-token spans give, at gram
+    granularity, with no driver-side index.
+
+    Deterministic winner rule: the occurrence with the smallest
+    ``(doc_id, position)`` — encoded as the single long
+    ``doc_id * 2^32 + pos`` so the per-gram reduction is a ``min`` over a
+    primitive buffer (HashAggregate; a struct min would silently degrade
+    to SortAggregate). Valid for doc_id < 2^31 and < 2^32 words per doc.
+
+    Returns one row per document: ``(id_col, text, n_words, n_removed)``
+    where ``text`` is the surviving words in original order and
+    ``n_words`` counts the normalized input words.
+
+    Plan shape (one corpus pass + bounded joins):
+      1. words: posexplode of the normalized split — linear.
+      2. gram occurrences: one row per k-gram start, hashed JVM-side.
+      3. duplicate grams: groupBy gram hash → ``count ≥ 2`` + min
+         occurrence code. ONE shuffle on the hash; partial aggregation
+         map-side, so the exchange carries ≤1 row per distinct gram per
+         task, not per occurrence.
+      4. removal occurrences: occurrences ⋈ duplicate grams on the hash
+         (skew-safe: a gram repeated N times corpus-wide produces N rows
+         here, which is exactly the duplicated volume being removed).
+      5. covered word positions: posexplode of sequence(i, i+k-1) —
+         ≤k× the removal rows — then LEFT ANTI join against the word
+         rows. No distinct needed: anti join ignores right-side
+         multiplicity, saving a shuffle.
+      6. reassembly: groupBy doc → sort_array(collect_list(struct(pos,
+         word))) (ObjectHashAggregate — collect_list's designed path).
+
+    At 100 TB the duplicate-gram table (step 3 output) is the only
+    intermediate larger than the answer, and it shrinks with dedup
+    quality; every join key is a 64-bit hash or (doc, pos) long.
+
+    ``hash_family="md5"`` makes grams md5 hex so DuckDB replays the whole
+    pipeline byte-for-byte (the driver oracle); xxhash64 is the fast path.
+    """
+    code = (F.col(id_col).cast("long") * F.lit(4294967296).cast("long")
+            + F.col("_i").cast("long"))
+
+    norm = df.select(F.col(id_col), normalize_text(F.col(text_col)).alias("_norm"))
+    words_arr = F.split(F.col("_norm"), " ")
+    base = norm.select(F.col(id_col), words_arr.alias("_w"))
+
+    words = base.select(
+        F.col(id_col), F.posexplode(F.col("_w")).alias("_p0", "word")
+    ).select(F.col(id_col), (F.col("_p0") + 1).alias("_i"), "word")
+
+    occ_idx = F.sequence(F.lit(1), F.greatest(F.size("_w") - F.lit(k - 1), F.lit(1)))
+    occ = base.select(
+        F.col(id_col), F.col("_w"), F.explode(occ_idx).alias("_i")
+    ).select(
+        F.col(id_col),
+        F.col("_i"),
+        _gram_hash(
+            F.concat_ws(" ", F.slice(F.col("_w"), F.col("_i"), F.lit(k))), hash_family
+        ).alias("_h"),
+        code.alias("_code"),
+    )
+
+    dup = (
+        occ.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_cnt"), F.min("_code").alias("_win"))
+        .filter(F.col("_cnt") >= 2)
+        .select("_h", "_win")
+    )
+
+    removals = (
+        occ.join(dup, "_h")
+        .filter(F.col("_code") != F.col("_win"))
+        .select(F.col(id_col), F.col("_i"))
+    )
+
+    covered = removals.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("_i"), F.col("_i") + F.lit(k - 1))).alias("_i"),
+    )
+
+    kept = words.join(covered, [id_col, "_i"], "left_anti")
+
+    totals = words.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_words"))
+
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("_i", "word"))),
+                    lambda s: s["word"],
+                ),
+            ).alias("text"),
+            F.count(F.lit(1)).alias("_n_kept"),
+        )
+    )
+
+    out = (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+            F.col("n_words").cast("long").alias("n_words"),
+            (F.col("n_words") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+            .cast("long").alias("n_removed"),
+        )
+    )
+    if not materialize:
+        return out
+    return _finalize(out)

@@ -1,0 +1,137 @@
+"""span_dedup (exact-substring dedup) and pack_sequences (concat-and-chunk
+sequence packing) unit tests — hand-computable corpora, both hash families,
+and the partitioning-invariance claim pack_sequences' design rests on."""
+
+import pytest
+from pyspark.sql import functions as F
+
+WORDS = "w0 w1 w2 w3 w4 w5 w6 w7".split()
+
+
+def _doc(*idx):
+    return " ".join(WORDS[i % len(WORDS)] for i in idx)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    # doc 1 and doc 2 share an identical 8-word run; doc 3 is unique;
+    # doc 4 repeats doc 1's run a second time INSIDE itself.
+    shared = _doc(0, 1, 2, 3, 4, 5, 6, 7)
+    rows = [
+        (1, shared + " " + _doc(1, 3, 5, 7)),
+        (2, _doc(2, 4, 6) + " " + shared),
+        (3, _doc(7, 6, 5, 4, 3, 2, 1, 0, 7, 6)),
+        (4, shared + " " + shared),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.mark.parametrize("family", ["xxhash64", "md5"])
+def test_span_dedup_removes_all_but_first_occurrence(spark, docs, family):
+    from kafka_delta_ingest_spark.operators.dedup import span_dedup
+
+    out = {
+        r["doc_id"]: r
+        for r in span_dedup(docs, k=8, hash_family=family).collect()
+    }
+    # winner is the smallest (doc_id, pos): doc 1's copy survives intact
+    assert out[1]["n_removed"] == 0
+    assert out[1]["text"].startswith("w0 w1 w2 w3 w4 w5 w6 w7")
+    # doc 2 loses exactly the 8 shared words, keeps its prefix
+    assert out[2]["n_removed"] == 8
+    assert out[2]["text"] == _doc(2, 4, 6)
+    # unique doc untouched
+    assert out[3]["n_removed"] == 0
+    # doc 4: both of its copies are non-winning occurrences; the two
+    # 8-gram matches plus the bridging grams cover the whole doc
+    assert out[4]["n_removed"] == out[4]["n_words"]
+    assert out[4]["text"] == ""
+
+
+def test_span_dedup_families_agree(spark, docs):
+    from kafka_delta_ingest_spark.operators.dedup import span_dedup
+
+    a = {
+        (r["doc_id"], r["text"], r["n_words"], r["n_removed"])
+        for r in span_dedup(docs, k=8, hash_family="xxhash64").collect()
+    }
+    b = {
+        (r["doc_id"], r["text"], r["n_words"], r["n_removed"])
+        for r in span_dedup(docs, k=8, hash_family="md5").collect()
+    }
+    assert a == b
+
+
+def test_span_dedup_short_doc_exact_dup(spark):
+    from kafka_delta_ingest_spark.operators.dedup import span_dedup
+
+    # docs shorter than k dedupe as whole-text grams: the later copy empties
+    df = spark.createDataFrame(
+        [(10, "a b c"), (11, "a b c"), (12, "a b d")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in span_dedup(df, k=8).collect()}
+    assert out[10]["n_removed"] == 0
+    assert out[11]["text"] == "" and out[11]["n_removed"] == 3
+    assert out[12]["n_removed"] == 0
+
+
+def test_pack_sequences_arithmetic(spark):
+    from kafka_delta_ingest_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, 100), (2, 30), (3, 0), (4, 250), (5, 10)],
+        "doc_id long, n_tok long",
+    )
+    out = {r["doc_id"]: r for r in pack_sequences(df, budget=128).collect()}
+    assert (out[1]["start_off"], out[1]["seq_id"], out[1]["n_seqs"]) == (0, 0, 1)
+    # doc 2 starts at 100, ends at 129 -> spans windows 0 and 1
+    assert (out[2]["start_off"], out[2]["seq_id"], out[2]["seq_offset"],
+            out[2]["n_seqs"]) == (100, 0, 100, 2)
+    # zero-weight doc occupies no tokens but is placed (window 1 @ 130)
+    assert (out[3]["start_off"], out[3]["seq_id"], out[3]["n_seqs"]) == (130, 1, 1)
+    # doc 4 occupies [130, 379]: windows 1 ([128,255]) and 2 ([256,383])
+    assert (out[4]["start_off"], out[4]["seq_id"], out[4]["n_seqs"]) == (130, 1, 2)
+    assert (out[5]["start_off"], out[5]["seq_id"]) == (380, 2)
+
+
+def test_pack_sequences_partitioning_invariant(spark):
+    """The two-phase distributed prefix sum must equal the naive global
+    window cumsum for ANY incoming partitioning — the operator's whole
+    correctness claim."""
+    from pyspark.sql import Window
+    from kafka_delta_ingest_spark.operators.packing import pack_sequences
+
+    base = (
+        spark.range(0, 1000)
+        .select(
+            F.col("id").alias("doc_id"),
+            (F.xxhash64("id") % 97 + 97).alias("n_tok"),
+        )
+    )
+    naive_w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    naive = {
+        r["doc_id"]: r["start_off"]
+        for r in base.select(
+            "doc_id",
+            F.coalesce(F.sum("n_tok").over(naive_w), F.lit(0)).alias("start_off"),
+        ).collect()
+    }
+    for arrangement in (
+        base,
+        base.repartition(7, "n_tok"),
+        base.orderBy(F.desc("doc_id")).coalesce(1),
+    ):
+        got = {
+            r["doc_id"]: r["start_off"]
+            for r in pack_sequences(arrangement, budget=256).collect()
+        }
+        assert got == naive
+
+
+def test_pack_sequences_rejects_bad_budget(spark):
+    from kafka_delta_ingest_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame([(1, 5)], "doc_id long, n_tok long")
+    with pytest.raises(ValueError):
+        pack_sequences(df, budget=0)
