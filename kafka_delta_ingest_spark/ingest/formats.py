@@ -172,8 +172,80 @@ def confluent_wire_parts(bytes_col: str = "bytes") -> dict[str, Column]:
     return {"magic": magic, "schema_id": schema_id, "body": body}
 
 
+class SchemaRegistryClient:
+    """Confluent Schema Registry REST client — the network half of the
+    reference's registry deserializers (serialization.rs:229-294, which
+    delegate to the public schema_registry_converter crate hitting
+    ``GET {base}/schemas/ids/{id}``).
+
+    The HTTP transport is injectable: ``opener(url, headers) -> bytes``
+    lets tests (and air-gapped runs) drive the full client — URL
+    construction, auth header, JSON envelope parsing, negative-id
+    rejection, per-id memoization — without a socket. The default opener
+    is stdlib ``urllib`` with a bounded timeout.
+
+    Usable directly as the ``resolver`` argument of
+    :func:`deserialize_confluent_avro` (it is a 1-arg callable).
+    """
+
+    def __init__(
+        self,
+        base_url: str,
+        auth: tuple[str, str] | None = None,
+        timeout_s: float = 10.0,
+        opener=None,
+    ):
+        self.base_url = base_url.rstrip("/")
+        self.timeout_s = timeout_s
+        self._headers = {"Accept": "application/vnd.schemaregistry.v1+json"}
+        if auth is not None:
+            import base64
+
+            tok = base64.b64encode(f"{auth[0]}:{auth[1]}".encode()).decode()
+            self._headers["Authorization"] = f"Basic {tok}"
+        self._opener = opener or self._default_opener
+        self._cache: dict[int, str] = {}
+
+    def _default_opener(self, url: str, headers: dict) -> bytes:  # pragma: no cover
+        import urllib.request
+
+        req = urllib.request.Request(url, headers=headers)
+        with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+            return resp.read()
+
+    def __call__(self, schema_id: int) -> str:
+        return self.schema_by_id(schema_id)
+
+    def schema_by_id(self, schema_id: int) -> str:
+        """Avro schema JSON for a registry schema id (memoized: the live
+        id set of a topic is tiny and stable, so each id costs one GET
+        per process lifetime)."""
+        sid = int(schema_id)
+        if sid < 0:
+            raise ValueError(f"schema id must be non-negative, got {sid}")
+        if sid not in self._cache:
+            import json as _json
+
+            raw = self._opener(f"{self.base_url}/schemas/ids/{sid}", dict(self._headers))
+            body = _json.loads(raw.decode("utf-8") if isinstance(raw, bytes) else raw)
+            if "schema" not in body:
+                raise ValueError(
+                    f"registry response for id {sid} lacks 'schema': {body!r}"
+                )
+            self._cache[sid] = body["schema"]
+        return self._cache[sid]
+
+
 def lookup_registry_schema(schema_id: int) -> str:  # pragma: no cover
-    raise NotImplementedError(
-        "schema-registry lookup needs network access; inject a resolver "
-        "that maps schema_id -> Avro schema JSON"
-    )
+    """Convenience: resolve via ``$SCHEMA_REGISTRY_ENDPOINT``. Library code
+    should construct :class:`SchemaRegistryClient` (injectable transport)
+    instead."""
+    import os
+
+    endpoint = os.environ.get("SCHEMA_REGISTRY_ENDPOINT")
+    if not endpoint:
+        raise NotImplementedError(
+            "set SCHEMA_REGISTRY_ENDPOINT or inject a resolver that maps "
+            "schema_id -> Avro schema JSON"
+        )
+    return SchemaRegistryClient(endpoint)(schema_id)

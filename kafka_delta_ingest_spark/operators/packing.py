@@ -45,6 +45,7 @@ def pack_sequences(
     weight_col: str = "n_tok",
     budget: int = 2048,
     order_col: str | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Pack documents into ``budget``-token context windows.
 
@@ -53,6 +54,12 @@ def pack_sequences(
     ``(id_col, n_tok, start_off, seq_id, seq_offset, n_seqs)``, all
     counts BIGINT. A zero-weight document occupies no tokens but is
     assigned the window its offset falls in (``n_seqs = 1``).
+
+    ``materialize=False`` skips the range-cache persist and the result
+    checkpoint and returns the lazy plan — for plan inspection ONLY: an
+    unpersisted plan lets the range exchange re-sample boundaries between
+    the offsets job and the final job, so production callers must keep
+    the default.
     """
     order_col = order_col or id_col
     if budget <= 0:
@@ -69,7 +76,9 @@ def pack_sequences(
     # samples its input, and letting the exchange re-execute would let the
     # boundaries drift between the offset computation and the rows they
     # offset. One cache, two reads — released after the result is pinned.
-    with_pid = base.withColumn("_pid", F.spark_partition_id()).persist()
+    with_pid = base.withColumn("_pid", F.spark_partition_id())
+    if materialize:
+        with_pid = with_pid.persist()
 
     # Phase 1: per-partition totals — one row per partition, driver-sized.
     totals = (
@@ -119,6 +128,8 @@ def pack_sequences(
             f" END AS BIGINT)"
         ).alias("n_seqs"),
     )
+    if not materialize:
+        return result
     # Pin the (row-per-doc, all-longs) result, then drop the corpus-sized
     # range cache — same materialize-then-release shape as the dedup
     # operators (round-2 ADVICE: no persisted frame may outlive its call).

@@ -136,6 +136,59 @@ def test_confluent_avro_end_to_end(spark):
     assert parsed.count(None) == 2  # unknown id + bad magic → DLQ
 
 
+def test_schema_registry_client_transport_and_cache():
+    """Full REST client against a fake transport: URL shape, auth header,
+    envelope parse, memoization, and rejection paths — everything but the
+    socket (ref serialization.rs:229-294 → GET /schemas/ids/{id})."""
+    import pytest as _pytest
+
+    from kafka_delta_ingest_spark.ingest.formats import SchemaRegistryClient
+
+    calls = []
+
+    def opener(url, headers):
+        calls.append((url, headers))
+        if url.endswith("/99"):
+            return json.dumps({"error_code": 40403, "message": "not found"}).encode()
+        return json.dumps({"schema": json.dumps(_AVRO_SCHEMA)}).encode()
+
+    c = SchemaRegistryClient(
+        "http://registry.example:8081/", auth=("user", "pass"), opener=opener
+    )
+    s = c.schema_by_id(7)
+    assert json.loads(s) == _AVRO_SCHEMA
+    assert calls[0][0] == "http://registry.example:8081/schemas/ids/7"
+    assert calls[0][1]["Authorization"].startswith("Basic ")
+    # memoized: second lookup of the same id makes no HTTP call
+    assert c(7) == s and len(calls) == 1
+    with _pytest.raises(ValueError):
+        c.schema_by_id(99)  # envelope without 'schema'
+    with _pytest.raises(ValueError):
+        c.schema_by_id(-1)
+
+
+def test_confluent_avro_with_registry_client(spark):
+    """deserialize_confluent_avro accepts the client itself as resolver —
+    the production wiring, minus the socket."""
+    from kafka_delta_ingest_spark.ingest import avro_decode as av
+    from kafka_delta_ingest_spark.ingest.formats import (
+        SchemaRegistryClient,
+        deserialize_confluent_avro,
+    )
+
+    body = av._encode_datum(_AVRO_RECS[0], _AVRO_SCHEMA)
+    msg = b"\x00" + (7).to_bytes(4, "big") + body
+    df = spark.createDataFrame([(msg,)], "bytes binary")
+    client = SchemaRegistryClient(
+        "http://registry.example:8081",
+        opener=lambda url, headers: json.dumps(
+            {"schema": json.dumps(_AVRO_SCHEMA)}
+        ).encode(),
+    )
+    vals = [r["value"] for r in deserialize_confluent_avro(df, client).collect()]
+    assert json.loads(vals[0]) == _AVRO_RECS[0]
+
+
 def test_consumer_lag_rollups():
     lag = consumer_lag({0: 100, 1: 50, 2: 7}, {0: 89, 1: 49})
     assert lag["per_partition"] == {0: 10, 1: 0, 2: 7}

@@ -92,6 +92,38 @@ def test_decontam_broadcasts_eval_grams(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_span_dedup_plan_stays_hash_aggregated(spark):
+    """Winner election (min over the long occurrence code) and the totals
+    count must stay HashAggregate; reassembly's collect_list is
+    ObjectHashAggregate by design. No cartesian/nested-loop fallback —
+    every join is an equi-join on a hash or (doc, pos)."""
+    from kafka_delta_ingest_spark.operators.dedup import span_dedup
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = span_dedup(d, k=8, materialize=False)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortAggregate" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ObjectHashAggregate" in plan  # reassembly path
+
+
+def test_pack_sequences_plan_is_range_partitioned(spark):
+    """The prefix sum must ride ONE range exchange (stream order ==
+    partition order); the per-partition window must not collapse to a
+    single global sort partition."""
+    from kafka_delta_ingest_spark.operators.packing import pack_sequences
+    from kafka_delta_ingest_spark.operators.text import token_count
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    toks = d.select("doc_id", token_count("text").alias("n_tok"))
+    df = pack_sequences(toks, budget=512, materialize=False)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan
+    assert "SinglePartition" not in plan
+    assert "SortAggregate" not in plan
+
+
 def test_mix_resample_filter_is_row_local(spark):
     """After the driver-side rate computation, membership is a pure filter:
     no exchange in the surviving plan (scan -> filter -> project only)."""
