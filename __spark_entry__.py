@@ -1083,6 +1083,17 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dedup(d, "doc_id", "text", k=8, hash_family="md5")
 
 
+def q_unigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram LM scoring (CCNet-style filter, socket-free): mean corpus
+    frequency (ppm) of each doc's words. Per-word double division →
+    DECIMAL(18,6) → exact order-free sum — the hash-robust float
+    discipline every aggregation in this contract follows."""
+    from kafka_delta_ingest_spark.operators.text import unigram_freq_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    return unigram_freq_scores(d, "doc_id", "text")
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing: documents in doc_id order are
     virtually concatenated and cut into 512-token context windows; each
@@ -1173,6 +1184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "span_dedup": q_span_dedup,
         "pack_sequences": q_pack_sequences,
+        "unigram_freq": q_unigram_freq,
     }
 
 
@@ -2177,6 +2189,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         "span_dedup": _SPAN_DEDUP_SQL.format(norm=_NORM_SQL, k=8),
         "pack_sequences": _PACK_SEQUENCES_SQL.format(tokcnt=_TOKCNT_SQL, b=512),
+        # unigram LM scoring: per-word double division (IEEE-identical),
+        # DECIMAL(18,6) per row, exact order-free sum, final mean as one
+        # deterministic double division — no ROUND(SUM(double)) anywhere.
+        "unigram_freq": f"""
+            WITH words AS (
+              SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS word
+              FROM documents
+            ),
+            wc AS (SELECT word, COUNT(*) AS cnt FROM words GROUP BY word),
+            tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM wc),
+            f AS (
+              SELECT w.doc_id,
+                     CAST(CAST(wc.cnt AS DOUBLE) * 1000000.0
+                          / CAST(t.total AS DOUBLE) AS DECIMAL(18,6)) AS fr
+              FROM words w JOIN wc USING (word) CROSS JOIN tot t
+            )
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_words,
+                   CAST(SUM(fr) AS DOUBLE) AS freq_ppm_sum,
+                   CAST(SUM(fr) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                     AS avg_freq_ppm
+            FROM f GROUP BY doc_id
+        """,
         "simhash_near_dups": _simhash_oracle_sql(),
         # connected components of the near-dup pair graph: recursive-CTE
         # transitive closure (small graph — pairs only, never the corpus),

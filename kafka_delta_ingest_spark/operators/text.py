@@ -258,3 +258,58 @@ def pii_counts(text: Column | str) -> list[Column]:
         F.regexp_count(col, F.lit(pat)).cast("int").alias(f"n_{name}")
         for name, pat in PII_PATTERNS
     ]
+
+
+def unigram_freq_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Unigram language-model scoring: each document's mean corpus
+    frequency of its words, in parts-per-million — the socket-free stand-in
+    for CCNet-style LM filtering (CCNet scores docs with a KenLM 5-gram
+    model; the unigram model is the variant computable from the corpus
+    itself with no external artifact). Low score = rare/OOV-heavy text,
+    high score = common/boilerplate words; both tails are curation filter
+    candidates.
+
+    Returns ``(id_col, n_words, freq_ppm_sum, avg_freq_ppm)``.
+
+    Hash-robust float discipline (round-2 lesson): the per-word frequency
+    ``cnt * 1e6 / total`` is ONE double division (IEEE-identical in any
+    engine), immediately cast to DECIMAL(18,6) per row, then summed
+    exactly — the sum is order-free, so the result survives any partition
+    or plan change bit-for-bit. The final mean divides the exact sum (as
+    double) by the word count: deterministic inputs → deterministic IEEE
+    output, no ROUND needed.
+
+    Plan shape: one explode pass; word counts via hash aggregation (the
+    shuffle carries one row per distinct word per task — map-side partial
+    combine); the 1-row corpus total joins as a broadcast cross (the BM25
+    stats shape); per-doc reduce is the only other shuffle.
+    """
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("word"),
+    )
+    wc = words.groupBy("word").agg(F.count(F.lit(1)).alias("_cnt"))
+    tot = wc.agg(F.sum("_cnt").cast("long").alias("_total"))
+    freq = (
+        F.col("_cnt").cast("double") * F.lit(1000000.0) / F.col("_total").cast("double")
+    ).cast("decimal(18,6)")
+    return (
+        words.join(wc, "word")
+        .join(F.broadcast(tot))
+        .select(F.col(id_col), freq.alias("_f"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("_f").alias("_fs"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_words"),
+            F.col("_fs").cast("double").alias("freq_ppm_sum"),
+            (F.col("_fs").cast("double") / F.col("n_words").cast("double")).alias(
+                "avg_freq_ppm"
+            ),
+        )
+    )

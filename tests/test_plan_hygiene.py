@@ -53,6 +53,7 @@ PLANNED = [
     # bucket decomposition must keep this a hash equi-join — the whole
     # point is that the naive plan would be BroadcastNestedLoopJoin
     "range_join_value_bands",
+    "unigram_freq",
 ]
 
 # ann/exact pair scoring is an intentional broadcast nested-loop (queries
@@ -64,6 +65,7 @@ NESTED_LOOP_OK = {
     "ann_lsh_selfhit",
     # 1-row corpus-stats broadcast cross join (the two-pass BM25 shape)
     "bm25_scores",
+    "unigram_freq",
 }
 
 

@@ -135,3 +135,19 @@ def test_pack_sequences_rejects_bad_budget(spark):
     df = spark.createDataFrame([(1, 5)], "doc_id long, n_tok long")
     with pytest.raises(ValueError):
         pack_sequences(df, budget=0)
+
+
+def test_unigram_freq_scores_hand_computed(spark):
+    from kafka_delta_ingest_spark.operators.text import unigram_freq_scores
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in unigram_freq_scores(df).collect()}
+    # corpus: a:2 b:2 c:1, total 5 -> a,b = 400000 ppm, c = 200000 ppm
+    assert out[1]["n_words"] == 3
+    assert out[1]["freq_ppm_sum"] == pytest.approx(1_200_000.0)
+    assert out[1]["avg_freq_ppm"] == pytest.approx(400_000.0)
+    assert out[2]["n_words"] == 2
+    assert out[2]["freq_ppm_sum"] == pytest.approx(600_000.0)
+    assert out[2]["avg_freq_ppm"] == pytest.approx(300_000.0)
