@@ -961,8 +961,9 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ivf_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-5 with k-means-TRAINED centroids (2 Lloyd iterations,
-    deterministic sampled init). Rows-only: the iterative training loop
-    is not single-statement SQL; recall/equivalence is pytest-covered."""
+    deterministic sampled init, exact quantized means). Hash-checked: the
+    oracle unrolls both Lloyd iterations in SQL and reproduces the
+    centroids bit-for-bit (see kmeans_centroids docstring)."""
     from kafka_delta_ingest_spark.operators.similarity import (
         ivf_topk,
         kmeans_centroids,
@@ -1419,6 +1420,95 @@ def _lsh_tables_cte(n_planes: int, n_tables: int, seed_base: int) -> str:
             f"SELECT vec_id, v, {t} AS t, {_duck_lsh_bucket('v', planes)} AS b FROM e"
         )
     return "\n          UNION ALL ".join(selects)
+
+
+def _ivf_trained_iter_ctes(i: int, n_centroids: int) -> str:
+    """One unrolled Lloyd iteration as CTE text: argmax-cosine assignment
+    against cent{i-1}, exact quantized element-wise mean (floor(x*1e6)
+    BIGINT sum → one double division — the identical arithmetic
+    kmeans_centroids runs, see similarity.py kmeans_centroids docstring),
+    and cent{i} with empty cells keeping their previous centroid."""
+    return f"""
+        assign{i} AS (
+          SELECT vec_id, v, cid AS cell FROM (
+            SELECT e.vec_id, e.v, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                     list_cosine_similarity(e.v, c.cvec) DESC, c.cid) AS rn
+            FROM e CROSS JOIN cent{i - 1} c
+          ) WHERE rn = 1
+        ),
+        comp{i} AS (
+          SELECT cell, pos,
+                 CAST(SUM(CAST(FLOOR(x * 1000000.0) AS BIGINT)) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) / 1000000.0 AS m
+          FROM (
+            SELECT cell,
+                   unnest(generate_series(0, len(v) - 1)) AS pos,
+                   unnest(v) AS x
+            FROM assign{i}
+          ) GROUP BY cell, pos
+        ),
+        cent{i} AS (
+          SELECT c.cid, COALESCE(m.mv, c.cvec) AS cvec
+          FROM cent{i - 1} c LEFT JOIN (
+            SELECT cell AS cid, list(m ORDER BY pos) AS mv
+            FROM comp{i} GROUP BY cell
+          ) m USING (cid)
+        )"""
+
+
+def _ivf_trained_oracle_sql(
+    n_centroids: int = 16, iters: int = 2, n_probe: int = 4, k: int = 5
+) -> str:
+    """Full replay of q_ivf_topk_trained: deterministic md5-sample init
+    (ids 0..k-1 in sample order, mirroring kmeans_centroids' re-numbering),
+    ``iters`` unrolled Lloyd iterations with the exact quantized means, then
+    the standard IVF probe + re-rank over the trained centroids — the same
+    final stage as the ivf_topk oracle."""
+    iter_ctes = ",".join(
+        _ivf_trained_iter_ctes(i, n_centroids) for i in range(1, iters + 1)
+    )
+    last = f"cent{iters}"
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        cent0 AS (
+          SELECT ROW_NUMBER() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
+                 CAST(embedding AS DOUBLE[]) AS cvec
+          FROM (
+            SELECT vec_id, embedding FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_centroids}
+          )
+        ),
+        {iter_ctes},
+        afinal AS (
+          SELECT vec_id, v, cid AS cell FROM (
+            SELECT e.vec_id, e.v, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                     list_cosine_similarity(e.v, c.cvec) DESC, c.cid) AS rn
+            FROM e CROSS JOIN {last} c
+          ) WHERE rn = 1
+        ),
+        probes AS (
+          SELECT q_id, q_vec, cid AS cell FROM (
+            SELECT e.vec_id AS q_id, e.v AS q_vec, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                     list_cosine_similarity(e.v, c.cvec) DESC, c.cid) AS rn
+            FROM e CROSS JOIN {last} c
+            WHERE e.vec_id < 5
+          ) WHERE rn <= {n_probe}
+        )
+        SELECT q_id, vec_id, ROUND(cos, 5) AS cos_r, rank FROM (
+          SELECT p.q_id, a.vec_id,
+                 list_cosine_similarity(p.q_vec, a.v) AS cos,
+                 ROW_NUMBER() OVER (PARTITION BY p.q_id ORDER BY
+                   list_cosine_similarity(p.q_vec, a.v) DESC,
+                   a.vec_id) AS rank
+          FROM probes p JOIN afinal a ON p.cell = a.cell
+        ) WHERE rank <= {k}
+    """
 
 
 def _pii_oracle_sql() -> str:
@@ -2245,11 +2335,14 @@ def oracle_sql() -> dict[str, str]:
         # trick as the IVF centroid oracle)
         "ann_lsh_selfhit": _ann_lsh_selfhit_oracle(),
         "embedding_near_dups": _embedding_near_dups_oracle(),
+        # trained IVF: both Lloyd iterations unrolled in SQL — exact
+        # quantized means make the centroids engine-independent
+        "ivf_topk_trained": _ivf_trained_oracle_sql(
+            n_centroids=16, iters=2, n_probe=4, k=5
+        ),
         # remaining rows-only (each with a reason):
         # - minhash_near_dups_fast / simhash_near_dups_fast: xxhash64 has no
         #   DuckDB equivalent; pytest asserts pair-set equality with the
         #   oracle-checked md5 family on the same corpus
         #   (tests/test_operators.py::test_fast_families_match_md5_pairs).
-        # - ivf_topk_trained: iterative k-means training is not a single
-        #   SQL statement; pytest covers trained-centroid equivalence.
     }

@@ -292,7 +292,16 @@ def kmeans_centroids(
     linear, skew-free), and only the k×dim means cross to the driver.
     Init = the deterministic md5 sample, so results are reproducible at
     any parallelism. Cells that lose all members keep their previous
-    centroid. Returns (centroid_id, vector) with ids 0..k-1."""
+    centroid. Returns (centroid_id, vector) with ids 0..k-1.
+
+    The element-wise mean is EXACT and engine-independent: components are
+    quantized with ``floor(x * 1e6)`` (an IEEE-exact operation — no
+    rounding-mode ambiguity, unlike double→decimal casts whose half-way
+    rule differs between Spark's HALF_UP and DuckDB's banker's rounding),
+    summed as integers (order-free), and the mean is one double division.
+    Any engine replaying the same arithmetic — the DuckDB oracle unrolls
+    both Lloyd iterations in SQL — reproduces the centroids bit-for-bit,
+    so the trained-IVF query is value-hash checked, not rows-only."""
     cents = [
         (i, cv)
         for i, (_, cv) in enumerate(
@@ -307,13 +316,20 @@ def kmeans_centroids(
         )
         rows = (
             assigned.groupBy("_cell", "_pos")
-            .agg(F.avg("_x").alias("_m"))
+            .agg(
+                # decimal(38,0) sum: exact and ANSI-overflow-proof at any
+                # corpus size (quantized components are ~1e6-magnitude longs)
+                F.sum(
+                    F.floor(F.col("_x") * F.lit(1000000.0)).cast("decimal(38,0)")
+                ).alias("_s"),
+                F.count("*").alias("_c"),
+            )
             .collect()
         )
         means: dict[int, list[float]] = {}
         for r in rows:
-            means.setdefault(int(r["_cell"]), [0.0] * dim)[int(r["_pos"])] = float(
-                r["_m"]
+            means.setdefault(int(r["_cell"]), [0.0] * dim)[int(r["_pos"])] = (
+                float(r["_s"]) / float(r["_c"]) / 1000000.0
             )
         cents = [(cid, means.get(cid, cv)) for cid, cv in cents]
     return cents
