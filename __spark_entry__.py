@@ -978,6 +978,18 @@ def q_ivf_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("q_id", "vec_id", F.round("cos", 5).alias("cos_r"), "rank")
 
 
+def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (Abbas et al. 2023): k-means-clustered
+    embeddings (the exact-quantized trained centroids), within-cluster
+    pairwise cosine, prune any vector with a smaller-id cluster-mate above
+    the threshold. Hash-checked: the oracle reuses the unrolled-Lloyd
+    trained-assignment CTEs and replays the within-cell prune rule."""
+    from kafka_delta_ingest_spark.operators.similarity import semdedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup(emb, n_centroids=16, iters=2, threshold=0.35)
+
+
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs over documents, md5 hash family: every
     stage (shingle hash, 64 permutations, 16-band LSH, exact-Jaccard
@@ -1174,6 +1186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_selfhit": q_ann_lsh_selfhit,
         "ivf_topk": q_ivf_topk,
         "ivf_topk_trained": q_ivf_topk_trained,
+        "semdedup_prune": q_semdedup_prune,
         "minhash_near_dups": q_minhash_near_dups,
         "minhash_near_dups_fast": q_minhash_near_dups_fast,
         "near_dup_groups": q_near_dup_groups,
@@ -1457,20 +1470,17 @@ def _ivf_trained_iter_ctes(i: int, n_centroids: int) -> str:
         )"""
 
 
-def _ivf_trained_oracle_sql(
-    n_centroids: int = 16, iters: int = 2, n_probe: int = 4, k: int = 5
-) -> str:
-    """Full replay of q_ivf_topk_trained: deterministic md5-sample init
-    (ids 0..k-1 in sample order, mirroring kmeans_centroids' re-numbering),
-    ``iters`` unrolled Lloyd iterations with the exact quantized means, then
-    the standard IVF probe + re-rank over the trained centroids — the same
-    final stage as the ivf_topk oracle."""
+def _trained_assign_ctes(n_centroids: int, iters: int) -> str:
+    """Shared WITH-body prefix for the trained-centroid oracles: e (cast
+    corpus), cent0 (md5-sample init, ids 0..k-1 in sample order mirroring
+    kmeans_centroids' re-numbering), ``iters`` unrolled Lloyd iterations,
+    and afinal (every corpus vector assigned to its trained cell)."""
     iter_ctes = ",".join(
         _ivf_trained_iter_ctes(i, n_centroids) for i in range(1, iters + 1)
     )
     last = f"cent{iters}"
     return f"""
-        WITH e AS (
+        e AS (
           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
         ),
         cent0 AS (
@@ -1490,7 +1500,18 @@ def _ivf_trained_oracle_sql(
                      list_cosine_similarity(e.v, c.cvec) DESC, c.cid) AS rn
             FROM e CROSS JOIN {last} c
           ) WHERE rn = 1
-        ),
+        )"""
+
+
+def _ivf_trained_oracle_sql(
+    n_centroids: int = 16, iters: int = 2, n_probe: int = 4, k: int = 5
+) -> str:
+    """Full replay of q_ivf_topk_trained: the shared trained-assignment
+    prefix, then the standard IVF probe + re-rank over the trained
+    centroids — the same final stage as the ivf_topk oracle."""
+    last = f"cent{iters}"
+    return f"""
+        WITH {_trained_assign_ctes(n_centroids, iters)},
         probes AS (
           SELECT q_id, q_vec, cid AS cell FROM (
             SELECT e.vec_id AS q_id, e.v AS q_vec, c.cid,
@@ -1508,6 +1529,25 @@ def _ivf_trained_oracle_sql(
                    a.vec_id) AS rank
           FROM probes p JOIN afinal a ON p.cell = a.cell
         ) WHERE rank <= {k}
+    """
+
+
+def _semdedup_oracle_sql(
+    n_centroids: int = 16, iters: int = 2, threshold: float = 0.35
+) -> str:
+    """Full replay of q_semdedup_prune (similarity.semdedup): the shared
+    trained-assignment prefix, then within-cell pairwise cosine — a vector
+    is pruned when a smaller-id cluster-mate exceeds ``threshold``."""
+    return f"""
+        WITH {_trained_assign_ctes(n_centroids, iters)},
+        pruned AS (
+          SELECT DISTINCT r.vec_id AS b
+          FROM afinal l JOIN afinal r
+            ON l.cell = r.cell AND l.vec_id < r.vec_id
+          WHERE list_cosine_similarity(l.v, r.v) > {threshold!r}
+        )
+        SELECT a.vec_id, a.cell, (p.b IS NULL) AS kept
+        FROM afinal a LEFT JOIN pruned p ON a.vec_id = p.b
     """
 
 
@@ -2339,6 +2379,10 @@ def oracle_sql() -> dict[str, str]:
         # quantized means make the centroids engine-independent
         "ivf_topk_trained": _ivf_trained_oracle_sql(
             n_centroids=16, iters=2, n_probe=4, k=5
+        ),
+        # SemDeDup: same trained-centroid CTEs + within-cell prune replay
+        "semdedup_prune": _semdedup_oracle_sql(
+            n_centroids=16, iters=2, threshold=0.35
         ),
         # remaining rows-only (each with a reason):
         # - minhash_near_dups_fast / simhash_near_dups_fast: xxhash64 has no

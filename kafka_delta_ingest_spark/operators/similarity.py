@@ -33,9 +33,21 @@ from pyspark.sql import functions as F
 # driver time to CONSTRUCT the 16-centroid IVF query (execution: 1.7 s).
 # Emitting the same expressions as SQL text parsed JVM-side by ONE
 # F.expr call removes that entirely. Python ``repr`` of a double is its
-# shortest exact round-trip form, so parsed literals are bit-identical,
-# and SQL zip_with/aggregate parse to the very same Catalyst nodes the
-# Column API builds — results are unchanged bit-for-bit.
+# shortest exact round-trip form, so parsed literals are bit-identical.
+#
+# Expression SIZE is the lever that matters, in both directions:
+# index-unrolled arithmetic chains (``v[0]*c0 + v[1]*c1 + …``) were
+# measured and REJECTED — a 16-centroid×64-dim chain emits a >64 KB
+# codegen method, Janino refuses it, and the whole stage drops to
+# interpreted mode (slower than the HOF form it replaced). The fast
+# shape is the opposite: ONE higher-order function over an
+# array-of-arrays literal (_cell_structs below) — the literal carries
+# the K×d constants compactly, the lambda body is constant-size, parse
+# cost is ~0.5 s instead of ~3 s, and codegen stays on for the rest of
+# the stage. All folds keep the 0.0D seed + left-associative order, so
+# results are bit-identical across every formulation (and match the
+# oracle's list_cosine_similarity / list_dot_product, which also fold
+# left-to-right).
 
 def _arr_sql(xs: list[float]) -> str:
     return "array(" + ",".join(repr(float(x)) + "D" for x in xs) + ")"
@@ -54,6 +66,10 @@ def _dot_sql(vec_sql: str, arr_sql: str) -> str:
 
 def _norm_sql(vec_sql: str) -> str:
     return f"sqrt(aggregate({vec_sql}, 0.0D, (acc, v) -> acc + v * v))"
+
+
+def _elem_sql(col_name: str, i: int) -> str:
+    return f"CAST(`{col_name}`[{i}] AS DOUBLE)"
 
 
 def _cos_const_sql(col_name: str, xs: list[float]) -> str:
@@ -202,13 +218,30 @@ def _cell_structs(
     argmax by cosine with ties to the SMALLEST centroid id (max of -cid),
     mirroring the oracle's ``ORDER BY sim DESC, cid``. Pure JVM expression:
     assignment needs no join and no shuffle — O(K·d) multiply-adds per
-    row. Built as ONE F.expr (see SQL-text builders above)."""
-    structs = ",".join(
-        f"named_struct('sim', {_cos_const_sql(vec_name, cv)}, "
-        f"'negc', {-int(cid)}L)"
-        for cid, cv in centroids
+    row.
+
+    Compact form: the K centroid vectors travel as ONE array-of-arrays
+    literal and the cosine is a constant-size lambda body zip_with'd over
+    it — ~20 KB of SQL text instead of ~100 KB of per-centroid expansion
+    (which cost ~3 s of parse per call and tripped Janino's 64 KB method
+    limit, disabling whole-stage codegen for the stage). Every fold keeps
+    the 0.0D seed + left-associative order of the expanded form, so the
+    sims are bit-identical and the green oracles are unaffected."""
+    carr = (
+        "array("
+        + ",".join(_arr_sql(cv) for _, cv in centroids)
+        + ")"
     )
-    return F.expr(f"array({structs})")
+    negids = "array(" + ",".join(f"{-int(cid)}L" for cid, _ in centroids) + ")"
+    v = _cast_vec_sql(vec_name)
+    cos = (
+        f"(aggregate(zip_with({v}, c, (x, y) -> x * y), 0.0D, "
+        f"(acc, t) -> acc + t) / ({_norm_sql(v)} * {_norm_sql('c')}))"
+    )
+    return F.expr(
+        f"zip_with({carr}, {negids}, (c, negc) -> "
+        f"named_struct('sim', {cos}, 'negc', negc))"
+    )
 
 
 def ivf_topk(
@@ -287,9 +320,11 @@ def kmeans_centroids(
     """Lloyd k-means over the corpus, orchestrated the way every
     distributed k-means is (MLlib included): per iteration, ONE job —
     assignment is the same no-shuffle codegen expression the IVF index
-    uses, the element-wise mean is a hash aggregation over
-    ``posexplode``-ed components (rows × dim rows, keyed (cell, pos) —
-    linear, skew-free), and only the k×dim means cross to the driver.
+    uses, the element-wise mean is one hash aggregation with ``dim``
+    per-component sum columns (NOT a posexplode: a generator re-evaluates
+    the K-centroid assignment expression per emitted component row — a
+    dim× recompute measured at 24 s/iteration vs ~1 s for the flat agg),
+    and only the k×dim means cross to the driver.
     Init = the deterministic md5 sample, so results are reproducible at
     any parallelism. Cells that lose all members keep their previous
     centroid. Returns (centroid_id, vector) with ids 0..k-1.
@@ -312,25 +347,32 @@ def kmeans_centroids(
     for _ in range(iters):
         assigned = df.select(
             (-F.array_max(_cell_structs(c_vec, cents))["negc"]).alias("_cell"),
-            F.posexplode(F.col(c_vec).cast("array<double>")).alias("_pos", "_x"),
+            F.col(c_vec),
         )
         rows = (
-            assigned.groupBy("_cell", "_pos")
+            assigned.groupBy("_cell")
             .agg(
-                # decimal(38,0) sum: exact and ANSI-overflow-proof at any
+                # decimal(38,0) sums: exact and ANSI-overflow-proof at any
                 # corpus size (quantized components are ~1e6-magnitude longs)
-                F.sum(
-                    F.floor(F.col("_x") * F.lit(1000000.0)).cast("decimal(38,0)")
-                ).alias("_s"),
+                *[
+                    F.sum(
+                        F.floor(
+                            F.expr(_elem_sql(c_vec, i)) * F.lit(1000000.0)
+                        ).cast("decimal(38,0)")
+                    ).alias(f"_s{i}")
+                    for i in range(dim)
+                ],
                 F.count("*").alias("_c"),
             )
             .collect()
         )
-        means: dict[int, list[float]] = {}
-        for r in rows:
-            means.setdefault(int(r["_cell"]), [0.0] * dim)[int(r["_pos"])] = (
-                float(r["_s"]) / float(r["_c"]) / 1000000.0
-            )
+        means: dict[int, list[float]] = {
+            int(r["_cell"]): [
+                float(r[f"_s{i}"]) / float(r["_c"]) / 1000000.0
+                for i in range(dim)
+            ]
+            for r in rows
+        }
         cents = [(cid, means.get(cid, cv)) for cid, cv in cents]
     return cents
 
@@ -535,3 +577,63 @@ def embedding_near_dups_exact(
         ).alias("cos"),
     )
     return scored.orderBy(F.desc("cos"), "id_a", "id_b").limit(k)
+
+
+def semdedup(
+    df: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 2,
+    threshold: float = 0.35,
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication of an embedding corpus. K-means clustering bounds the
+    otherwise-O(n²) pairwise cosine search to within-cluster blocks; inside
+    each cluster, a vector is PRUNED when its cosine to any smaller-id
+    cluster-mate exceeds ``threshold`` (keeper = min id — deterministic,
+    so any engine replays the verdicts exactly).
+
+    Scale shape: cell assignment is the same no-shuffle whole-stage-codegen
+    expression the IVF index uses; the only shuffle is the per-cell
+    self-join, whose work is Σ|cell|² — with k ∝ √N cells (the paper's
+    regime) block pairwise cost stays near-linear, and a skewed cell is
+    bounded by k-means balance rather than corpus size. At 100 TB the
+    assignment column doubles as the partition key of the materialized
+    index (ivf_write_index), so the self-join is partition-local.
+
+    Returns one row per input vector: (``c_id``, cell, kept)."""
+    cents = centroids or kmeans_centroids(
+        df, n_centroids=n_centroids, iters=iters, c_id=c_id, c_vec=c_vec
+    )
+    assigned = df.select(
+        F.col(c_id),
+        F.col(c_vec),
+        (-F.array_max(_cell_structs(c_vec, cents))["negc"]).alias("cell"),
+    )
+    l = assigned.select(
+        F.col(c_id).alias("_ida"), F.col(c_vec).alias("_va"), "cell"
+    )
+    r = assigned.select(
+        F.col(c_id).alias("_idb"), F.col(c_vec).alias("_vb"), "cell"
+    )
+    pruned = (
+        l.join(r, "cell")
+        .where(F.col("_ida") < F.col("_idb"))
+        .where(
+            cosine_sim(
+                F.col("_va").cast("array<double>"),
+                F.col("_vb").cast("array<double>"),
+            )
+            > threshold
+        )
+        .select(F.col("_idb").alias(c_id))
+        .distinct()
+        .withColumn("_pruned", F.lit(True))
+    )
+    return assigned.join(pruned, c_id, "left").select(
+        F.col(c_id),
+        "cell",
+        F.coalesce(~F.col("_pruned"), F.lit(True)).alias("kept"),
+    )

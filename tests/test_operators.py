@@ -237,6 +237,34 @@ def test_kmeans_centroids_separate_blobs(spark):
     assert len({c for cells in by_blob.values() for c in cells}) == 3
 
 
+def test_semdedup_prunes_planted_duplicates(spark):
+    import numpy as np
+
+    from kafka_delta_ingest_spark.operators.similarity import semdedup
+
+    # two direction blobs; ids 0/1/2 are near-identical copies (cos ≈ 1),
+    # id 500 is a copy of 0 living in the same blob — all but the min id
+    # of each high-cos star must be pruned, everything else kept
+    rng = np.random.default_rng(11)
+    rows = []
+    base = np.zeros(16)
+    base[0] = 10.0
+    for vid in (0, 1, 2, 500):
+        rows.append((vid, [float(x) for x in base + rng.normal(scale=0.01, size=16)]))
+    other = np.zeros(16)
+    other[8] = 10.0
+    for i in range(20):
+        rows.append((100 + i, [float(x) for x in other + rng.normal(scale=2.0, size=16)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r["kept"] for r in semdedup(
+        df, n_centroids=2, iters=3, threshold=0.99
+    ).collect()}
+    assert len(out) == 24
+    assert out[0] is True           # keeper = min id of the duplicate star
+    assert out[1] is False and out[2] is False and out[500] is False
+    assert all(out[100 + i] for i in range(20))  # scattered blob survives
+
+
 def test_ivf_index_roundtrip(spark, vectors, tmp_path):
     from kafka_delta_ingest_spark.operators.similarity import (
         ivf_search_index,
