@@ -1004,6 +1004,22 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard_r"))
 
 
+def q_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time near-dup check: MinHash-LSH pairs between an arriving
+    batch (doc_id % 7 = 0) and the existing corpus (the rest) — candidate
+    work scales with the batch, the stop-bucket rule runs on the index
+    side. Oracle replays the two-sided pipeline (md5 family)."""
+    from kafka_delta_ingest_spark.operators.dedup import minhash_against_index
+
+    d = load_table(spark, sf_dir, "documents")
+    batch = d.where(F.col("doc_id") % 7 == 0)
+    index = d.where(F.col("doc_id") % 7 != 0)
+    out = minhash_against_index(
+        batch, index, "doc_id", "text", jaccard_threshold=0.5, hash_family="md5"
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard_r"))
+
+
 def q_minhash_near_dups_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production hash family (xxhash64 — 64-bit JVM long ops, ~an order of
     magnitude cheaper than 64 md5 digests per gram). Same plan shape as
@@ -1188,6 +1204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk_trained": q_ivf_topk_trained,
         "semdedup_prune": q_semdedup_prune,
         "minhash_near_dups": q_minhash_near_dups,
+        "ingest_dedup": q_ingest_dedup,
         "minhash_near_dups_fast": q_minhash_near_dups_fast,
         "near_dup_groups": q_near_dup_groups,
         "simhash_near_dups": q_simhash_near_dups,
@@ -1241,12 +1258,19 @@ def _minhash_oracle_sql(
     shingle_n: int = 5,
     threshold: float = 0.5,
     max_bucket: int = 200,
+    batch_pred: str | None = None,
+    index_pred: str | None = None,
 ) -> str:
     """Full MinHash-LSH pipeline in ANSI SQL, generated to mirror
     operators/dedup.py's md5 hash family stage by stage: char-shingle md5,
     ``num_perm`` min-aggregates over md5(h || ':i'), band hashes
     md5(concat_ws('|', band, sig rows)), stop-bucket cutoff, band-bucket
-    self-join candidates, exact Jaccard verify over distinct shingle sets."""
+    self-join candidates, exact Jaccard verify over distinct shingle sets.
+
+    Two-sided mode (``batch_pred``/``index_pred``, ``{d}``-templated
+    doc_id predicates) replays minhash_against_index instead: the band
+    join is batch×index, the stop-bucket rule runs on the index side
+    only, and pairs carry (batch id_a, index id_b)."""
     rpb = num_perm // bands
 
     def hexval(col: str, start: int, width: int) -> str:
@@ -1274,6 +1298,35 @@ def _minhash_oracle_sql(
         )
         for b in range(bands)
     )
+    if batch_pred is not None:
+        bp, ip = batch_pred, index_pred
+        pair_ctes = f"""
+        bb AS (SELECT * FROM banded WHERE {bp.format(d="doc_id")}),
+        ib AS (SELECT * FROM banded WHERE {ip.format(d="doc_id")}),
+        small AS (
+          SELECT b, bh FROM ib GROUP BY b, bh HAVING COUNT(*) <= {max_bucket}
+        ),
+        ipr AS (SELECT ib.* FROM ib JOIN small USING (b, bh)),
+        cand AS (
+          SELECT DISTINCT bb.doc_id AS id_a, ipr.doc_id AS id_b
+          FROM bb JOIN ipr ON bb.b = ipr.b AND bb.bh = ipr.bh
+        )"""
+        cm_on = (
+            f"l.h = r.h AND {bp.format(d='l.doc_id')} "
+            f"AND {ip.format(d='r.doc_id')}"
+        )
+    else:
+        pair_ctes = f"""
+        small AS (
+          SELECT b, bh FROM banded GROUP BY b, bh HAVING COUNT(*) <= {max_bucket}
+        ),
+        pruned AS (SELECT banded.* FROM banded JOIN small USING (b, bh)),
+        cand AS (
+          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+          FROM pruned l JOIN pruned r
+            ON l.b = r.b AND l.bh = r.bh AND l.doc_id < r.doc_id
+        )"""
+        cm_on = "l.h = r.h AND l.doc_id < r.doc_id"
     return f"""
         WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
         pos AS (
@@ -1285,22 +1338,14 @@ def _minhash_oracle_sql(
         digs AS (SELECT doc_id, {dig_cols} FROM grams),
         sigs AS (SELECT doc_id, {sig_cols} FROM digs GROUP BY doc_id),
         banded AS ({band_selects}),
-        small AS (
-          SELECT b, bh FROM banded GROUP BY b, bh HAVING COUNT(*) <= {max_bucket}
-        ),
-        pruned AS (SELECT banded.* FROM banded JOIN small USING (b, bh)),
-        cand AS (
-          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-          FROM pruned l JOIN pruned r
-            ON l.b = r.b AND l.bh = r.bh AND l.doc_id < r.doc_id
-        ),
+        {pair_ctes},
         gs AS (
           SELECT DISTINCT doc_id, {hexval('h', 1, 15)} AS h FROM grams
         ),
         sz AS (SELECT doc_id, COUNT(*) AS n FROM gs GROUP BY doc_id),
         cm AS (
           SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS c
-          FROM gs l JOIN gs r ON l.h = r.h AND l.doc_id < r.doc_id
+          FROM gs l JOIN gs r ON {cm_on}
           GROUP BY 1, 2
         )
         SELECT cand.id_a, cand.id_b,
@@ -2269,6 +2314,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         # full pipeline replay (md5 hash family end-to-end, banding included)
         "minhash_near_dups": _minhash_oracle_sql(),
+        # two-sided (batch vs index) replay of minhash_against_index
+        "ingest_dedup": _minhash_oracle_sql(
+            batch_pred="({d} % 7 = 0)", index_pred="({d} % 7 <> 0)"
+        ),
         # winnowing replayed via SQL window functions (md5 hash family):
         # min over ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING == the k-gram
         # window minima; valid starts are pos <= n_grams - window. The

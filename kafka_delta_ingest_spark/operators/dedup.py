@@ -344,25 +344,7 @@ def minhash_near_dups(
         )
         .distinct()
     )
-    # shingle SETS with precomputed sizes: |union| = na + nb - |common|, so
-    # the verify needs only array_intersect (array_union over two ~300-element
-    # arrays per pair doubled the set work for a number already in hand).
-    # md5 family intersects 60-bit prefix LONGS, not 32-char strings — long
-    # arrays hash/compare several times faster, prefix collisions within a
-    # document's shingle set are ~n²/2^61, and the DuckDB oracle computes
-    # the identical prefixes (nibble sum), so parity holds by construction.
-    gram_rows = grams
-    if hash_family == "md5":
-        gram_rows = gram_rows.select(
-            F.col(id_col),
-            F.conv(F.substring("_h", 1, 15), 16, 10).cast("long").alias("_h"),
-        )
-    sh = (
-        gram_rows.groupBy(id_col)
-        .agg(F.collect_set("_h").alias("_shingles"))
-        .withColumn("_n", F.size("_shingles"))
-        .persist()
-    )
+    sh = _shingle_sets(grams, id_col, hash_family).persist()
     verified = (
         cand.join(
             sh.select(
@@ -388,6 +370,125 @@ def minhash_near_dups(
         .select("id_a", "id_b", "jaccard")
     )
     return _finalize(verified, sigs, banded, sh)
+
+
+def _shingle_sets(grams: DataFrame, id_col: str, hash_family: str) -> DataFrame:
+    """(id, _shingles: array<long>, _n) distinct shingle sets with
+    precomputed sizes: |union| = na + nb - |common|, so a Jaccard verify
+    needs only array_intersect (array_union over two ~300-element arrays
+    per pair doubles the set work for a number already in hand).
+
+    md5 family intersects 60-bit prefix LONGS, not 32-char strings — long
+    arrays hash/compare several times faster, prefix collisions within a
+    document's shingle set are ~n²/2^61, and the DuckDB oracle computes
+    the identical prefixes (nibble sum), so parity holds by construction."""
+    gram_rows = grams
+    if hash_family == "md5":
+        gram_rows = gram_rows.select(
+            F.col(id_col),
+            F.conv(F.substring("_h", 1, 15), 16, 10).cast("long").alias("_h"),
+        )
+    return (
+        gram_rows.groupBy(id_col)
+        .agg(F.collect_set("_h").alias("_shingles"))
+        .withColumn("_n", F.size("_shingles"))
+    )
+
+
+def minhash_against_index(
+    batch: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 5,
+    jaccard_threshold: float = 0.8,
+    hash_family: str = "xxhash64",
+    max_docs_per_bucket: int = 200,
+) -> DataFrame:
+    """Ingest-time near-dup check: MinHash-LSH pairs between a NEW batch
+    and an EXISTING corpus (id_a from batch, id_b from index, jaccard >=
+    threshold) — the content-level arrival dedup a training-data lake
+    runs next to the reference's offset-level buffer dedupe
+    (`/root/reference/src/lib.rs:326-524` consume loop; A10 analogue in
+    `ingest/buffers.py`).
+
+    Unlike the self-join in minhash_near_dups, the band join is
+    batch×index, so candidate work scales with the BATCH's bucket
+    collisions, never |index|². The stop-bucket cutoff is evaluated on
+    the index side only: a boilerplate bucket already saturated in the
+    lake is skipped outright. At 100-TB scale the index's banded table
+    and shingle sets are materialized once as bucketed tables (keyed
+    (_band, _bhash) and id) and only the batch side — a few thousand
+    rows per micro-batch — is recomputed per ingest; this function
+    expresses that plan over unmaterialized inputs."""
+    rows_per_band = num_perm // bands
+    band_arr = _band_array(bands, rows_per_band, hash_family)
+    bsigs = minhash_signatures(
+        batch, id_col, text_col, num_perm, shingle_n, hash_family
+    )
+    isigs = minhash_signatures(
+        index, id_col, text_col, num_perm, shingle_n, hash_family
+    )
+    bband = bsigs.select(
+        F.col(id_col), F.posexplode(band_arr).alias("_band", "_bhash")
+    )
+    iband = isigs.select(
+        F.col(id_col), F.posexplode(band_arr).alias("_band", "_bhash")
+    ).persist()
+    small = (
+        iband.groupBy("_band", "_bhash")
+        .agg(F.count(F.lit(1)).alias("_bsz"))
+        .where(F.col("_bsz") <= max_docs_per_bucket)
+        .select("_band", "_bhash")
+    )
+    ipruned = iband.join(small, ["_band", "_bhash"])
+    cand = (
+        bband.select(F.col(id_col).alias("id_a"), "_band", "_bhash")
+        .join(
+            ipruned.select(F.col(id_col).alias("id_b"), "_band", "_bhash"),
+            ["_band", "_bhash"],
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    bsh = _shingle_sets(
+        char_gram_rows(batch, id_col, text_col, shingle_n, hash_family),
+        id_col,
+        hash_family,
+    )
+    ish = _shingle_sets(
+        char_gram_rows(index, id_col, text_col, shingle_n, hash_family),
+        id_col,
+        hash_family,
+    )
+    verified = (
+        cand.join(
+            bsh.select(
+                F.col(id_col).alias("id_a"),
+                F.col("_shingles").alias("_sa"),
+                F.col("_n").alias("_na"),
+            ),
+            "id_a",
+        )
+        .join(
+            ish.select(
+                F.col(id_col).alias("id_b"),
+                F.col("_shingles").alias("_sb"),
+                F.col("_n").alias("_nb"),
+            ),
+            "id_b",
+        )
+        .withColumn("_common", F.size(F.array_intersect("_sa", "_sb")))
+        .withColumn(
+            "jaccard",
+            F.col("_common") / (F.col("_na") + F.col("_nb") - F.col("_common")),
+        )
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return _finalize(verified, iband)
 
 
 def ngram_jaccard_pairs(

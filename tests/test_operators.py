@@ -58,6 +58,24 @@ def test_minhash_near_dups(spark, docs):
     assert all(a not in (4, 5, 6) and b not in (4, 5, 6) for a, b in got)
 
 
+def test_minhash_against_index(spark, docs):
+    from kafka_delta_ingest_spark.operators.dedup import minhash_against_index
+
+    # batch = ids {2, 3, 6}: 2 is an exact dup of index doc 1, 3 a near
+    # dup of it, 6 is novel. Only batch×index pairs may appear — the
+    # batch-internal (2, 3) near-dup relationship is out of scope.
+    batch = docs.where(F.col("doc_id").isin(2, 3, 6))
+    index = docs.where(~F.col("doc_id").isin(2, 3, 6))
+    pairs = minhash_against_index(
+        batch, index, "doc_id", "text", jaccard_threshold=0.6
+    )
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got.get((2, 1)) == 1.0          # exact dup of the lake
+    assert (3, 1) in got and got[(3, 1)] < 1.0  # near dup of the lake
+    assert all(a in (2, 3, 6) and b not in (2, 3, 6) for a, b in got)
+    assert all(a != 6 for a, _ in got)     # novel doc passes clean
+
+
 def test_ngram_jaccard(spark, docs):
     pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
     got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
