@@ -1123,6 +1123,17 @@ def q_unigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_freq_scores(d, "doc_id", "text")
 
 
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM scoring: mean of
+    ``0.7·P(w2|w1) + 0.3·P(w2)`` (ppm) over each doc's bigrams — the
+    corpus-trained step toward CCNet's KenLM filter, log-free so the
+    rational arithmetic is IEEE-identical across engines."""
+    from kafka_delta_ingest_spark.operators.text import bigram_lm_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    return bigram_lm_scores(d, "doc_id", "text", lam=0.7)
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing: documents in doc_id order are
     virtually concatenated and cut into 512-token context windows; each
@@ -1216,6 +1227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": q_span_dedup,
         "pack_sequences": q_pack_sequences,
         "unigram_freq": q_unigram_freq,
+        "bigram_lm": q_bigram_lm,
     }
 
 
@@ -2389,6 +2401,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(fr) AS DOUBLE) AS freq_ppm_sum,
                    CAST(SUM(fr) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
                      AS avg_freq_ppm
+            FROM f GROUP BY doc_id
+        """,
+        # interpolated bigram LM: the blend weights must be the EXACT IEEE
+        # doubles Spark uses — Python's 1.0 - 0.7 is 0.30000000000000004,
+        # so that literal (not 0.3) is embedded; each probability is a
+        # single double division on exact counts, the blend is the same
+        # multiply/add order, per-occurrence ppm lands in DECIMAL(18,6)
+        # (exact sum), final mean one double division.
+        "bigram_lm": f"""
+            WITH d AS (
+              SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w
+              FROM documents
+            ),
+            occ AS (
+              SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+              FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM d)
+            ),
+            c12 AS (
+              SELECT w1, w2, COUNT(*) AS c12 FROM occ GROUP BY w1, w2
+            ),
+            c1 AS (SELECT w1, COUNT(*) AS c1 FROM occ GROUP BY w1),
+            words AS (SELECT unnest(w) AS w2 FROM d),
+            wc AS (SELECT w2, COUNT(*) AS c2 FROM words GROUP BY w2),
+            tot AS (SELECT CAST(SUM(c2) AS BIGINT) AS total FROM wc),
+            f AS (
+              SELECT o.doc_id,
+                     CAST((CAST(0.7 AS DOUBLE)
+                             * (CAST(c12.c12 AS DOUBLE)
+                                / CAST(c1.c1 AS DOUBLE))
+                           + CAST(0.30000000000000004 AS DOUBLE)
+                             * (CAST(wc.c2 AS DOUBLE)
+                                / CAST(t.total AS DOUBLE)))
+                          * 1000000.0 AS DECIMAL(18,6)) AS p
+              FROM occ o
+              JOIN c12 USING (w1, w2)
+              JOIN c1 USING (w1)
+              JOIN wc USING (w2)
+              CROSS JOIN tot t
+            )
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   CAST(SUM(p) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                     AS avg_bigram_ppm
             FROM f GROUP BY doc_id
         """,
         "simhash_near_dups": _simhash_oracle_sql(),

@@ -313,3 +313,77 @@ def unigram_freq_scores(
             ),
         )
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.7,
+) -> DataFrame:
+    """Interpolated bigram language-model scoring: each document's mean
+    ``lam * P(w2|w1) + (1-lam) * P(w2)`` over its bigrams, in ppm — the
+    corpus-trained step up from ``unigram_freq_scores`` toward CCNet's
+    KenLM filter, still free of external artifacts and of ``log`` (whose
+    last-ulp rounding differs across libm builds; the rational form is
+    IEEE-identical in any engine).
+
+    Hash-robust float discipline: ``P(w2|w1) = c12/c1`` and
+    ``P(w2) = c2/total`` are single double divisions on exact counts, the
+    blend is two multiplies and one add of the same literals in the same
+    order, the per-occurrence ppm casts to DECIMAL(18,6), and the per-doc
+    sum is exact — bit-stable under any partitioning.
+
+    Plan shape: bigrams derive map-side from array slices (zip_with of the
+    split array against its shift — NO shuffle-by-doc window); the corpus
+    bigram/context/unigram stats are three hash aggregations; scoring
+    re-joins occurrences to stats on (w1, w2) / (w1) / (w2) — the standard
+    distributed n-gram-LM scoring shape, every join a hash equi-join on
+    the gram key with map-side combined count inputs.
+
+    Returns ``(id_col, n_bigrams, avg_bigram_ppm)`` for docs with >= 1
+    bigram."""
+    arr = df.select(
+        F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("_w")
+    )
+    occ = arr.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "zip_with(slice(_w, 1, size(_w) - 1), slice(_w, 2, size(_w) - 1),"
+                " (x, y) -> named_struct('w1', x, 'w2', y))"
+            )
+        ).alias("_bg"),
+    ).select(F.col(id_col), F.col("_bg.w1").alias("_w1"), F.col("_bg.w2").alias("_w2"))
+    c12 = occ.groupBy("_w1", "_w2").agg(F.count(F.lit(1)).alias("_c12"))
+    c1 = occ.groupBy("_w1").agg(F.count(F.lit(1)).alias("_c1"))
+    words = df.select(
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("_w2")
+    )
+    wc = words.groupBy("_w2").agg(F.count(F.lit(1)).alias("_c2"))
+    tot = wc.agg(F.sum("_c2").cast("long").alias("_total"))
+    p_cond = F.col("_c12").cast("double") / F.col("_c1").cast("double")
+    p_uni = F.col("_c2").cast("double") / F.col("_total").cast("double")
+    ppm = (
+        (F.lit(float(lam)) * p_cond + F.lit(float(1.0 - lam)) * p_uni)
+        * F.lit(1000000.0)
+    ).cast("decimal(18,6)")
+    return (
+        occ.join(c12, ["_w1", "_w2"])
+        .join(c1, "_w1")
+        .join(wc, "_w2")
+        .join(F.broadcast(tot))
+        .select(F.col(id_col), ppm.alias("_p"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("_p").alias("_ps"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_bigrams"),
+            (F.col("_ps").cast("double") / F.col("n_bigrams").cast("double")).alias(
+                "avg_bigram_ppm"
+            ),
+        )
+    )

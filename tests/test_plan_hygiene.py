@@ -54,6 +54,7 @@ PLANNED = [
     # point is that the naive plan would be BroadcastNestedLoopJoin
     "range_join_value_bands",
     "unigram_freq",
+    "bigram_lm",
 ]
 
 # ann/exact pair scoring is an intentional broadcast nested-loop (queries
@@ -66,6 +67,7 @@ NESTED_LOOP_OK = {
     # 1-row corpus-stats broadcast cross join (the two-pass BM25 shape)
     "bm25_scores",
     "unigram_freq",
+    "bigram_lm",
 }
 
 

@@ -151,3 +151,21 @@ def test_unigram_freq_scores_hand_computed(spark):
     assert out[2]["n_words"] == 2
     assert out[2]["freq_ppm_sum"] == pytest.approx(600_000.0)
     assert out[2]["avg_freq_ppm"] == pytest.approx(300_000.0)
+
+
+def test_bigram_lm_scores_hand_computed(spark):
+    from kafka_delta_ingest_spark.operators.text import bigram_lm_scores
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c"), (3, "x")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in bigram_lm_scores(df).collect()}
+    # bigrams: doc1 (a,a),(a,b); doc2 (b,c). c1: a=2, b=1.
+    # unigrams: a:2 b:2 c:1 x:1, total 6.
+    # doc1: both bigrams = .7*(1/2) + .3*(2/6) = .45 -> 450000 ppm
+    # doc2: .7*(1/1) + .3*(1/6) = .75 -> 750000 ppm
+    assert out[1]["n_bigrams"] == 2
+    assert out[1]["avg_bigram_ppm"] == pytest.approx(450_000.0)
+    assert out[2]["n_bigrams"] == 1
+    assert out[2]["avg_bigram_ppm"] == pytest.approx(750_000.0)
+    assert 3 not in out  # single-word doc has no bigrams
