@@ -1134,6 +1134,18 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_scores(d, "doc_id", "text", lam=0.7)
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights: target slice = ``source = 'src0'``,
+    hashed uni+bigram features in 4096 buckets, md5 family so DuckDB
+    replays the bucket assignment exactly."""
+    from kafka_delta_ingest_spark.operators.sampling import dsir_weights
+
+    d = load_table(spark, sf_dir, "documents")
+    return dsir_weights(
+        d, F.col("source") == "src0", n_buckets=4096, hash_family="md5"
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing: documents in doc_id order are
     virtually concatenated and cut into 512-token context windows; each
@@ -1228,6 +1240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "unigram_freq": q_unigram_freq,
         "bigram_lm": q_bigram_lm,
+        "dsir_weights": q_dsir_weights,
     }
 
 
@@ -1664,6 +1677,20 @@ _DECONTAM_SQL = """
            COALESCE(h.n_hits, 0) >= {min_overlap} AS contaminated
     FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
 """
+
+
+def _nibble_long_sql(hx: str) -> str:
+    """DuckDB replay of Spark's ``conv(substring(<md5 hex>, 1, 8), 16,
+    10)::long``: positional nibble sum of the first 8 hex chars."""
+    return (
+        "CAST("
+        + " + ".join(
+            f"(strpos('0123456789abcdef', substr({hx}, {1 + j}, 1)) - 1)"
+            f" * {16 ** (7 - j)}"
+            for j in range(8)
+        )
+        + " AS BIGINT)"
+    )
 
 
 def _nibble_frac_sql(hx: str) -> str:
@@ -2445,6 +2472,55 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(p) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
                      AS avg_bigram_ppm
             FROM f GROUP BY doc_id
+        """,
+        # DSIR importance weights: the md5-bucket assignment replays via
+        # the positional nibble sum; the add-1 log-ratio is one ln of a
+        # fixed-order IEEE product/quotient of exact counts, quantized to
+        # DECIMAL(18,6) nats per bucket BEFORE the exact per-doc sum
+        # (ln differs by 1-2 ulp across libm builds; the quantization
+        # grid absorbs it).
+        "dsir_weights": f"""
+            WITH d AS (
+              SELECT doc_id, source = 'src0' AS t,
+                     string_split({_NORM_SQL}, ' ') AS w
+              FROM documents
+            ),
+            occ AS (
+              SELECT doc_id, t, unnest(w) AS f FROM d
+              UNION ALL
+              SELECT doc_id, t, w[i] || ' ' || w[i + 1] AS f
+              FROM (SELECT doc_id, t, w, unnest(range(1, len(w))) AS i
+                    FROM d)
+            ),
+            feat AS (
+              SELECT doc_id, t,
+                     {_nibble_long_sql("md5(f)")} % 4096 AS b
+              FROM occ
+            ),
+            stats AS (
+              SELECT b, COUNT(*) AS c_raw,
+                     COUNT(*) FILTER (WHERE t) AS c_t
+              FROM feat GROUP BY b
+            ),
+            tot AS (
+              SELECT CAST(SUM(c_raw) AS BIGINT) AS r,
+                     CAST(SUM(c_t) AS BIGINT) AS tt
+              FROM stats
+            ),
+            lrs AS (
+              SELECT b,
+                     CAST(ln((CAST(c_t + 1 AS DOUBLE)
+                              * (CAST(r AS DOUBLE) + 4096.0))
+                             / (CAST(c_raw + 1 AS DOUBLE)
+                                * (CAST(tt AS DOUBLE) + 4096.0)))
+                          AS DECIMAL(18,6)) AS lr
+              FROM stats CROSS JOIN tot
+            )
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_feats,
+                   CAST(SUM(lr) AS DOUBLE) AS dsir_weight
+            FROM feat JOIN lrs USING (b)
+            GROUP BY doc_id
         """,
         "simhash_near_dups": _simhash_oracle_sql(),
         # connected components of the near-dup pair graph: recursive-CTE

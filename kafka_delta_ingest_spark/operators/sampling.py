@@ -136,3 +136,97 @@ def resample_to_mix(
     return df.where(
         in_mix & (hash_fraction(key_cols, salt=salt, family=family) < rate)
     )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling" — public): features
+    are hashed word uni+bigrams in ``n_buckets`` buckets; two add-1
+    bag-of-words models are fit over the TARGET slice (rows matching
+    ``target_pred``) and the RAW corpus; a document's weight is the sum
+    over its feature occurrences of ``ln(p_target(f) / p_raw(f))``.
+    Select with ``ORDER BY dsir_weight DESC, doc_id LIMIT k`` for the
+    deterministic (no-Gumbel) resampling mode.
+
+    Hash-robust float discipline: ``ln`` is NOT bit-identical across
+    libm builds (measured 1-2 ulp Spark-vs-DuckDB), so each per-bucket
+    log-ratio quantizes to DECIMAL(18,6) nats BEFORE the exact per-doc
+    sum — order-free, and the 1-ulp engine skew only matters if a ratio
+    lands within an ulp of the 5e-7 grid boundary (P ~ 1e-6 over 4096
+    buckets, deterministic and covered by the gate). The ratio itself is
+    pure IEEE multiply/divide on exact counts in a fixed order.
+
+    Plan shape (the 100-TB story): features derive map-side (split +
+    zip_with — no per-doc shuffle); bucket stats are ONE hash
+    aggregation whose output is at most ``n_buckets`` rows — feature
+    hashing makes the "model" a broadcastable dimension, so the corpus
+    re-scores via a BROADCAST join (the corpus never shuffles for
+    scoring); the only wide exchange is the per-doc weight aggregation.
+
+    Returns ``(id_col, n_feats, dsir_weight)``.
+    """
+    from kafka_delta_ingest_spark.operators.text import normalize_text
+
+    arr = df.select(
+        F.col(id_col),
+        target_pred.alias("_t"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("_w"),
+    )
+    uni = arr.select("*", F.explode("_w").alias("_f"))
+    bi = arr.select(
+        "*",
+        F.explode(
+            F.expr(
+                "zip_with(slice(_w, 1, size(_w) - 1), slice(_w, 2, size(_w) - 1),"
+                " (x, y) -> concat(x, ' ', y))"
+            )
+        ).alias("_f"),
+    )
+    occ = uni.unionByName(bi).select(F.col(id_col), "_t", "_f")
+    if hash_family == "md5":
+        h = F.conv(F.substring(F.md5(F.col("_f").cast("binary")), 1, 8), 16, 10)
+    else:
+        h = F.pmod(F.xxhash64("_f"), F.lit(1 << 32))
+    feat = occ.select(
+        F.col(id_col), "_t", (h.cast("long") % F.lit(n_buckets)).alias("_b")
+    )
+    stats = feat.groupBy("_b").agg(
+        F.count(F.lit(1)).alias("_c_raw"),
+        F.sum(F.when(F.col("_t"), 1).otherwise(0)).cast("long").alias("_c_t"),
+    )
+    tot = stats.agg(
+        F.sum("_c_raw").cast("long").alias("_r"),
+        F.sum("_c_t").cast("long").alias("_tt"),
+    )
+    b = float(n_buckets)
+    ratio = (
+        (F.col("_c_t") + F.lit(1)).cast("double")
+        * (F.col("_r").cast("double") + F.lit(b))
+    ) / (
+        (F.col("_c_raw") + F.lit(1)).cast("double")
+        * (F.col("_tt").cast("double") + F.lit(b))
+    )
+    lrs = (
+        stats.join(F.broadcast(tot))
+        .select("_b", F.log(ratio).cast("decimal(18,6)").alias("_lr"))
+    )
+    return (
+        feat.join(F.broadcast(lrs), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.sum("_lr").alias("_s"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_feats"),
+            F.col("_s").cast("double").alias("dsir_weight"),
+        )
+    )

@@ -644,3 +644,33 @@ def test_resample_to_mix_deterministic(spark):
     df2 = df.union(spark.createDataFrame([(10_000, "c")], "id int, s string"))
     out3 = resample_to_mix(df2, **kw)
     assert out3.where(F.col("s") == "c").count() == 0
+
+
+def test_dsir_weights_prefers_target_vocabulary(spark):
+    from kafka_delta_ingest_spark.operators.sampling import dsir_weights
+
+    # target docs speak "alpha beta", raw background speaks "gamma delta";
+    # held-out doc 100 uses target vocabulary, doc 101 background's
+    rows = (
+        [(i, "alpha beta alpha beta alpha", "t") for i in range(20)]
+        + [(i, "gamma delta gamma delta gamma", "r") for i in range(20, 60)]
+        + [(100, "alpha beta alpha", "r"), (101, "gamma delta gamma", "r")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    for fam in ("xxhash64", "md5"):
+        out = {
+            r["doc_id"]: r["dsir_weight"]
+            for r in dsir_weights(
+                df, F.col("src") == "t", n_buckets=512, hash_family=fam
+            ).collect()
+        }
+        assert out[100] > out[101], fam
+        # weights are a pure function of the corpus — partitioning-free
+        out2 = {
+            r["doc_id"]: r["dsir_weight"]
+            for r in dsir_weights(
+                df.repartition(13), F.col("src") == "t",
+                n_buckets=512, hash_family=fam,
+            ).collect()
+        }
+        assert out == out2, fam

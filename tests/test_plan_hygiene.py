@@ -55,6 +55,7 @@ PLANNED = [
     "range_join_value_bands",
     "unigram_freq",
     "bigram_lm",
+    "dsir_weights",
 ]
 
 # ann/exact pair scoring is an intentional broadcast nested-loop (queries
@@ -68,6 +69,8 @@ NESTED_LOOP_OK = {
     "bm25_scores",
     "unigram_freq",
     "bigram_lm",
+    # 1-row totals broadcast cross join feeding the bucket log-ratios
+    "dsir_weights",
 }
 
 
