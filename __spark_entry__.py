@@ -1134,6 +1134,16 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_scores(d, "doc_id", "text", lam=0.7)
 
 
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail bucketing: per-lang tertiles of the
+    corpus-trained bigram-LM score, cutoffs broadcast back onto the
+    corpus."""
+    from kafka_delta_ingest_spark.operators.text import ccnet_buckets
+
+    d = load_table(spark, sf_dir, "documents")
+    return ccnet_buckets(d, "doc_id", "text", "lang", lam=0.7)
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights: target slice = ``source = 'src0'``,
     hashed uni+bigram features in 4096 buckets, md5 family so DuckDB
@@ -1240,6 +1250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "unigram_freq": q_unigram_freq,
         "bigram_lm": q_bigram_lm,
+        "ccnet_buckets": q_ccnet_buckets,
         "dsir_weights": q_dsir_weights,
     }
 
@@ -1257,6 +1268,52 @@ _TOKCNT_SQL = (
 )
 
 _NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+# interpolated bigram LM (shared by the bigram_lm and ccnet_buckets
+# oracles): blend weights are the EXACT IEEE doubles Spark uses —
+# Python's 1.0 - 0.7 is 0.30000000000000004, so that literal (not 0.3)
+# is embedded; each probability is a single double division on exact
+# counts, the blend keeps Spark's multiply/add order, the per-occurrence
+# ppm lands in DECIMAL(18,6) (exact order-free sum), final mean one
+# double division.
+_BIGRAM_LM_SQL = f"""
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   CAST(SUM(p) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                     AS avg_bigram_ppm
+            FROM (
+              WITH d AS (
+                SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w
+                FROM documents
+              ),
+              occ AS (
+                SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+                FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+                      FROM d)
+              ),
+              c12 AS (
+                SELECT w1, w2, COUNT(*) AS c12 FROM occ GROUP BY w1, w2
+              ),
+              c1 AS (SELECT w1, COUNT(*) AS c1 FROM occ GROUP BY w1),
+              words AS (SELECT unnest(w) AS w2 FROM d),
+              wc AS (SELECT w2, COUNT(*) AS c2 FROM words GROUP BY w2),
+              tot AS (SELECT CAST(SUM(c2) AS BIGINT) AS total FROM wc)
+              SELECT o.doc_id,
+                     CAST((CAST(0.7 AS DOUBLE)
+                             * (CAST(c12.c12 AS DOUBLE)
+                                / CAST(c1.c1 AS DOUBLE))
+                           + CAST(0.30000000000000004 AS DOUBLE)
+                             * (CAST(wc.c2 AS DOUBLE)
+                                / CAST(t.total AS DOUBLE)))
+                          * 1000000.0 AS DECIMAL(18,6)) AS p
+              FROM occ o
+              JOIN c12 USING (w1, w2)
+              JOIN c1 USING (w1)
+              JOIN wc USING (w2)
+              CROSS JOIN tot t
+            ) f
+            GROUP BY doc_id
+"""
 
 _QUALITY_SQL = f"""
 (0.4 * (CASE WHEN length(text) > 0
@@ -2436,42 +2493,40 @@ def oracle_sql() -> dict[str, str]:
         # single double division on exact counts, the blend is the same
         # multiply/add order, per-occurrence ppm lands in DECIMAL(18,6)
         # (exact sum), final mean one double division.
-        "bigram_lm": f"""
-            WITH d AS (
-              SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w
-              FROM documents
+        "bigram_lm": _BIGRAM_LM_SQL,
+        # CCNet head/middle/tail: bigram-LM scores -> exact per-lang rank
+        # tertile cutoffs (value-at-ceil(q*n), same rank selector as
+        # length_percentiles) -> threshold CASE. Score doubles already
+        # bit-stable (bigram_lm row); the exact tertile fractions are the
+        # IEEE doubles Python computes for 1/3 and 2/3.
+        "ccnet_buckets": f"""
+            WITH scores AS ({_BIGRAM_LM_SQL}),
+            s AS (
+              SELECT d.doc_id, d.lang, scores.avg_bigram_ppm
+              FROM scores JOIN documents d USING (doc_id)
             ),
-            occ AS (
-              SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
-              FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM d)
+            r AS (
+              SELECT lang, avg_bigram_ppm,
+                     ROW_NUMBER() OVER (PARTITION BY lang
+                                        ORDER BY avg_bigram_ppm) AS rn,
+                     COUNT(*) OVER (PARTITION BY lang) AS n
+              FROM s
             ),
-            c12 AS (
-              SELECT w1, w2, COUNT(*) AS c12 FROM occ GROUP BY w1, w2
-            ),
-            c1 AS (SELECT w1, COUNT(*) AS c1 FROM occ GROUP BY w1),
-            words AS (SELECT unnest(w) AS w2 FROM d),
-            wc AS (SELECT w2, COUNT(*) AS c2 FROM words GROUP BY w2),
-            tot AS (SELECT CAST(SUM(c2) AS BIGINT) AS total FROM wc),
-            f AS (
-              SELECT o.doc_id,
-                     CAST((CAST(0.7 AS DOUBLE)
-                             * (CAST(c12.c12 AS DOUBLE)
-                                / CAST(c1.c1 AS DOUBLE))
-                           + CAST(0.30000000000000004 AS DOUBLE)
-                             * (CAST(wc.c2 AS DOUBLE)
-                                / CAST(t.total AS DOUBLE)))
-                          * 1000000.0 AS DECIMAL(18,6)) AS p
-              FROM occ o
-              JOIN c12 USING (w1, w2)
-              JOIN c1 USING (w1)
-              JOIN wc USING (w2)
-              CROSS JOIN tot t
+            cuts AS (
+              SELECT lang,
+                     MAX(CASE WHEN rn = CAST(CEIL(0.3333333333333333 * n)
+                                             AS INT)
+                              THEN avg_bigram_ppm END) AS p33,
+                     MAX(CASE WHEN rn = CAST(CEIL(0.6666666666666666 * n)
+                                             AS INT)
+                              THEN avg_bigram_ppm END) AS p66
+              FROM r GROUP BY lang
             )
-            SELECT doc_id,
-                   CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-                   CAST(SUM(p) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
-                     AS avg_bigram_ppm
-            FROM f GROUP BY doc_id
+            SELECT s.doc_id, s.lang, s.avg_bigram_ppm,
+                   CASE WHEN s.avg_bigram_ppm >= c.p66 THEN 'head'
+                        WHEN s.avg_bigram_ppm >= c.p33 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM s JOIN cuts c USING (lang)
         """,
         # DSIR importance weights: the md5-bucket assignment replays via
         # the positional nibble sum; the add-1 log-ratio is one ln of a

@@ -387,3 +387,47 @@ def bigram_lm_scores(
             ),
         )
     )
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    lam: float = 0.7,
+) -> DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al. 2020, public): score
+    every document with the corpus-trained LM (``bigram_lm_scores`` — the
+    in-repo stand-in for CCNet's KenLM perplexity), then split each
+    language into equal-thirds HEAD / MIDDLE / TAIL by per-language score
+    tertiles. Higher avg bigram probability = more fluent = head, so
+    ``score >= p66 -> head``, ``>= p33 -> middle``, else tail.
+
+    Scale shape: scoring is the bigram-LM plan (map-side gram derivation,
+    hash-agg stats, hash equi-joins); tertile CUTOFFS come from the exact
+    rank-based selector (one per-lang window sort), and bucket assignment
+    is a BROADCAST join of the per-lang cutoff row — the corpus never
+    re-shuffles to be labeled. At a 100-TB corpus the cutoff window sort
+    is the part you'd sample (CCNet itself fits cutoffs on a sample);
+    assignment is unchanged. Determinism: cutoffs are selected score
+    VALUES (doubles already bit-stable cross-engine), comparisons only —
+    ties at a boundary all land on the same side.
+
+    Returns ``(id_col, lang_col, avg_bigram_ppm, bucket)`` for docs with
+    >= 1 bigram."""
+    scores = bigram_lm_scores(df, id_col, text_col, lam=lam).select(
+        id_col, "avg_bigram_ppm"
+    )
+    s = scores.join(df.select(id_col, lang_col), id_col)
+    cuts = exact_percentiles(
+        s, "avg_bigram_ppm", lang_col, qs=(1 / 3, 2 / 3)
+    ).select(lang_col, F.col("p33").alias("_p33"), F.col("p66").alias("_p66"))
+    return s.join(F.broadcast(cuts), lang_col).select(
+        F.col(id_col),
+        F.col(lang_col),
+        F.col("avg_bigram_ppm"),
+        F.when(F.col("avg_bigram_ppm") >= F.col("_p66"), F.lit("head"))
+        .when(F.col("avg_bigram_ppm") >= F.col("_p33"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )

@@ -55,6 +55,7 @@ PLANNED = [
     "range_join_value_bands",
     "unigram_freq",
     "bigram_lm",
+    "ccnet_buckets",
     "dsir_weights",
 ]
 
@@ -69,6 +70,8 @@ NESTED_LOOP_OK = {
     "bm25_scores",
     "unigram_freq",
     "bigram_lm",
+    # inherits bigram_lm's 1-row corpus-total broadcast cross join
+    "ccnet_buckets",
     # 1-row totals broadcast cross join feeding the bucket log-ratios
     "dsir_weights",
 }

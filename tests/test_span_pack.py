@@ -169,3 +169,27 @@ def test_bigram_lm_scores_hand_computed(spark):
     assert out[2]["n_bigrams"] == 1
     assert out[2]["avg_bigram_ppm"] == pytest.approx(750_000.0)
     assert 3 not in out  # single-word doc has no bigrams
+
+
+def test_ccnet_buckets_tertiles(spark):
+    from kafka_delta_ingest_spark.operators.text import ccnet_buckets
+
+    # 9 docs in one lang with strictly ordered fluency: doc i repeats a
+    # common bigram i times, so avg score increases with doc_id
+    rows = [
+        (i, " ".join(["the cat"] * i) + f" unique{i} tail{i}", "en")
+        for i in range(1, 10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r["bucket"] for r in ccnet_buckets(df).collect()}
+    assert len(out) == 9
+    scores = {
+        r["doc_id"]: r["avg_bigram_ppm"] for r in ccnet_buckets(df).collect()
+    }
+    ranked = sorted(scores, key=lambda d: scores[d])
+    # cutoffs are the scores AT ascending ranks ceil(9/3)=3 and
+    # ceil(18/3)=6, and comparisons are >=, so the boundary docs land in
+    # the upper bucket: ranks 1-2 tail, 3-5 middle, 6-9 head
+    assert [out[d] for d in ranked] == (
+        ["tail"] * 2 + ["middle"] * 3 + ["head"] * 4
+    )
