@@ -51,3 +51,33 @@ def test_concurrent_committers(spark, tmp_path):
     for th in threads:
         th.join()
     assert sorted(r[0] for r in results) == ["conflict", "conflict", "conflict", "ok"]
+
+
+def test_pyfiles_zip_is_importable_and_deterministic(tmp_path):
+    """The spark-submit --py-files artifact must expose the whole engine
+    from a bare zip on sys.path (what executors see) and rebuild
+    byte-identically."""
+    import hashlib
+    import subprocess
+    import sys as _sys
+
+    sys_mod = _sys
+    import tools.package_pyfiles as pkg
+
+    z1 = pkg.build(str(tmp_path / "a.zip"))
+    z2 = pkg.build(str(tmp_path / "b.zip"))
+    h = lambda p: hashlib.sha256(open(p, "rb").read()).hexdigest()
+    assert h(z1) == h(z2)
+    # import from the zip alone in a clean interpreter (repo cwd masked)
+    code = (
+        "import sys; sys.path.insert(0, %r); "
+        "import kafka_delta_ingest_spark.operators.dedup as m; "
+        "import kafka_delta_ingest_spark.maintenance.optimize; "
+        "print(m.__name__)" % z1
+    )
+    out = subprocess.run(
+        [sys_mod.executable, "-c", code],
+        capture_output=True, text=True, cwd=str(tmp_path),
+    )
+    assert out.returncode == 0, out.stderr
+    assert "operators.dedup" in out.stdout

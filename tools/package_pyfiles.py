@@ -1,0 +1,47 @@
+"""Build the ``--py-files`` archive for cluster submission.
+
+``spark-submit --py-files kafka_delta_ingest_spark.zip jobs/<job>.py ...``
+ships the engine to every executor's PYTHONPATH; this builds that zip
+deterministically (sorted entries, zeroed timestamps, bytecode excluded)
+so repeated builds of the same tree are byte-identical — the artifact can
+be content-addressed in a deploy pipeline.
+
+Usage: python tools/package_pyfiles.py [out.zip]
+(default: dist/kafka_delta_ingest_spark.zip)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PKG = "kafka_delta_ingest_spark"
+
+
+def build(out_path: str) -> str:
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    entries = []
+    for root, dirs, files in os.walk(os.path.join(REPO, PKG)):
+        dirs[:] = sorted(d for d in dirs if d != "__pycache__")
+        for f in sorted(files):
+            if f.endswith(".py"):
+                full = os.path.join(root, f)
+                entries.append((os.path.relpath(full, REPO), full))
+    with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as z:
+        for arcname, full in sorted(entries):
+            with open(full, "rb") as fh:
+                data = fh.read()
+            info = zipfile.ZipInfo(arcname, date_time=(1980, 1, 1, 0, 0, 0))
+            info.compress_type = zipfile.ZIP_DEFLATED
+            info.external_attr = 0o644 << 16
+            z.writestr(info, data)
+    return out_path
+
+
+if __name__ == "__main__":
+    out = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        REPO, "dist", f"{PKG}.zip"
+    )
+    print(build(out))
