@@ -43,6 +43,20 @@ def build_bench_table(spark, root: str):
 
     if os.path.exists(root):
         shutil.rmtree(root)
+    # restore-from-snapshot path: scaling runs measure the SAME job on the
+    # SAME input several times per parallelism level, and the (untimed)
+    # datagen dominated their wall clock (~8 min per run at 8 cores vs a
+    # ~2 s directory copy) — long runs straddle this host's co-tenant
+    # throttle windows, which is exactly what poisons a ratio of two
+    # measurements. Building once and restoring a pristine copy keeps the
+    # measured job byte-identical while fitting the whole interleaved
+    # repeat set inside one quiet window.
+    src = os.environ.get("KDI_BENCH_RESTORE_FROM")
+    if src and os.path.exists(src):
+        from kafka_delta_ingest_spark.table.format import Table
+
+        shutil.copytree(src, root)
+        return Table(root)
     return make_small_file_table(
         spark, root, n_docs=N_DOCS, n_files=N_SMALL_FILES, seed=42,
         partition_by_source=True, max_tok=MAX_TOK,
@@ -251,6 +265,19 @@ def main():
         print(json.dumps(one_run(cores, f"c{cores}")))
         return
 
+    if "--build-only" in sys.argv:
+        # subprocess worker for --scaling: materialize the pristine input
+        # table once (untimed) so every measured run restores it by copy
+        from kafka_delta_ingest_spark.session import get_spark
+
+        root = sys.argv[sys.argv.index("--build-only") + 1]
+        spark = get_spark(app_name="kdi-bench-build", cores=CPUS,
+                          shuffle_partitions=CPUS)
+        build_bench_table(spark, root)
+        spark.stop()
+        print(json.dumps({"built": root}))
+        return
+
     if "--scaling" in sys.argv:
         # North-rule evidence (no real cluster in this sandbox): the SAME
         # job on the SAME input at local[8] (N) and local[32] (4N), each in
@@ -277,6 +304,21 @@ def main():
         pair = [
             int(x) for x in os.environ.get("KDI_SCALE_CORES", "8,32").split(",")
         ]
+        # build the input ONCE (untimed), restore per run by directory
+        # copy: the measured job is byte-identical, and the whole repeat
+        # set now fits inside one quiet window on this noisy host
+        pristine = os.path.join(env.get("KDI_BENCH_BASE", "/tmp"),
+                                "kdi_bench_pristine")
+        if not os.path.exists(pristine):
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--build-only", pristine],
+                capture_output=True, text=True, env=env, timeout=3000,
+            )
+            if p.returncode != 0:
+                sys.stderr.write(p.stderr[-2000:])
+                raise SystemExit("pristine build failed")
+        env["KDI_BENCH_RESTORE_FROM"] = pristine
         results = {}
         # INTERLEAVED pairs (8,32,8,32,...) rather than all-of-one-level
         # first: co-tenant load on this box comes in multi-minute windows,
@@ -295,6 +337,7 @@ def main():
                 key = f"local[{cores}]"
                 if key not in results or m["maintenance_sec"] < results[key]["maintenance_sec"]:
                     results[key] = m
+        shutil.rmtree(pristine, ignore_errors=True)
         shutil.rmtree(env.get("KDI_BENCH_BASE", "/nonexistent"), ignore_errors=True)
         shutil.rmtree(env.get("KDI_SPARK_LOCAL_DIR", "/nonexistent"), ignore_errors=True)
         n, n4 = results[f"local[{pair[0]}]"], results[f"local[{pair[1]}]"]

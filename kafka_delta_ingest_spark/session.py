@@ -83,6 +83,18 @@ def get_spark(
         # the job — make the timeouts generous
         .config("spark.network.timeout", os.environ.get("KDI_NETWORK_TIMEOUT", "600s"))
         .config("spark.executor.heartbeatInterval", "30s")
+        # manifest scans pass EXPLICIT leaf-file paths (table/scan.py), and
+        # with >32 paths Spark's default launches a parallel-partition-
+        # discovery JOB with one ~14 ms task PER FILE — on a 2304-file
+        # pre-compaction table that is two 2304-task pure-dispatch stages
+        # (~8 s at local[8], measured; on a 1000-executor cluster the same
+        # job serializes in the driver's scheduler loop). Local/posix stat
+        # is cheap: list driver-side up to 100k files. On a high-latency
+        # object store, lower the threshold back via env.
+        .config(
+            "spark.sql.sources.parallelPartitionDiscovery.threshold",
+            os.environ.get("KDI_PARALLEL_DISCOVERY_THRESHOLD", "100000"),
+        )
     )
     # shuffle/spill directory override — bench --scaling points this at
     # tmpfs to take the single shared virtio disk out of the measurement
