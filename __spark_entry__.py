@@ -177,6 +177,33 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _scan_summary(t.snapshot().scan(spark))
 
 
+def q_time_travel_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation through the log (north rule: readers of S_k see
+    unchanged results mid-rewrite). After a destructive fused OPTIMIZE
+    (v2, every file rewritten) AND a MERGE upsert that changes token
+    arrays (v3), a reader resolving version 1 from the log still sees the
+    ORIGINAL table byte-for-byte — the oracle compares against the
+    pre-maintenance derivation, so any leak of post-merge data or loss of
+    pre-rewrite files fails the gate. Old files stay live for pinned
+    readers until snapshot expiry + GC (ref: readers pin Delta versions,
+    tests/helpers/mod.rs:396-405)."""
+    from kafka_delta_ingest_spark.maintenance.merge import merge_into
+    from kafka_delta_ingest_spark.maintenance.optimize import optimize
+
+    t = _build_tokens_table(spark, sf_dir, _tmp_root("timetravel"))
+    v_pre = t.latest_version()
+    optimize(spark, t, dims=["source", "n_tok", "doc_id"], curve="zorder",
+             target_file_bytes=8 * 1024 * 1024)
+    upd = (
+        tokens_from_documents(spark, sf_dir)
+        .where(F.col("doc_id").cast("long") % 7 == 0)
+        .withColumn("tokens", F.transform("tokens", lambda x: x + F.lit(2)))
+    )
+    merge_into(spark, t, upd, key="doc_id", job_id="q-tt")
+    assert t.latest_version() >= v_pre + 2
+    return _scan_summary(t.snapshot(version=v_pre).scan(spark))
+
+
 def q_expire_gc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_delta_ingest_spark.maintenance.compact import compact
     from kafka_delta_ingest_spark.maintenance.expire import expire_snapshots, gc_orphans
@@ -1195,6 +1222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "optimize_scan": q_optimize_scan,
         "hilbert_scan": q_hilbert_scan,
         "merge_upsert": q_merge_upsert,
+        "time_travel_scan": q_time_travel_scan,
         "expire_gc_scan": q_expire_gc_scan,
         "ledger_resume_scan": q_ledger_resume_scan,
         "manifest_stats": q_manifest_stats,
@@ -2000,6 +2028,7 @@ def oracle_sql() -> dict[str, str]:
         "zorder_scan": scan_sql,
         "optimize_scan": scan_sql,
         "hilbert_scan": scan_sql,
+        "time_travel_scan": scan_sql,
         "expire_gc_scan": scan_sql,
         "ledger_resume_scan": scan_sql,
         "merge_upsert": f"""
