@@ -955,6 +955,20 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source")
 
 
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + shard assignment (training-data
+    export): shard = md5(salt|doc_id) mod 8, within-shard position = rank
+    of an independent salted hash — the full permutation is returned and
+    the oracle replays every hash, so any nondeterminism fails the gate."""
+    from kafka_delta_ingest_spark.operators.sampling import shuffle_shards
+
+    d = load_table(spark, sf_dir, "documents")
+    out = shuffle_shards(
+        d, key_cols=["doc_id"], n_shards=8, salt="r3", family="md5"
+    )
+    return out.select("doc_id", "shard", "pos")
+
+
 def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filters per doc (duplicate 2/3-gram
     fractions, top-word share) — oracle replays explode + window-lead
@@ -1257,6 +1271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "repetition_scores": q_repetition_scores,
         "stratified_sample": q_stratified_sample,
+        "shuffle_shards": q_shuffle_shards,
         "token_histogram": q_token_histogram,
         "length_percentiles": q_length_percentiles,
         "ann_topk": q_ann_topk,
@@ -2354,6 +2369,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source FROM f
             WHERE frac < CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
                          WHEN 'src2' THEN 0.05 ELSE 0.25 END
+        """,
+        # shard = nibble-parse(md5('r3|s|'||id)) % 8; pos = rank of the
+        # independent 'r3|o|' hash within the shard, ties by doc_id
+        "shuffle_shards": f"""
+            WITH h AS (
+              SELECT doc_id,
+                     md5('r3|s|' || CAST(doc_id AS VARCHAR)) AS hs,
+                     md5('r3|o|' || CAST(doc_id AS VARCHAR)) AS ho
+              FROM documents
+            ),
+            k AS (
+              SELECT doc_id,
+                     CAST({_nibble_long_sql("hs")} % 8 AS INTEGER) AS shard,
+                     {_nibble_long_sql("ho")} AS ord
+              FROM h
+            )
+            SELECT doc_id, shard,
+                   CAST(ROW_NUMBER() OVER (
+                        PARTITION BY shard ORDER BY ord, doc_id) - 1
+                        AS INTEGER) AS pos
+            FROM k
         """,
         # explode + window-lead n-grams + distinct counts, replayed 1:1
         "repetition_scores": f"""

@@ -230,3 +230,65 @@ def dsir_weights(
             F.col("_s").cast("double").alias("dsir_weight"),
         )
     )
+
+
+def shard_hash_long(
+    key_cols: list[Column | str], salt: str = "", family: str = "xxhash64"
+) -> Column:
+    """Deterministic long hash of (salt, key columns) — the primitive
+    behind shard assignment and shuffle order. xxhash64 = one JVM hash
+    (production); md5 = first 8 hex chars parsed to a non-negative
+    32-bit long (the DuckDB oracle replays it nibble-by-nibble)."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in key_cols]
+    if family == "xxhash64":
+        return F.xxhash64(F.lit(salt), *cols)
+    if family == "md5":
+        h = F.md5(F.concat_ws("|", F.lit(salt), *cols).cast("binary"))
+        return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    raise ValueError(f"unknown hash family: {family}")
+
+
+def shuffle_shards(
+    df: DataFrame,
+    key_cols: list[str],
+    n_shards: int,
+    salt: str = "",
+    family: str = "xxhash64",
+    pos_col: str = "pos",
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Deterministic global shuffle + shard assignment — the export step
+    that turns a curated corpus into training shards whose read order is
+    a pseudo-random permutation of the documents.
+
+    Training loaders need (a) source/time ordering destroyed so
+    minibatches are near-IID, and (b) a fixed shard count with
+    near-equal sizes. Both must be REPRODUCIBLE: the same corpus +
+    salt must yield the same permutation on any cluster size, any
+    partitioning, any retry (``df.orderBy(rand())`` gives none of
+    that). Shard = key-hash mod ``n_shards``; within-shard position =
+    rank of an independent salted hash (ties broken by key), so the
+    permutation is a pure function of (salt, keys).
+
+    Plan shape at 100 TB: ONE hash shuffle on ``shard`` — exactly the
+    shuffle the sharded write needs anyway — and a within-partition
+    sort (the window per shard); uniform hashing bounds shard skew at
+    O(sqrt(N/n_shards)). Writing is
+    ``out.repartition(n_shards, shard_col).sortWithinPartitions(pos_col)``
+    then ``partitionBy(shard_col)`` — file order IS the permutation.
+    """
+    from pyspark.sql.window import Window
+
+    ties = [F.col(c) for c in key_cols]
+    out = (
+        df.withColumn(
+            shard_col,
+            F.pmod(
+                shard_hash_long(key_cols, salt=salt + "|s", family=family),
+                F.lit(n_shards),
+            ).cast("int"),
+        )
+        .withColumn("_ord", shard_hash_long(key_cols, salt=salt + "|o", family=family))
+    )
+    w = Window.partitionBy(shard_col).orderBy(F.col("_ord"), *ties)
+    return out.withColumn(pos_col, F.row_number().over(w) - 1).drop("_ord")

@@ -674,3 +674,36 @@ def test_dsir_weights_prefers_target_vocabulary(spark):
             ).collect()
         }
         assert out == out2, fam
+
+
+def test_shuffle_shards_permutation_invariants(spark):
+    from kafka_delta_ingest_spark.operators.sampling import shuffle_shards
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    kw = dict(key_cols=["doc_id"], n_shards=16, salt="s1")
+    out = shuffle_shards(df, **kw).collect()
+    # complete permutation: every doc exactly once, (shard,pos) unique,
+    # positions dense 0..k-1 per shard
+    assert len(out) == 2000
+    assert len({r["doc_id"] for r in out}) == 2000
+    cells = {(r["shard"], r["pos"]) for r in out}
+    assert len(cells) == 2000
+    from collections import Counter
+
+    sizes = Counter(r["shard"] for r in out)
+    assert set(sizes) == set(range(16))
+    for sh, n in sizes.items():
+        assert {p for s, p in cells if s == sh} == set(range(n))
+    # uniform hash → near-equal shards (loose 3-sigma-ish bound)
+    assert max(sizes.values()) - min(sizes.values()) < 60
+    # pure function of (salt, key): partitioning-invariant, salt-sensitive
+    again = {
+        (r["doc_id"], r["shard"], r["pos"])
+        for r in shuffle_shards(df.repartition(13), **kw).collect()
+    }
+    assert again == {(r["doc_id"], r["shard"], r["pos"]) for r in out}
+    other = shuffle_shards(df, key_cols=["doc_id"], n_shards=16, salt="s2")
+    diff = {
+        (r["doc_id"], r["shard"]) for r in other.collect()
+    } ^ {(r["doc_id"], r["shard"]) for r in out}
+    assert diff  # different salt → different permutation
