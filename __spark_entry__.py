@@ -1212,6 +1212,23 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(toks, "doc_id", "n_tok", budget=512)
 
 
+def q_pack_docs_bfd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-preserving packing (best-fit-decreasing, never splits a
+    doc — the truncation-free alternative to concat-and-chunk): whole
+    docs into 512-token bins inside deterministic hash buckets. The
+    in-bucket BFD loop is an iterative algorithm with multiset state —
+    not SQL-expressible, so this entry takes the driver's rows-only
+    check; the bin invariants (exact fills, budget bound, 11/9-OPT
+    quality, partitioning-invariance) are pytest-asserted."""
+    from kafka_delta_ingest_spark.operators.packing import pack_docs_bfd
+    from kafka_delta_ingest_spark.operators.text import token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.col("doc_id").cast("string").alias("doc_id"),
+                    token_count("text").alias("n_tok"))
+    return pack_docs_bfd(toks, budget=512, docs_per_bucket=100_000, salt="r3")
+
+
 # ------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1291,6 +1308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "span_dedup": q_span_dedup,
         "pack_sequences": q_pack_sequences,
+        "pack_docs_bfd": q_pack_docs_bfd,
         "unigram_freq": q_unigram_freq,
         "bigram_lm": q_bigram_lm,
         "ccnet_buckets": q_ccnet_buckets,

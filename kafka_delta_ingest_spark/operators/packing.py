@@ -136,3 +136,104 @@ def pack_sequences(
     pinned = result.localCheckpoint(eager=True)
     with_pid.unpersist()
     return pinned
+
+
+def pack_docs_bfd(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weight_col: str = "n_tok",
+    budget: int = 2048,
+    docs_per_bucket: int = 100_000,
+    salt: str = "",
+) -> DataFrame:
+    """Document-preserving packing: whole documents into ``budget``-token
+    bins, best-fit-decreasing, never splitting a document (the
+    "fewer truncations" packing of Ding et al. 2024 — truncation-free
+    batches beat concat-and-chunk on downstream quality; public paper).
+
+    Global BFD is inherently sequential, so the scale design is the
+    standard sharded approximation: documents hash deterministically into
+    buckets of ~``docs_per_bucket`` (bucket count derived from a cheap
+    count, rounded to a power of two so the assignment is stable), and
+    BFD runs independently inside each bucket via ``applyInPandas``. For
+    large buckets the per-bucket waste concentrates (law of large
+    numbers), so padding overhead approaches global BFD while the work is
+    embarrassingly parallel — ONE hash shuffle on the bucket key, no
+    global sort, no driver state. The in-bucket loop is O(docs·log bins)
+    Python over plain numpy arrays inside one Arrow batch — control
+    logic, not per-row data compute (the token arrays never enter the
+    UDF; only (id, weight) pairs do).
+
+    Documents wider than ``budget`` get a bin of their own (flagged
+    ``oversize=true``) — the caller decides whether to truncate or drop.
+
+    Returns one row per document:
+    ``(id_col, weight_col, bucket, bin_id, bin_fill, oversize)`` where
+    ``bin_id`` is unique within the bucket and ``bin_fill`` is the bin's
+    total tokens (== its padding complement). Deterministic for a given
+    (corpus, budget, salt): bucket assignment is a key hash and the
+    in-bucket order is (weight desc, id) with best-fit ties broken by
+    lowest bin id.
+    """
+    import math
+
+    import pandas as pd
+
+    n_docs = df.count()
+    n_buckets = max(1, 2 ** int(math.ceil(math.log2(max(1, n_docs / docs_per_bucket)))))
+    slim = df.select(
+        F.col(id_col),
+        F.col(weight_col).cast("long").alias(weight_col),
+        F.pmod(F.xxhash64(F.lit(salt), F.col(id_col)), F.lit(n_buckets))
+        .cast("int")
+        .alias("bucket"),
+    )
+
+    out_schema = (
+        f"{id_col} string, {weight_col} long, bucket int, "
+        "bin_id long, bin_fill long, oversize boolean"
+    )
+
+    def _bfd(pdf: pd.DataFrame) -> pd.DataFrame:
+        import bisect
+
+        pdf = pdf.sort_values(
+            [weight_col, id_col], ascending=[False, True], kind="mergesort"
+        )
+        # sorted list of (residual, bin_id) for best-fit lookup: the
+        # tightest bin that still fits; ties -> lowest bin id
+        residuals: list[tuple[int, int]] = []
+        fills: list[int] = []
+        bin_of = []
+        for w in pdf[weight_col].to_numpy():
+            w = int(w)
+            if w >= budget:
+                bin_of.append(len(fills))
+                fills.append(w)
+                continue
+            i = bisect.bisect_left(residuals, (w, -1))
+            if i < len(residuals):
+                _, b = residuals.pop(i)
+                fills[b] += w
+                if fills[b] < budget:
+                    bisect.insort(residuals, (budget - fills[b], b))
+                bin_of.append(b)
+            else:
+                b = len(fills)
+                fills.append(w)
+                if w < budget:
+                    bisect.insort(residuals, (budget - w, b))
+                bin_of.append(b)
+        res = pd.DataFrame(
+            {
+                id_col: pdf[id_col].astype(str).to_numpy(),
+                weight_col: pdf[weight_col].to_numpy(),
+                "bucket": pdf["bucket"].to_numpy(),
+                "bin_id": pd.array(bin_of, dtype="int64"),
+            }
+        )
+        res["bin_fill"] = res["bin_id"].map(lambda b: fills[int(b)]).astype("int64")
+        res["oversize"] = res[weight_col] > budget
+        return res
+
+    return slim.groupBy("bucket").applyInPandas(_bfd, schema=out_schema)

@@ -193,3 +193,41 @@ def test_ccnet_buckets_tertiles(spark):
     assert [out[d] for d in ranked] == (
         ["tail"] * 2 + ["middle"] * 3 + ["head"] * 4
     )
+
+
+def test_pack_docs_bfd_invariants(spark):
+    from kafka_delta_ingest_spark.operators.packing import pack_docs_bfd
+
+    rows = [(str(i), (i * 37) % 700 + 1) for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id string, n_tok long")
+    out = pack_docs_bfd(df, budget=512, docs_per_bucket=1000, salt="t").collect()
+    assert len(out) == 3000
+    assert len({r["doc_id"] for r in out}) == 3000
+    # bin accounting: fills consistent, nothing over budget except
+    # single-doc oversize bins
+    from collections import defaultdict
+
+    bins = defaultdict(list)
+    for r in out:
+        bins[(r["bucket"], r["bin_id"])].append(r)
+    for members in bins.values():
+        fill = sum(m["n_tok"] for m in members)
+        assert all(m["bin_fill"] == fill for m in members)
+        if fill > 512:
+            assert len(members) == 1 and members[0]["oversize"]
+    # oversize flag matches weight
+    for r in out:
+        assert r["oversize"] == (r["n_tok"] > 512)
+    # packing quality: within 30% of the token lower bound (BFD is
+    # 11/9 OPT + O(1) per bucket)
+    packable = sum(min(r["n_tok"], 512) for r in out)
+    lower = -(-sum(r["n_tok"] for r in out if r["n_tok"] <= 512) // 512)
+    n_regular_bins = len(
+        {k for k, v in bins.items() if not v[0]["oversize"]}
+    )
+    assert n_regular_bins <= 1.3 * lower + len({r["bucket"] for r in out})
+    # deterministic under repartitioning
+    again = pack_docs_bfd(
+        df.repartition(17), budget=512, docs_per_bucket=1000, salt="t"
+    ).collect()
+    assert {tuple(r) for r in again} == {tuple(r) for r in out}
