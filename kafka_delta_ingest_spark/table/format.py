@@ -74,6 +74,11 @@ class CommitConflictError(TableError):
     """CAS retry budget exhausted."""
 
 
+class SchemaEvolutionError(TableError):
+    """Rejected schema evolution: only adding NULLABLE columns is safe
+    (drops/renames/type changes would break old files and old readers)."""
+
+
 @dataclass
 class FileEntry:
     """One live data file — the Add action payload (ref src/writer.rs:1030-1066)."""
@@ -117,6 +122,9 @@ class Transaction:
     data_change: bool = True  # False for pure rewrites (compaction/cluster)
     base_version: int | None = None  # snapshot the planner read; None = head
     metadata: dict[str, Any] = field(default_factory=dict)
+    # when set, this commit updates the table schema (snapshot replay picks
+    # it up from the commit's "metadata" key, same as the create commit)
+    schema_update: "T.StructType | None" = None
 
 
 class Snapshot:
@@ -350,6 +358,45 @@ class Table:
         (ref delta_helpers.rs:70-80: last_txn_version)."""
         return self.snapshot().app_txns.get(app_key, -1)
 
+    def evolve_schema(self, new_schema: T.StructType) -> int:
+        """Additive schema evolution as a metadata-only atomic commit.
+
+        Only ADD-nullable-column is allowed: every existing field must
+        appear unchanged (name, type, nullability) and every new field
+        must be nullable — the evolution no old reader or old file can
+        break. Old parquet files simply lack the new columns; the
+        schema-pinned scan (scan.py read_files reads with the SNAPSHOT
+        schema, not inference) fills them with NULLs, so no data rewrite
+        happens and pinned pre-evolution snapshots keep their old schema
+        (time travel covers metadata too). Concurrent writers that
+        validated against the old schema detect the evolution via
+        ``commit(expected_schema=...)`` → SchemaChangedError, exactly the
+        reference's drift check (src/writer.rs:369-386)."""
+        snap = self.snapshot()
+        old = {f.name: f for f in snap.schema.fields}
+        new = {f.name: f for f in new_schema.fields}
+        dropped = sorted(set(old) - set(new))
+        if dropped:
+            raise SchemaEvolutionError(f"cannot drop columns: {dropped}")
+        for name, f in old.items():
+            nf = new[name]
+            if nf.dataType != f.dataType or nf.nullable != f.nullable:
+                raise SchemaEvolutionError(
+                    f"cannot change column {name!r}: "
+                    f"{f.dataType.simpleString()} (nullable={f.nullable}) -> "
+                    f"{nf.dataType.simpleString()} (nullable={nf.nullable})"
+                )
+        bad = sorted(n for n, f in new.items() if n not in old and not f.nullable)
+        if bad:
+            raise SchemaEvolutionError(f"new columns must be nullable: {bad}")
+        return self.commit(
+            Transaction(
+                operation="evolve-schema",
+                data_change=False,
+                schema_update=new_schema,
+            )
+        )
+
     def commit(
         self,
         txn: Transaction,
@@ -416,6 +463,11 @@ class Table:
                 "data_change": txn.data_change,
                 "op_metadata": txn.metadata,
             }
+            if txn.schema_update is not None:
+                commit["metadata"] = {
+                    "schema": json.loads(txn.schema_update.json()),
+                    "partition_cols": snap.partition_cols,
+                }
             try:
                 self._atomic_write_version(v, commit)
             except FileExistsError:

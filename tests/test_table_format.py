@@ -271,3 +271,77 @@ def test_s3_cas_conditional_put_win_and_lose(tmp_table_root):
     with pytest.raises(Exception) as ei:
         t.commit(Transaction(operation="append"))
     assert "AccessDenied" in str(getattr(ei.value, "response", ei.value))
+
+
+def test_schema_evolution_add_nullable_column(spark, tmp_path):
+    """Add-column evolution: metadata-only commit; old files scan with
+    NULLs in the new column; pinned pre-evolution snapshots keep the old
+    schema; concurrent writers detect the drift; unsafe evolutions are
+    rejected."""
+    import pyspark.sql.types as T
+    import pytest
+
+    from kafka_delta_ingest_spark.datagen import make_small_file_table
+    from kafka_delta_ingest_spark.table.format import (
+        SchemaChangedError,
+        SchemaEvolutionError,
+        Table,
+        Transaction,
+    )
+    from kafka_delta_ingest_spark.table.writer import stage_dataframe
+
+    t = make_small_file_table(spark, str(tmp_path / "t"), n_docs=60, n_files=3, max_tok=8)
+    old_schema = t.snapshot().schema
+    v_pre = t.latest_version()
+
+    evolved = T.StructType(
+        old_schema.fields + [T.StructField("quality", T.DoubleType(), True)]
+    )
+    v_evo = t.evolve_schema(evolved)
+    assert v_evo == v_pre + 1
+
+    # head schema has the column; every old row scans as NULL
+    snap = t.snapshot()
+    assert "quality" in snap.schema.fieldNames()
+    df = snap.scan(spark)
+    assert df.schema["quality"].dataType == T.DoubleType()
+    assert df.where(df.quality.isNotNull()).count() == 0
+    n_old = df.count()
+
+    # append rows WITH the column; scan merges old-null + new-valued
+    add_df = (
+        snap.scan(spark).limit(5)
+        .withColumn("doc_id", F.concat(F.lit("new_"), "doc_id"))
+        .withColumn("quality", F.lit(0.5))
+    )
+    _, adds = stage_dataframe(spark, t, add_df, snap.partition_cols, evolved)
+    t.commit(Transaction(operation="append", adds=adds))
+    df2 = t.snapshot().scan(spark)
+    assert df2.count() == n_old + 5
+    assert df2.where(df2.quality.isNotNull()).count() == 5
+
+    # pinned pre-evolution snapshot keeps the OLD schema (metadata time travel)
+    assert "quality" not in t.snapshot(version=v_pre).schema.fieldNames()
+
+    # a writer that validated against the old schema detects the drift
+    with pytest.raises(SchemaChangedError):
+        t.commit(Transaction(operation="append"), expected_schema=old_schema)
+
+    # unsafe evolutions rejected
+    with pytest.raises(SchemaEvolutionError):
+        t.evolve_schema(T.StructType(evolved.fields[1:]))  # drop
+    with pytest.raises(SchemaEvolutionError):
+        t.evolve_schema(
+            T.StructType(
+                evolved.fields
+                + [T.StructField("req", T.LongType(), False)]  # non-nullable add
+            )
+        )
+    changed = [
+        T.StructField(f.name, T.StringType(), f.nullable)
+        if f.name == "quality"
+        else f
+        for f in evolved.fields
+    ]
+    with pytest.raises(SchemaEvolutionError):
+        t.evolve_schema(T.StructType(changed))  # type change
