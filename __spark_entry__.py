@@ -204,6 +204,32 @@ def q_time_travel_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _scan_summary(t.snapshot(version=v_pre).scan(spark))
 
 
+def q_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE (copy-on-write, manifest min/max touched-file
+    pruning): remove src1 docs with n_tok <= 200, scan the result."""
+    from kafka_delta_ingest_spark.maintenance.dml import delete_where
+
+    t = _build_tokens_table(spark, sf_dir, _tmp_root("delete"))
+    m = delete_where(spark, t, [("source", "=", "src1"), ("n_tok", "<=", 200)])
+    assert m["rows_deleted"] >= 0
+    return _scan_summary(t.snapshot().scan(spark))
+
+
+def q_update_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level UPDATE (copy-on-write): docs with n_tok >= 400 get every
+    token shifted by +1; the oracle recomputes the checksum arithmetically
+    (tok_sum' = tok_sum + n*(n+1)/2), so a wrong CASE branch, a double
+    rewrite, or a missed touched file all hash-mismatch."""
+    from kafka_delta_ingest_spark.maintenance.dml import update_where
+
+    t = _build_tokens_table(spark, sf_dir, _tmp_root("update"))
+    update_where(
+        spark, t, [("n_tok", ">=", 400)],
+        {"tokens": "transform(tokens, x -> x + 1)"},
+    )
+    return _scan_summary(t.snapshot().scan(spark))
+
+
 def q_expire_gc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_delta_ingest_spark.maintenance.compact import compact
     from kafka_delta_ingest_spark.maintenance.expire import expire_snapshots, gc_orphans
@@ -1254,6 +1280,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hilbert_scan": q_hilbert_scan,
         "merge_upsert": q_merge_upsert,
         "time_travel_scan": q_time_travel_scan,
+        "delete_scan": q_delete_scan,
+        "update_scan": q_update_scan,
         "expire_gc_scan": q_expire_gc_scan,
         "ledger_resume_scan": q_ledger_resume_scan,
         "manifest_stats": q_manifest_stats,
@@ -2062,6 +2090,17 @@ def oracle_sql() -> dict[str, str]:
         "optimize_scan": scan_sql,
         "hilbert_scan": scan_sql,
         "time_travel_scan": scan_sql,
+        "delete_scan": f"""
+            SELECT * FROM ({scan_sql})
+            WHERE NOT (source = 'src1' AND n_tok <= 200)
+        """,
+        "update_scan": f"""
+            SELECT doc_id, n_tok, source,
+                   CASE WHEN n_tok >= 400
+                        THEN tok_sum + (CAST(n_tok AS BIGINT) * (n_tok + 1)) // 2
+                        ELSE tok_sum END AS tok_sum
+            FROM ({scan_sql})
+        """,
         "expire_gc_scan": scan_sql,
         "ledger_resume_scan": scan_sql,
         "merge_upsert": f"""

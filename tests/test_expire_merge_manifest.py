@@ -124,3 +124,53 @@ def test_merge_delete(spark, tmp_table_root):
     snap = t.snapshot()
     assert snap.num_records() == 450
     assert snap.scan(spark).where(F.col("doc_id") < "doc-000000000050").count() == 0
+
+
+def test_delete_where_prunes_and_deletes(spark, tmp_path):
+    from kafka_delta_ingest_spark.maintenance.dml import delete_where
+
+    t = make_small_file_table(spark, str(tmp_path / "t"), n_docs=400, n_files=8, max_tok=64)
+    snap = t.snapshot()
+    before = snap.scan(spark)
+    expect_kept = before.where(~(F.col("n_tok") <= F.lit(5))).count()
+    n_rows = before.count()
+
+    m = delete_where(spark, t, [("n_tok", "<=", 5)])
+    assert m["rows_before"] == n_rows
+    assert m["rows_after"] == expect_kept
+    assert m["rows_deleted"] == n_rows - expect_kept
+    # manifest pruning engaged: files whose min n_tok > 5 were not touched
+    untouchable = sum(1 for f in snap.files if int(f.stats["min"]["n_tok"]) > 5)
+    assert m["files_touched"] == len(snap.files) - untouchable
+    after = t.snapshot().scan(spark)
+    assert after.count() == expect_kept
+    assert after.where(F.col("n_tok") <= 5).count() == 0
+    # pinned pre-delete snapshot still sees every row (snapshot isolation)
+    assert snap.scan(spark).count() == n_rows
+
+
+def test_update_where_rewrites_matched_rows(spark, tmp_path):
+    import pytest
+
+    from kafka_delta_ingest_spark.maintenance.dml import update_where
+
+    t = make_small_file_table(spark, str(tmp_path / "t"), n_docs=300, n_files=6, max_tok=32)
+    fp_unmatched = content_fingerprint(
+        t.snapshot().scan(spark).where(F.col("n_tok") < 20)
+    )
+    m = update_where(
+        spark, t, [("n_tok", ">=", 20)],
+        {"tokens": "transform(tokens, x -> x + 7)"},
+    )
+    assert m["rows_after"] == m["rows_before"]
+    after = t.snapshot().scan(spark)
+    # unmatched rows byte-identical; matched rows shifted
+    assert content_fingerprint(after.where(F.col("n_tok") < 20)) == fp_unmatched
+    # every matched token was shifted up: none below 7 remain
+    assert after.where(
+        (F.col("n_tok") >= 20) & F.expr("exists(tokens, x -> x < 7)")
+    ).count() == 0
+    with pytest.raises(ValueError):
+        update_where(spark, t, [("n_tok", ">=", 20)], {"source": "'x'"})
+    with pytest.raises(ValueError):
+        update_where(spark, t, [], {"tokens": "tokens"})
