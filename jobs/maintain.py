@@ -27,7 +27,7 @@ def main():
         required=True,
         choices=[
             "compact", "zorder", "hilbert", "optimize", "manifest",
-            "expire", "gc", "stats",
+            "expire", "gc", "stats", "delete", "update",
         ],
     )
     p.add_argument("--target-file-bytes", type=int, default=128 * 1024 * 1024)
@@ -36,6 +36,17 @@ def main():
     p.add_argument("--grace-seconds", type=float, default=3600.0)
     p.add_argument("--job-id", default=None)
     p.add_argument("--verify", action="store_true")
+    p.add_argument(
+        "--where",
+        default=None,
+        help='DML predicate as JSON conjuncts: [["n_tok","<=",5],["source","=","src1"]]',
+    )
+    p.add_argument(
+        "--set",
+        dest="set_exprs",
+        default=None,
+        help='UPDATE assignments as JSON: {"tokens": "transform(tokens, x -> x + 1)"}',
+    )
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -81,6 +92,21 @@ def main():
         from kafka_delta_ingest_spark.maintenance.expire import gc_orphans
 
         out = gc_orphans(spark, table, grace_s=args.grace_seconds)
+    elif args.op in ("delete", "update"):
+        from kafka_delta_ingest_spark.maintenance.dml import (
+            delete_where,
+            update_where,
+        )
+
+        if not args.where:
+            p.error(f"--where is required for --op {args.op}")
+        conjuncts = [tuple(c) for c in json.loads(args.where)]
+        if args.op == "delete":
+            out = delete_where(spark, table, conjuncts)
+        else:
+            if not args.set_exprs:
+                p.error("--set is required for --op update")
+            out = update_where(spark, table, conjuncts, json.loads(args.set_exprs))
     elif args.op == "stats":
         snap = table.snapshot()
         out = {
