@@ -230,6 +230,36 @@ def q_update_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _scan_summary(t.snapshot().scan(spark))
 
 
+def q_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (CDC-style) append scan between versions — the batch
+    form of the reference's resume-from-stored-offset consumption
+    (src/lib.rs:1026-1046). v1 appends docs with doc_id%3 != 0, v2 is a
+    full compaction (data_change=False, every file rewritten), v3 appends
+    docs with doc_id%3 == 0. ``incremental_scan(from=1)`` must return
+    EXACTLY the v3 batch: the interleaved rewrite is invisible (its bytes
+    moved, contents didn't), and the v1 rows never reappear. The oracle is
+    the doc_id%3==0 slice of the derivation, so leaking compacted-file
+    rows or dropping appended ones hash-mismatches."""
+    from kafka_delta_ingest_spark.maintenance.compact import compact
+    from kafka_delta_ingest_spark.table.format import Table, Transaction
+    from kafka_delta_ingest_spark.table.inspect import incremental_scan
+    from kafka_delta_ingest_spark.table.writer import stage_dataframe
+
+    root = _tmp_root("incscan")
+    if os.path.exists(root):
+        shutil.rmtree(root)
+    t = Table.create(root, TOKENS_SCHEMA, ["source"])
+    base = tokens_from_documents(spark, sf_dir)
+    a = base.where(F.col("doc_id").cast("long") % 3 != 0).repartition(12)
+    _, adds = stage_dataframe(spark, t, a, ["source"], TOKENS_SCHEMA)
+    t.commit(Transaction(operation="append", adds=adds))  # v1
+    compact(spark, t, target_file_bytes=8 * 1024 * 1024, job_id="q-inc")  # v2
+    b = base.where(F.col("doc_id").cast("long") % 3 == 0).repartition(4)
+    _, adds_b = stage_dataframe(spark, t, b, ["source"], TOKENS_SCHEMA)
+    t.commit(Transaction(operation="append", adds=adds_b))  # v3
+    return _scan_summary(incremental_scan(spark, t, from_version=1))
+
+
 def q_expire_gc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_delta_ingest_spark.maintenance.compact import compact
     from kafka_delta_ingest_spark.maintenance.expire import expire_snapshots, gc_orphans
@@ -1283,6 +1313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_scan": q_delete_scan,
         "update_scan": q_update_scan,
         "expire_gc_scan": q_expire_gc_scan,
+        "incremental_scan": q_incremental_scan,
         "ledger_resume_scan": q_ledger_resume_scan,
         "manifest_stats": q_manifest_stats,
         # ingest semantics (reference A4-A20)
@@ -2102,6 +2133,10 @@ def oracle_sql() -> dict[str, str]:
             FROM ({scan_sql})
         """,
         "expire_gc_scan": scan_sql,
+        "incremental_scan": f"""
+            SELECT * FROM ({scan_sql})
+            WHERE CAST(doc_id AS BIGINT) % 3 = 0
+        """,
         "ledger_resume_scan": scan_sql,
         "merge_upsert": f"""
             WITH base AS ({_TOKENS_SQL}),
