@@ -230,6 +230,29 @@ def q_update_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _scan_summary(t.snapshot().scan(spark))
 
 
+def q_rollback_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollback (restore-to-version): after a destructive UPDATE (v2,
+    token arrays changed) and a fused OPTIMIZE (v3, every file rewritten),
+    ``rollback(t, 1)`` commits v4 whose contents equal v1 exactly — the
+    oracle is the pristine derivation, so any leaked post-update token or
+    lost row hash-mismatches. Metadata-only: the restore moves zero data
+    bytes (Iceberg rollback_to_snapshot semantics in our commit log)."""
+    from kafka_delta_ingest_spark.maintenance.dml import update_where
+    from kafka_delta_ingest_spark.maintenance.optimize import optimize
+    from kafka_delta_ingest_spark.maintenance.rollback import rollback
+
+    t = _build_tokens_table(spark, sf_dir, _tmp_root("rollback"))
+    update_where(
+        spark, t, [("n_tok", ">=", 100)],
+        {"tokens": "transform(tokens, x -> x + 3)"},
+    )
+    optimize(spark, t, dims=["source", "n_tok", "doc_id"], curve="zorder",
+             target_file_bytes=8 * 1024 * 1024)
+    m = rollback(t, 1)
+    assert m["files_removed"] > 0 and m["files_readded"] > 0
+    return _scan_summary(t.snapshot().scan(spark))
+
+
 def q_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental (CDC-style) append scan between versions — the batch
     form of the reference's resume-from-stored-offset consumption
@@ -1313,6 +1336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_scan": q_delete_scan,
         "update_scan": q_update_scan,
         "expire_gc_scan": q_expire_gc_scan,
+        "rollback_scan": q_rollback_scan,
         "incremental_scan": q_incremental_scan,
         "ledger_resume_scan": q_ledger_resume_scan,
         "manifest_stats": q_manifest_stats,
@@ -2133,6 +2157,7 @@ def oracle_sql() -> dict[str, str]:
             FROM ({scan_sql})
         """,
         "expire_gc_scan": scan_sql,
+        "rollback_scan": scan_sql,
         "incremental_scan": f"""
             SELECT * FROM ({scan_sql})
             WHERE CAST(doc_id AS BIGINT) % 3 = 0

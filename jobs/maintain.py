@@ -27,8 +27,12 @@ def main():
         required=True,
         choices=[
             "compact", "zorder", "hilbert", "optimize", "manifest",
-            "expire", "gc", "stats", "delete", "update",
+            "expire", "gc", "stats", "delete", "update", "rollback",
         ],
+    )
+    p.add_argument(
+        "--to-version", type=int, default=None,
+        help="target snapshot version for --op rollback",
     )
     p.add_argument("--target-file-bytes", type=int, default=128 * 1024 * 1024)
     p.add_argument("--dims", default="source,n_tok,doc_id")
@@ -107,6 +111,12 @@ def main():
             if not args.set_exprs:
                 p.error("--set is required for --op update")
             out = update_where(spark, table, conjuncts, json.loads(args.set_exprs))
+    elif args.op == "rollback":
+        from kafka_delta_ingest_spark.maintenance.rollback import rollback
+
+        if args.to_version is None:
+            p.error("--to-version is required for --op rollback")
+        out = rollback(table, args.to_version)
     elif args.op == "stats":
         snap = table.snapshot()
         out = {
