@@ -34,6 +34,12 @@ def main():
         "--to-version", type=int, default=None,
         help="target snapshot version for --op rollback",
     )
+    p.add_argument(
+        "--scope",
+        default=None,
+        help='metadata file-scope conjuncts for compact/zorder/hilbert/'
+        'optimize, e.g. [["source","=","web"]] — per-partition maintenance',
+    )
     p.add_argument("--target-file-bytes", type=int, default=128 * 1024 * 1024)
     p.add_argument("--dims", default="source,n_tok,doc_id")
     p.add_argument("--retain-last", type=int, default=10)
@@ -60,12 +66,14 @@ def main():
     spark = SparkSession.builder.getOrCreate()
     table = Table(args.table)
 
+    scope = [tuple(c) for c in json.loads(args.scope)] if args.scope else None
+
     if args.op == "compact":
         from kafka_delta_ingest_spark.maintenance.compact import compact
 
         out = compact(
             spark, table, target_file_bytes=args.target_file_bytes,
-            job_id=args.job_id, verify=args.verify,
+            job_id=args.job_id, verify=args.verify, scope=scope,
         )
     elif args.op in ("zorder", "hilbert"):
         from kafka_delta_ingest_spark.maintenance.zorder import cluster
@@ -73,7 +81,7 @@ def main():
         out = cluster(
             spark, table, dims=args.dims.split(","), curve=args.op,
             target_file_bytes=args.target_file_bytes, job_id=args.job_id,
-            verify=args.verify,
+            verify=args.verify, scope=scope,
         )
     elif args.op == "optimize":
         # fused compact+cluster: one read→shuffle→write pass, one commit
@@ -82,7 +90,7 @@ def main():
         out = optimize(
             spark, table, dims=args.dims.split(","), curve="zorder",
             target_file_bytes=args.target_file_bytes, job_id=args.job_id,
-            verify=args.verify,
+            verify=args.verify, scope=scope,
         )
     elif args.op == "manifest":
         from kafka_delta_ingest_spark.maintenance.manifest import rewrite_manifests

@@ -95,11 +95,19 @@ def compact(
     max_bins_per_commit: int = 10_000,
     job_id: str | None = None,
     verify: bool = False,
+    scope: list[tuple] | None = None,
 ) -> dict:
     """Compact small files; returns metrics. Idempotent/resumable: re-running
     with the same job_id skips bins already staged (ledger) or already
     committed (their inputs are no longer live, so the planner never
-    re-proposes them)."""
+    re-proposes them).
+
+    ``scope``: optional ``(col, op, literal)`` conjuncts restricting which
+    files are eligible — evaluated against manifest partition values and
+    min/max stats only (metadata, no data scan). At 10^12-row scale
+    maintenance runs per partition/day, never whole-table; any file subset
+    is safe to compact because the rewrite is content-preserving
+    (data_change=False row conservation still enforced at commit)."""
     job_id = job_id or f"compact-{uuid.uuid4().hex[:8]}"
     ledger = Ledger(table.root, job_id)
     snap = table.snapshot()
@@ -111,8 +119,13 @@ def compact(
 
         fingerprint_before = content_fingerprint(snap.scan(spark))
 
+    candidates = snap.files
+    if scope:
+        from kafka_delta_ingest_spark.plans.pruning import prune_files
+
+        candidates = prune_files(candidates, list(scope), snap.schema)
     all_bins = plan_bins(
-        snap.files,
+        candidates,
         target_file_bytes=target_file_bytes,
         small_file_threshold=small_file_threshold,
         min_files_per_bin=min_files_per_bin,

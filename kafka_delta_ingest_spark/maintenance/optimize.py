@@ -40,6 +40,7 @@ def optimize(
     job_id: str | None = None,
     verify: bool = False,
     key_impl: str = "auto",
+    scope: list[tuple] | None = None,
 ) -> dict:
     """Compact + cluster the whole table in a single rewrite pass.
 
@@ -58,6 +59,7 @@ def optimize(
         job_id=job_id,
         verify=verify,
         key_impl=key_impl,
+        scope=scope,
     )
     after = table.snapshot()
     m.update(

@@ -25,6 +25,7 @@ analogue of the reference's file-size targeting (src/lib.rs:1127-1145).
 from __future__ import annotations
 
 import math
+import os
 import time
 import uuid
 
@@ -237,12 +238,12 @@ def cluster_keyed_df(
     return df.withColumn("_ckey", udf(*coords))
 
 
-def _manifest_ranges(snap: Snapshot, dims: list[str]) -> dict[str, tuple]:
+def _manifest_ranges(files, dims: list[str]) -> dict[str, tuple]:
     """Global [min,max] per numeric dim from manifest stats — metadata only."""
     out: dict[str, tuple] = {}
     for d in dims:
-        los = [f.stats.get("min", {}).get(d) for f in snap.files]
-        his = [f.stats.get("max", {}).get(d) for f in snap.files]
+        los = [f.stats.get("min", {}).get(d) for f in files]
+        his = [f.stats.get("max", {}).get(d) for f in files]
         los = [x for x in los if isinstance(x, (int, float))]
         his = [x for x in his if isinstance(x, (int, float))]
         if los and his:
@@ -260,8 +261,10 @@ def cluster(
     verify: bool = False,
     key_impl: str = "auto",
     sort_rows: bool = False,
+    scope: list[tuple] | None = None,
 ) -> dict:
-    """Rewrite the whole table clustered by the space-filling-curve key.
+    """Rewrite the table (or a metadata-scoped file subset) clustered by
+    the space-filling-curve key.
 
     File-level clustering (what manifest min/max pruning consumes) comes
     from the RANGE PARTITIONING alone: every output file covers a bounded
@@ -275,7 +278,12 @@ def cluster(
     job_id = job_id or f"{curve}-{uuid.uuid4().hex[:8]}"
     t0 = time.time()
     snap = table.snapshot()
-    old_paths = snap.file_paths(absolute=False)
+    scoped = snap.files
+    if scope:
+        from kafka_delta_ingest_spark.plans.pruning import prune_files
+
+        scoped = prune_files(scoped, list(scope), snap.schema)
+    old_paths = [f.path for f in scoped]
     if not old_paths:
         return {"job_id": job_id, "rows": 0, "bytes": 0, "files_written": 0, "duration_s": 0.0}
 
@@ -285,7 +293,7 @@ def cluster(
 
         fp_before = content_fingerprint(snap.scan(spark))
 
-    total_bytes = snap.total_bytes()
+    total_bytes = sum(f.size for f in scoped)
     n_out = max(1, math.ceil(total_bytes / target_file_bytes))
 
     # right-size input splits: a freshly compacted table has few large
@@ -302,8 +310,18 @@ def cluster(
 
     t_write0 = time.time()
     try:
-        df = snap.scan(spark)
-        keyed = cluster_keyed_df(df, dims, curve, _manifest_ranges(snap, dims), key_impl)
+        if scope:
+            from kafka_delta_ingest_spark.table.scan import read_files
+
+            df = read_files(
+                spark,
+                [os.path.join(table.root, p) for p in old_paths],
+                snap.schema,
+                snap.partition_cols,
+            )
+        else:
+            df = snap.scan(spark)
+        keyed = cluster_keyed_df(df, dims, curve, _manifest_ranges(scoped, dims), key_impl)
 
         absd, _ = table.new_data_dir()
         range_cols = (
