@@ -1034,6 +1034,34 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source")
 
 
+def q_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain caps (RefinedWeb-style: no domain may dominate the
+    corpus): keep at most 40 docs per source — 10 for src0 — selected by
+    deterministic md5-hash rank so the surviving set is reproducible
+    across runs and cluster sizes. The oracle replays hash, rank, and
+    per-group CASE cap exactly."""
+    from kafka_delta_ingest_spark.operators.sampling import domain_cap
+
+    d = load_table(spark, sf_dir, "documents")
+    out = domain_cap(
+        d, "source", cap=40, key_cols=["doc_id"],
+        caps={"src0": 10}, salt="r3c", family="md5",
+    )
+    return out.select("doc_id", "source")
+
+
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length bucketing census for padded batching: smallest
+    bucket >= n_tok (overflow truncates into the largest), with exact
+    long-integer padding/truncation accounting — the report that sizes
+    batch shapes before an inference/training run. One map-side-combined
+    groupBy over |buckets| keys regardless of corpus size."""
+    from kafka_delta_ingest_spark.operators.packing import length_buckets
+
+    toks = tokens_from_documents(spark, sf_dir)
+    return length_buckets(toks, "n_tok", [32, 64, 128, 256, 384])
+
+
 def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global shuffle + shard assignment (training-data
     export): shard = md5(salt|doc_id) mod 8, within-shard position = rank
@@ -1371,6 +1399,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "repetition_scores": q_repetition_scores,
         "stratified_sample": q_stratified_sample,
+        "domain_caps": q_domain_caps,
+        "length_buckets": q_length_buckets,
         "shuffle_shards": q_shuffle_shards,
         "token_histogram": q_token_histogram,
         "length_percentiles": q_length_percentiles,
@@ -2486,6 +2516,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source FROM f
             WHERE frac < CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
                          WHEN 'src2' THEN 0.05 ELSE 0.25 END
+        """,
+        # per-domain cap: rank by md5 fraction within source, CASE cap
+        "domain_caps": f"""
+            WITH h AS (
+              SELECT doc_id, source,
+                     md5('r3c|' || CAST(doc_id AS VARCHAR)) AS hx
+              FROM documents
+            ),
+            f AS (
+              SELECT doc_id, source,
+                     CAST({_nibble_long_sql("hx")} AS DOUBLE) / 4294967296.0 AS frac
+              FROM h
+            ),
+            r AS (
+              SELECT doc_id, source,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY source ORDER BY frac, doc_id) AS rk
+              FROM f
+            )
+            SELECT doc_id, source FROM r
+            WHERE rk <= CASE source WHEN 'src0' THEN 10 ELSE 40 END
+        """,
+        # length-bucket census: CASE assignment + exact long accounting
+        "length_buckets": """
+            WITH t AS (
+              SELECT CAST((n_chars % 509) + 1 AS BIGINT) AS len FROM documents
+            ),
+            b AS (
+              SELECT CASE WHEN len <= 32 THEN 32 WHEN len <= 64 THEN 64
+                          WHEN len <= 128 THEN 128 WHEN len <= 256 THEN 256
+                          ELSE 384 END AS bucket,
+                     len
+              FROM t
+            )
+            SELECT CAST(bucket AS BIGINT) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(len) AS BIGINT) AS sum_tokens,
+                   CAST(SUM(LEAST(len, bucket)) AS BIGINT) AS kept_tokens,
+                   CAST(bucket * COUNT(*) AS BIGINT) AS capacity_tokens,
+                   CAST(bucket * COUNT(*) - SUM(LEAST(len, bucket)) AS BIGINT)
+                       AS padding_tokens,
+                   CAST(SUM(len) - SUM(LEAST(len, bucket)) AS BIGINT)
+                       AS trunc_tokens
+            FROM b GROUP BY bucket
         """,
         # shard = nibble-parse(md5('r3|s|'||id)) % 8; pos = rank of the
         # independent 'r3|o|' hash within the shard, ties by doc_id

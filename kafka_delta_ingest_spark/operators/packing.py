@@ -237,3 +237,52 @@ def pack_docs_bfd(
         return res
 
     return slim.groupBy("bucket").applyInPandas(_bfd, schema=out_schema)
+
+
+def length_buckets(
+    df,
+    length_col: str,
+    buckets: list[int],
+):
+    """Sequence-length bucketing for padded batching: assign each row the
+    smallest bucket >= its length (rows longer than the largest bucket are
+    truncated into it), and account exactly for the padding/truncation the
+    batch builder will pay.
+
+    Returns one row per non-empty bucket:
+      bucket, n_docs, sum_tokens (raw), kept_tokens (after truncation),
+      capacity_tokens (bucket * n_docs), padding_tokens (capacity - kept),
+      trunc_tokens (raw - kept).
+
+    The assignment is a literal CASE chain over the sorted bucket sizes —
+    row-local, codegen'd, no UDF — followed by ONE partial-aggregated
+    groupBy over at most len(buckets) keys: the full-corpus census costs
+    one map-side-combined shuffle of |buckets| rows per task regardless of
+    corpus size. All arithmetic stays in longs (exact on every engine).
+    """
+    from pyspark.sql import functions as F
+
+    sizes = sorted(set(int(b) for b in buckets))
+    if not sizes:
+        raise ValueError("buckets must be non-empty")
+    ln = F.col(length_col).cast("long")
+    b = F.lit(sizes[-1]).cast("long")
+    for s in reversed(sizes[:-1]):
+        b = F.when(ln <= s, F.lit(s).cast("long")).otherwise(b)
+    kept = F.least(ln, b)
+    return (
+        df.select(
+            b.alias("bucket"), ln.alias("_len"), kept.alias("_kept")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_len").alias("sum_tokens"),
+            F.sum("_kept").alias("kept_tokens"),
+        )
+        .withColumn("capacity_tokens", F.col("bucket") * F.col("n_docs"))
+        .withColumn(
+            "padding_tokens", F.col("capacity_tokens") - F.col("kept_tokens")
+        )
+        .withColumn("trunc_tokens", F.col("sum_tokens") - F.col("kept_tokens"))
+    )

@@ -292,3 +292,59 @@ def shuffle_shards(
     )
     w = Window.partitionBy(shard_col).orderBy(F.col("_ord"), *ties)
     return out.withColumn(pos_col, F.row_number().over(w) - 1).drop("_ord")
+
+
+def domain_cap(
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    key_cols: list[str],
+    caps: dict[str, int] | None = None,
+    salt: str = "",
+    family: str = "xxhash64",
+    prefilter_counts: dict[str, int] | None = None,
+    prefilter_margin: float = 4.0,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per ``group_col`` value (RefinedWeb-style
+    per-domain caps: no single site/domain may dominate the corpus).
+
+    Selection is deterministic: within each group, rows are ranked by
+    their key-hash fraction (uniform, reproducible — the same doc survives
+    across runs and cluster sizes) with the key columns as tie-break, and
+    ranks above the cap are dropped. ``caps`` overrides the default cap
+    per group (literal CASE chain, same shape as stratified_sample).
+
+    Scale: the exact form is ONE hash shuffle on ``group_col`` + a window
+    row_number — a hot domain lands in one task. ``prefilter_counts``
+    (per-group totals from a tiny count agg) enables the production
+    two-phase plan: rows are pre-filtered to hash fraction <
+    ``margin * cap / n_group`` BEFORE the shuffle, bounding the window
+    input to ~margin*cap rows per group (O(domains*cap), not O(N)).
+    With margin 4 the probability of under-selecting a capped group is
+    Chernoff-negligible (< exp(-cap)); groups already under their cap are
+    never pre-filtered. Exact mode (default) is what the oracle replays.
+    """
+    frac = hash_fraction(key_cols, salt=salt, family=family)
+    cap_expr = F.lit(int(cap))
+    for k, v in sorted((caps or {}).items()):
+        cap_expr = F.when(F.col(group_col) == k, F.lit(int(v))).otherwise(cap_expr)
+    if prefilter_counts:
+        bound = F.lit(1.0)
+        for k, n in sorted(prefilter_counts.items()):
+            g_cap = (caps or {}).get(k, cap)
+            if n > g_cap:
+                bound = F.when(
+                    F.col(group_col) == k,
+                    F.lit(min(1.0, prefilter_margin * g_cap / n)),
+                ).otherwise(bound)
+        df = df.where(frac < bound)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        frac.asc(), *[F.col(c).asc() for c in key_cols]
+    )
+    return (
+        df.withColumn("_dc_rank", F.row_number().over(w))
+        .where(F.col("_dc_rank") <= cap_expr)
+        .drop("_dc_rank")
+    )
