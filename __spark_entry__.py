@@ -283,6 +283,41 @@ def q_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _scan_summary(incremental_scan(spark, t, from_version=1))
 
 
+def q_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once incremental materialized-aggregate maintenance (the
+    reference's consume-offsets-as-app-txns loop over table versions,
+    src/lib.rs:1148-1170): appends land in two batches with a full
+    compaction between them; the per-source aggregate table is refreshed
+    after each batch, a replay no-ops, and the second refresh folds ONLY
+    the second batch. The oracle recomputes the aggregate from scratch —
+    double-counting, missed appends, or compaction leakage all mismatch."""
+    from kafka_delta_ingest_spark.maintenance.compact import compact
+    from kafka_delta_ingest_spark.pipelines.incremental import refresh_aggregate
+    from kafka_delta_ingest_spark.table.format import Table, Transaction
+    from kafka_delta_ingest_spark.table.writer import stage_dataframe
+
+    root = _tmp_root("incragg_src")
+    dest = _tmp_root("incragg_dst")
+    for r in (root, dest):
+        if os.path.exists(r):
+            shutil.rmtree(r)
+    t = Table.create(root, TOKENS_SCHEMA, ["source"])
+    base = tokens_from_documents(spark, sf_dir)
+    a = base.where(F.col("doc_id").cast("long") % 2 == 0).repartition(8)
+    _, adds = stage_dataframe(spark, t, a, ["source"], TOKENS_SCHEMA)
+    t.commit(Transaction(operation="append", adds=adds))
+    refresh_aggregate(spark, t, dest)
+    m_replay = refresh_aggregate(spark, t, dest)
+    assert m_replay["noop"]
+    compact(spark, t, target_file_bytes=8 * 1024 * 1024, job_id="q-incragg")
+    b = base.where(F.col("doc_id").cast("long") % 2 == 1).repartition(4)
+    _, adds_b = stage_dataframe(spark, t, b, ["source"], TOKENS_SCHEMA)
+    t.commit(Transaction(operation="append", adds=adds_b))
+    m2 = refresh_aggregate(spark, t, dest)
+    assert not m2["noop"]
+    return Table(dest).snapshot().scan(spark).select("source", "n_docs", "n_tokens")
+
+
 def q_expire_gc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_delta_ingest_spark.maintenance.compact import compact
     from kafka_delta_ingest_spark.maintenance.expire import expire_snapshots, gc_orphans
@@ -1366,6 +1401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expire_gc_scan": q_expire_gc_scan,
         "rollback_scan": q_rollback_scan,
         "incremental_scan": q_incremental_scan,
+        "incremental_agg_refresh": q_incremental_agg_refresh,
         "ledger_resume_scan": q_ledger_resume_scan,
         "manifest_stats": q_manifest_stats,
         # ingest semantics (reference A4-A20)
@@ -2191,6 +2227,13 @@ def oracle_sql() -> dict[str, str]:
         "incremental_scan": f"""
             SELECT * FROM ({scan_sql})
             WHERE CAST(doc_id AS BIGINT) % 3 = 0
+        """,
+        "incremental_agg_refresh": f"""
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CAST(n_tok AS BIGINT)) AS BIGINT) AS n_tokens
+            FROM ({_TOKENS_SQL})
+            GROUP BY source
         """,
         "ledger_resume_scan": scan_sql,
         "merge_upsert": f"""

@@ -28,6 +28,7 @@ def main():
         choices=[
             "compact", "zorder", "hilbert", "optimize", "manifest",
             "expire", "gc", "stats", "delete", "update", "rollback",
+            "plan", "auto",
         ],
     )
     p.add_argument(
@@ -125,6 +126,44 @@ def main():
         if args.to_version is None:
             p.error("--to-version is required for --op rollback")
         out = rollback(table, args.to_version)
+    elif args.op in ("plan", "auto"):
+        # advisor: metadata-only policy pass; "auto" executes the plan
+        from kafka_delta_ingest_spark.maintenance.advisor import advise
+
+        recs = advise(
+            table,
+            target_file_bytes=args.target_file_bytes,
+            retain_last=args.retain_last,
+            cluster_dims=args.dims.split(",") if args.dims else None,
+        )
+        out = {"plan": [r.to_json() for r in recs]}
+        if args.op == "auto":
+            executed = []
+            for r in recs:
+                if r.op == "compact":
+                    from kafka_delta_ingest_spark.maintenance.compact import compact
+
+                    m = compact(spark, table, job_id=args.job_id, scope=scope,
+                                **r.kwargs)
+                elif r.op == "optimize":
+                    from kafka_delta_ingest_spark.maintenance.optimize import optimize
+
+                    m = optimize(spark, table, job_id=args.job_id, scope=scope,
+                                 **r.kwargs)
+                elif r.op == "expire":
+                    from kafka_delta_ingest_spark.maintenance.expire import (
+                        expire_snapshots,
+                    )
+
+                    m = expire_snapshots(table, **r.kwargs)
+                elif r.op == "gc":
+                    from kafka_delta_ingest_spark.maintenance.expire import gc_orphans
+
+                    m = gc_orphans(spark, table, grace_s=args.grace_seconds)
+                else:
+                    continue
+                executed.append({"op": r.op, "metrics": m})
+            out["executed"] = executed
     elif args.op == "stats":
         snap = table.snapshot()
         out = {

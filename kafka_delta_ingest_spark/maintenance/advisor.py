@@ -1,0 +1,165 @@
+"""Maintenance advisor: inspect a table's manifests and recommend the
+maintenance plan — pure metadata, zero data I/O, O(n_files) driver work.
+
+This is the policy layer every production lakehouse runs on a schedule
+(Delta auto-optimize, Iceberg maintenance jobs): given the current
+snapshot, decide WHAT needs doing before spending cluster time. The
+reference's daemon embeds the equivalent policy inline (flush when the
+buffer passes min_bytes_per_file, checkpoint every Nth commit —
+/root/reference/src/lib.rs:1127-1145, src/delta_helpers.rs:42-58); here
+tables are maintained from outside, so the policy is a first-class,
+testable object.
+
+Recommendations come back as executable specs (op name + kwargs that
+``jobs/maintain.py`` / the maintenance API accept), ordered so running
+them top-to-bottom is safe and non-redundant (e.g. a recommended
+``optimize`` subsumes ``compact``; ``expire`` precedes ``gc``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from kafka_delta_ingest_spark.plans.bin_packing import DEFAULT_TARGET_FILE_BYTES
+from kafka_delta_ingest_spark.table.format import Table
+
+
+@dataclass
+class Recommendation:
+    op: str  # compact | optimize | expire | gc | manifest | checkpoint-noop
+    reason: str
+    severity: str  # "advisory" | "recommended" | "urgent"
+    kwargs: dict = field(default_factory=dict)
+
+    def to_json(self) -> dict:
+        return {
+            "op": self.op,
+            "reason": self.reason,
+            "severity": self.severity,
+            "kwargs": self.kwargs,
+        }
+
+
+def advise(
+    table: Table,
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+    small_file_threshold: float = 0.75,
+    small_ratio_recommended: float = 0.3,
+    small_ratio_urgent: float = 0.7,
+    retain_last: int = 10,
+    max_retained_versions: int = 50,
+    cluster_dims: list[str] | None = None,
+) -> list[Recommendation]:
+    """Rank what this table needs. Thresholds are fractions of live files
+    below ``small_file_threshold * target_file_bytes``, and retained log
+    length vs ``max_retained_versions``."""
+    snap = table.snapshot()
+    recs: list[Recommendation] = []
+
+    cutoff = int(target_file_bytes * small_file_threshold)
+    n_files = len(snap.files)
+    # only small files with a same-partition small sibling count: bins
+    # never merge across partition values, so a lone small file per
+    # partition is already as compacted as it can get
+    by_part: dict[tuple, int] = {}
+    for f in snap.files:
+        if f.size < cutoff:
+            key = tuple(sorted(f.partition_values.items()))
+            by_part[key] = by_part.get(key, 0) + 1
+    n_small = sum(c for c in by_part.values() if c >= 2)
+    small_ratio = (n_small / n_files) if n_files else 0.0
+
+    # clustering drift: fraction of file pairs (sampled as sorted-by-min
+    # neighbors) whose stat ranges overlap on the first cluster dim —
+    # freshly clustered files tile the dim with little overlap, appended
+    # files overlap everything
+    overlap_ratio = None
+    drift_dim = None
+    # drift on the first dim with numeric stats: partition columns carry
+    # no min/max (excluded per reference stats rules), so e.g.
+    # dims=["source","n_tok",...] measures on n_tok
+    for d in cluster_dims or []:
+        # clustering only tiles the dim WITHIN a partition (writes are
+        # partitionBy'd), so drift is measured per partition-value group
+        groups: dict[tuple, list[tuple]] = {}
+        for f in snap.files:
+            lo = f.stats.get("min", {}).get(d)
+            hi = f.stats.get("max", {}).get(d)
+            if isinstance(lo, (int, float)) and isinstance(hi, (int, float)):
+                key = tuple(sorted(f.partition_values.items()))
+                groups.setdefault(key, []).append((lo, hi))
+        pairs = overlaps = 0
+        for ranges in groups.values():
+            ranges.sort()
+            pairs += len(ranges) - 1
+            overlaps += sum(
+                1
+                for (_lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:])
+                if lo2 <= hi1
+            )
+        if pairs:
+            overlap_ratio = overlaps / pairs
+            drift_dim = d
+            break
+
+    needs_cluster = overlap_ratio is not None and overlap_ratio > 0.5
+    if small_ratio >= small_ratio_recommended or needs_cluster:
+        sev = "urgent" if small_ratio >= small_ratio_urgent else "recommended"
+        if needs_cluster and cluster_dims:
+            recs.append(
+                Recommendation(
+                    op="optimize",
+                    reason=(
+                        f"{n_small}/{n_files} files below "
+                        f"{cutoff} B (ratio {small_ratio:.2f})"
+                        + (
+                            f"; neighbor stat-range overlap {overlap_ratio:.2f} "
+                            f"on '{drift_dim}'"
+                            if overlap_ratio is not None
+                            else ""
+                        )
+                    ),
+                    severity=sev,
+                    kwargs={
+                        "dims": list(cluster_dims),
+                        "target_file_bytes": target_file_bytes,
+                    },
+                )
+            )
+        else:
+            recs.append(
+                Recommendation(
+                    op="compact",
+                    reason=(
+                        f"{n_small}/{n_files} files below {cutoff} B "
+                        f"(ratio {small_ratio:.2f})"
+                    ),
+                    severity=sev,
+                    kwargs={"target_file_bytes": target_file_bytes},
+                )
+            )
+
+    head = table.latest_version()
+    retained = len(table.history())
+    if retained > max_retained_versions:
+        recs.append(
+            Recommendation(
+                op="expire",
+                reason=f"{retained} retained versions (head v{head}) > "
+                f"{max_retained_versions}",
+                severity="recommended",
+                kwargs={"retain_last": retain_last},
+            )
+        )
+        recs.append(
+            Recommendation(
+                op="gc",
+                reason="orphan scan after snapshot expiry",
+                severity="advisory",
+                kwargs={},
+            )
+        )
+
+    order = {"urgent": 0, "recommended": 1, "advisory": 2}
+    recs.sort(key=lambda r: order[r.severity])
+    return recs

@@ -1,0 +1,48 @@
+"""Maintenance advisor (metadata-only policy): recommends compact/optimize
+on small-file pressure + clustering drift, expire/gc on log length."""
+
+from kafka_delta_ingest_spark.datagen import TOKENS_SCHEMA, tokens_df
+from kafka_delta_ingest_spark.maintenance.advisor import advise
+from kafka_delta_ingest_spark.maintenance.optimize import optimize
+from kafka_delta_ingest_spark.table.format import Table
+from kafka_delta_ingest_spark.table.writer import write_dataframe
+
+
+def _ops(recs):
+    return [r.op for r in recs]
+
+
+def test_fragmented_table_gets_compact_urgent(spark, tmp_table_root):
+    t = Table.create(tmp_table_root, TOKENS_SCHEMA, ["source"])
+    write_dataframe(spark, t, tokens_df(spark, 400, max_tok=16).repartition(10))
+    recs = advise(t, target_file_bytes=8 * 1024 * 1024)
+    assert _ops(recs)[0] == "compact"
+    assert recs[0].severity == "urgent"  # every file is tiny
+
+
+def test_cluster_drift_upgrades_to_optimize(spark, tmp_table_root):
+    t = Table.create(tmp_table_root, TOKENS_SCHEMA, ["source"])
+    write_dataframe(spark, t, tokens_df(spark, 400, max_tok=16).repartition(10))
+    recs = advise(t, target_file_bytes=8 * 1024 * 1024, cluster_dims=["n_tok"])
+    assert _ops(recs)[0] == "optimize"
+    assert recs[0].kwargs["dims"] == ["n_tok"]
+
+
+def test_healthy_table_needs_nothing(spark, tmp_table_root):
+    t = Table.create(tmp_table_root, TOKENS_SCHEMA, ["source"])
+    write_dataframe(spark, t, tokens_df(spark, 400, max_tok=16).repartition(10))
+    optimize(spark, t, dims=["n_tok"], target_file_bytes=64 * 1024 * 1024)
+    # post-optimize, files are few+large relative to a 2 KiB target and
+    # one-per-partition (no neighbor pairs to overlap)
+    recs = advise(t, target_file_bytes=2 * 1024, cluster_dims=["n_tok"])
+    assert recs == []
+
+
+def test_long_log_gets_expire_then_gc(spark, tmp_table_root):
+    t = Table.create(tmp_table_root, TOKENS_SCHEMA, ["source"])
+    for _ in range(6):
+        write_dataframe(spark, t, tokens_df(spark, 20, max_tok=8))
+    recs = advise(t, target_file_bytes=1, max_retained_versions=5)
+    ops = _ops(recs)
+    assert "expire" in ops and "gc" in ops
+    assert ops.index("expire") < ops.index("gc")
