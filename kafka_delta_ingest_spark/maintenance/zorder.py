@@ -37,7 +37,12 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 from kafka_delta_ingest_spark.plans.bin_packing import DEFAULT_TARGET_FILE_BYTES
-from kafka_delta_ingest_spark.table.format import Snapshot, Table, Transaction
+from kafka_delta_ingest_spark.table.format import (
+    HIVE_DEFAULT_PARTITION,
+    Snapshot,
+    Table,
+    Transaction,
+)
 from kafka_delta_ingest_spark.table.stats import compute_add_entries
 
 # 63 bits of key: bits-per-dim by dimensionality
@@ -251,6 +256,70 @@ def _manifest_ranges(files, dims: list[str]) -> dict[str, tuple]:
     return out
 
 
+def _bucket_bounds(
+    spark: SparkSession,
+    keyed_dims: DataFrame,
+    partition_cols: list[str],
+    bytes_by_partition: dict[tuple, int],
+    target_file_bytes: int,
+    granularity: int = 128,
+) -> tuple[DataFrame, int]:
+    """Per-partition-value curve-key quantile bounds, sized so each bucket
+    targets ``target_file_bytes`` (byte weights from the manifest, exact).
+
+    Returns (bounds DataFrame ``partition_cols + [_bounds array<long>]``,
+    total bucket count). ONE aggregation job over a dims-only projection —
+    the token column is never decoded for bounds (unlike Spark's
+    RangePartitioner, whose sampler re-executes the child plan over full
+    rows: measured as more core-seconds than the map stage itself)."""
+    fracs = [i / granularity for i in range(1, granularity)]
+    if partition_cols:
+        qrows = (
+            keyed_dims.groupBy(*partition_cols)
+            .agg(F.percentile_approx("_ckey", fracs, 10_000).alias("_qs"))
+            .collect()
+        )
+    else:
+        qrows = [
+            keyed_dims.agg(
+                F.percentile_approx("_ckey", fracs, 10_000).alias("_qs")
+            ).collect()[0]
+        ]
+
+    def _norm(v):
+        return None if v is None or v == HIVE_DEFAULT_PARTITION else str(v)
+
+    rows, total = [], 0
+    for r in qrows:
+        pkey = tuple(_norm(r[c]) for c in partition_cols)
+        pbytes = bytes_by_partition.get(pkey, 0)
+        n_p = max(1, math.ceil(pbytes / target_file_bytes))
+        qs = r["_qs"] or []
+        # n_p-1 evenly spaced cut points from the G-quantile sketch,
+        # deduped (constant-key partitions collapse to one bucket)
+        cuts = sorted(
+            {qs[min(len(qs) - 1, int(j * granularity / n_p) - 1)]
+             for j in range(1, n_p)}
+        ) if qs and n_p > 1 else []
+        # _base: global bucket-id offset for this partition value, so
+        # _base + local bucket is a table-wide dense bin id — each bin
+        # hashes to its own task and the writer never sees two output
+        # partitions in one task (the multi-partition dynamic write path
+        # SORTS full token rows per task; round-1 lesson, reprofiled here)
+        rows.append(tuple(r[c] for c in partition_cols) + (cuts, total))
+        total += len(cuts) + 1
+
+    fmap = {f.name: f for f in keyed_dims.schema.fields}
+    schema = T.StructType(
+        [fmap[c] for c in partition_cols]
+        + [
+            T.StructField("_bounds", T.ArrayType(T.LongType())),
+            T.StructField("_base", T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema), total
+
+
 def cluster(
     spark: SparkSession,
     table: Table,
@@ -321,22 +390,83 @@ def cluster(
             )
         else:
             df = snap.scan(spark)
-        keyed = cluster_keyed_df(df, dims, curve, _manifest_ranges(scoped, dims), key_impl)
+        stat_ranges = _manifest_ranges(scoped, dims)
+        keyed = cluster_keyed_df(df, dims, curve, stat_ranges, key_impl)
 
         absd, _ = table.new_data_dir()
-        range_cols = (
-            [F.col(c) for c in snap.partition_cols] + [F.col("_ckey")]
-            if snap.partition_cols
-            else [F.col("_ckey")]
+        # Range placement WITHOUT repartitionByRange: Spark's
+        # RangePartitioner samples by re-executing the child plan over
+        # FULL rows — a second read+decode of the token arrays per
+        # OPTIMIZE (profiled at 2.46B tokens: the sampling stage cost more
+        # core-seconds than the map stage). Instead: quantile bounds from
+        # a dims-only projection (its own job ⇒ column pruning keeps the
+        # token column un-decoded), byte-weighted per partition value from
+        # the manifest, then a pure-expression bucket id and ONE hash
+        # shuffle — the same one-file-per-bucket pattern compaction uses.
+        bytes_by_partition: dict[tuple, int] = {}
+        for f in scoped:
+            pk = tuple(
+                None
+                if f.partition_values.get(c) in (None, HIVE_DEFAULT_PARTITION)
+                else str(f.partition_values.get(c))
+                for c in snap.partition_cols
+            )
+            bytes_by_partition[pk] = bytes_by_partition.get(pk, 0) + f.size
+        keyed_dims = cluster_keyed_df(
+            df.select(*(snap.partition_cols + dims)), dims, curve,
+            stat_ranges, key_impl,
         )
-        out = keyed.repartitionByRange(n_out, *range_cols)
-        if sort_rows:
-            out = out.sortWithinPartitions(*range_cols)
-        out = out.drop("_ckey")
-        w = out.write.mode("overwrite")
+        bounds_df, n_buckets = _bucket_bounds(
+            spark, keyed_dims, snap.partition_cols, bytes_by_partition,
+            target_file_bytes,
+        )
         if snap.partition_cols:
-            w = w.partitionBy(*snap.partition_cols)
-        w.parquet(absd)
+            cond = None
+            for c in snap.partition_cols:
+                e = keyed[c].eqNullSafe(bounds_df[c])
+                cond = e if cond is None else (cond & e)
+            joined = keyed.join(F.broadcast(bounds_df), cond).drop(
+                *[bounds_df[c] for c in snap.partition_cols]
+            )
+        else:
+            joined = keyed.crossJoin(F.broadcast(bounds_df))
+        # bucket = #bounds <= key, via an O(log n) binary-search ladder of
+        # plain when/element_at expressions (whole-stage codegen). The
+        # obvious F.aggregate(bounds, ...) higher-order fold costs a boxed
+        # lambda call per array element per row — profiled 6x slower on
+        # the map stage at 2.46B tokens.
+        max_cuts = max(
+            (r["_bounds"] for r in bounds_df.select("_bounds").collect()),
+            key=len, default=[],
+        )
+        step = 1
+        while step * 2 <= max(len(max_cuts), 1):
+            step *= 2
+        pos = F.lit(0)
+        nb = F.size("_bounds")
+        while step >= 1:
+            cand = pos + F.lit(step)
+            # try_element_at: NULL (not ANSI error) beyond the array end;
+            # the NULL comparison falls through to .otherwise(pos)
+            ok = (cand <= nb) & (
+                F.try_element_at("_bounds", cand) <= F.col("_ckey")
+            )
+            pos = F.when(ok, cand).otherwise(pos)
+            step //= 2
+        bucketed = (
+            joined.withColumn("_gbin", F.col("_base") + pos)
+            .drop("_bounds", "_base")
+        )
+        n_part = max(2 * n_buckets, spark.sparkContext.defaultParallelism, 1)
+        out = bucketed.repartition(n_part, "_gbin")
+        if sort_rows:
+            out = out.sortWithinPartitions("_gbin", "_ckey")
+        out = out.drop("_ckey")
+        (
+            out.write.mode("overwrite")
+            .partitionBy(*(snap.partition_cols + ["_gbin"]))
+            .parquet(absd)
+        )
     finally:
         if prev_split is not None:
             spark.conf.set("spark.sql.files.maxPartitionBytes", prev_split)
@@ -345,7 +475,11 @@ def cluster(
     t_write = time.time() - t_write0
 
     t_stats0 = time.time()
-    adds = compute_add_entries(spark, table.root, absd, snap.schema, snap.partition_cols)
+    adds = compute_add_entries(
+        spark, table.root, absd, snap.schema, snap.partition_cols + ["_gbin"]
+    )
+    for fe in adds:
+        fe.partition_values.pop("_gbin", None)
     t_stats = time.time() - t_stats0
     v = table.commit(
         Transaction(
