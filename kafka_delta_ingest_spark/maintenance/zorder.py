@@ -13,13 +13,20 @@ Plan shape (scale-first):
   local[32], see cluster_keyed_df), vectorized Arrow pandas_udf over
   numpy uint64 for Hilbert/higher dims (not SQL-expressible; the only
   Python in the engine, per north rule) →
-  repartitionByRange(n_out, zkey) sized to target_file_bytes →
-  write → atomic replace commit
+  manifest-byte-weighted quantile bounds over a dims-only projection
+  (one pruned agg job; tokens never decoded) → codegen'd binary-search
+  bucket id → ONE hash shuffle on a table-wide dense bin id → write
+  (one file per bin) → atomic replace commit
   (data_change=False; scan must be token-array identical).
 
-``repartitionByRange`` samples the key to build balanced range bounds, so
-output files are even-sized regardless of data skew — the clustering
-analogue of the reference's file-size targeting (src/lib.rs:1127-1145).
+Range placement is explicit rather than ``repartitionByRange``: Spark's
+RangePartitioner samples by RE-EXECUTING the child plan over full rows,
+which re-reads and re-decodes every token array once per OPTIMIZE —
+profiled at 2.46B tokens as more core-seconds than the map stage itself
+(771 vs 631). Byte-weighted quantile cuts give the same even-sized,
+key-range-disjoint output files (the clustering analogue of the
+reference's file-size targeting, src/lib.rs:1127-1145) from a scan that
+Catalyst prunes to the clustering dims.
 """
 
 from __future__ import annotations
@@ -262,7 +269,7 @@ def _bucket_bounds(
     partition_cols: list[str],
     bytes_by_partition: dict[tuple, int],
     target_file_bytes: int,
-    granularity: int = 128,
+    granularity: int | None = None,
 ) -> tuple[DataFrame, int]:
     """Per-partition-value curve-key quantile bounds, sized so each bucket
     targets ``target_file_bytes`` (byte weights from the manifest, exact).
@@ -272,17 +279,36 @@ def _bucket_bounds(
     the token column is never decoded for bounds (unlike Spark's
     RangePartitioner, whose sampler re-executes the child plan over full
     rows: measured as more core-seconds than the map stage itself)."""
+    if granularity is None:
+        # quantile-grid resolution: ≥2 grid cells per needed bucket in the
+        # LARGEST partition value, floor 128 — a fixed 128 would cap every
+        # partition value at 128 output files, but one hot partition of a
+        # 10^12-token table needs thousands of target-size buckets. Capped:
+        # the sketch result is granularity longs per partition value on
+        # the driver (64k ⇒ 512 KiB/value), and beyond that scoped
+        # (per-partition) maintenance is the intended path anyway.
+        max_np = max(
+            (math.ceil(b / target_file_bytes) for b in bytes_by_partition.values()),
+            default=1,
+        )
+        granularity = min(65536, max(128, 2 * max_np))
     fracs = [i / granularity for i in range(1, granularity)]
     if partition_cols:
         qrows = (
             keyed_dims.groupBy(*partition_cols)
-            .agg(F.percentile_approx("_ckey", fracs, 10_000).alias("_qs"))
+            .agg(
+                F.percentile_approx(
+                    "_ckey", fracs, max(10_000, granularity)
+                ).alias("_qs")
+            )
             .collect()
         )
     else:
         qrows = [
             keyed_dims.agg(
-                F.percentile_approx("_ckey", fracs, 10_000).alias("_qs")
+                F.percentile_approx(
+                    "_ckey", fracs, max(10_000, granularity)
+                ).alias("_qs")
             ).collect()[0]
         ]
 

@@ -8,7 +8,9 @@ from pyspark.sql import functions as F
 from kafka_delta_ingest_spark.datagen import make_small_file_table
 from kafka_delta_ingest_spark.functions.verify import content_fingerprint
 from kafka_delta_ingest_spark.maintenance.zorder import (
+    _manifest_ranges,
     cluster,
+    cluster_keyed_df,
     hilbert_key,
     morton_key,
 )
@@ -86,6 +88,53 @@ def test_cluster_preserves_scan(spark, tmp_table_root, curve):
     assert content_fingerprint(snap.scan(spark)) == fp
     assert t.history()[-1]["operation"] == f"cluster-{curve}"
     assert t.history()[-1]["data_change"] is False
+
+
+def test_cluster_files_are_key_disjoint_and_size_targeted(spark, tmp_table_root):
+    """The quantile-bucket placement (repartitionByRange replacement) must
+    keep its two range-partitioning guarantees: within each partition
+    value, output files cover pairwise-DISJOINT curve-key slices (what
+    makes manifest pruning work on the curve dims), and file count tracks
+    ceil(partition_bytes / target) (the reference's file-size targeting,
+    src/lib.rs:1127-1145)."""
+    import math
+    from collections import defaultdict
+
+    t = make_small_file_table(
+        spark, tmp_table_root, n_docs=4_000, n_files=16, max_tok=256,
+        partition_by_source=True,
+    )
+    dims = ["n_tok", "doc_id"]
+    before = t.snapshot()
+    ranges = _manifest_ranges(before.files, dims)
+    bytes_by_part = defaultdict(int)
+    for f in before.files:
+        bytes_by_part[f.partition_values.get("source")] += f.size
+
+    target = 96 * 1024
+    cluster(spark, t, dims=dims, target_file_bytes=target, verify=True)
+
+    after = t.snapshot()
+    spans_by_part = defaultdict(list)
+    for f in after.files:
+        fdf = spark.read.parquet(f"{t.root}/{f.path}")
+        keyed = cluster_keyed_df(fdf, dims, "zorder", ranges)
+        lo, hi = keyed.agg(
+            F.min("_ckey").alias("lo"), F.max("_ckey").alias("hi")
+        ).collect()[0]
+        spans_by_part[f.partition_values.get("source")].append((lo, hi, f.size))
+
+    for part, spans in spans_by_part.items():
+        # file count ≈ ceil(bytes/target): quantile cuts can dedupe on
+        # repeated keys, never exceed the plan
+        planned = max(1, math.ceil(bytes_by_part[part] / target))
+        assert 1 <= len(spans) <= planned
+        assert len(spans) >= max(1, planned // 2)
+        # pairwise-disjoint key slices: sort by min key, each file's max
+        # must fall strictly below the next file's min
+        spans.sort()
+        for (l0, h0, _), (l1, h1, _) in zip(spans, spans[1:]):
+            assert h0 < l1, f"{part}: overlapping file key ranges"
 
 
 def test_cluster_improves_pruning(spark, tmp_table_root):
