@@ -215,6 +215,42 @@ def q_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _scan_summary(t.snapshot().scan(spark))
 
 
+def q_delete_mor_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE (Iceberg-v2 position deletes — the point-
+    delete path at 10^12 rows, where copy-on-write would rewrite 128 MiB
+    token files to drop a handful of rows): v2 commits ONE tiny
+    (data_path, pos) parquet and moves ZERO data files. Stage 'mor' scans
+    with the delete file anti-joined at read time;
+    ``rewrite_position_deletes`` then folds the deletes into rewritten
+    data files (v3) and stage 'folded' scans the pure-parquet result.
+    Both stages value-hash against the same filtered oracle, so a
+    resurrected row, a double-delete, or a fold that drops a live row all
+    fail the gate."""
+    from kafka_delta_ingest_spark.maintenance.dml import (
+        delete_where,
+        rewrite_position_deletes,
+    )
+
+    t = _build_tokens_table(spark, sf_dir, _tmp_root("delete_mor"))
+    m = delete_where(
+        spark, t, [("source", "=", "src2"), ("n_tok", ">", 300)],
+        mode="merge_on_read",
+    )
+    assert m["rows_deleted"] > 0 and m.get("files_rewritten", 1) == 0
+    mor = _scan_summary(t.snapshot().scan(spark)).withColumn(
+        "stage", F.lit("mor")
+    )
+    rewrite_position_deletes(spark, t)
+    snap = t.snapshot()
+    assert not snap.delete_entries and snap.num_deleted() == 0
+    folded = _scan_summary(snap.scan(spark)).withColumn(
+        "stage", F.lit("folded")
+    )
+    # 'mor' stays valid lazily: folding removes manifest entries, not the
+    # physical files it captured (those live until snapshot expiry + GC)
+    return mor.unionByName(folded)
+
+
 def q_update_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level UPDATE (copy-on-write): docs with n_tok >= 400 get every
     token shifted by +1; the oracle recomputes the checksum arithmetically
@@ -1397,6 +1433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": q_merge_upsert,
         "time_travel_scan": q_time_travel_scan,
         "delete_scan": q_delete_scan,
+        "delete_mor_scan": q_delete_mor_scan,
         "update_scan": q_update_scan,
         "expire_gc_scan": q_expire_gc_scan,
         "rollback_scan": q_rollback_scan,
@@ -2214,6 +2251,15 @@ def oracle_sql() -> dict[str, str]:
         "delete_scan": f"""
             SELECT * FROM ({scan_sql})
             WHERE NOT (source = 'src1' AND n_tok <= 200)
+        """,
+        "delete_mor_scan": f"""
+            WITH survivors AS (
+                SELECT * FROM ({scan_sql})
+                WHERE NOT (source = 'src2' AND n_tok > 300)
+            )
+            SELECT *, 'mor' AS stage FROM survivors
+            UNION ALL
+            SELECT *, 'folded' AS stage FROM survivors
         """,
         "update_scan": f"""
             SELECT doc_id, n_tok, source,

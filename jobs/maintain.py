@@ -28,8 +28,17 @@ def main():
         choices=[
             "compact", "zorder", "hilbert", "optimize", "manifest",
             "expire", "gc", "stats", "delete", "update", "rollback",
-            "plan", "auto",
+            "rewrite-deletes", "plan", "auto",
         ],
+    )
+    p.add_argument(
+        "--delete-mode",
+        choices=["copy_on_write", "merge_on_read"],
+        default="copy_on_write",
+        help="DELETE strategy: copy_on_write rewrites touched files "
+        "(mass deletes); merge_on_read writes one position-delete file "
+        "and moves no data (point deletes) — fold later with "
+        "--op rewrite-deletes or any compact/cluster/optimize",
     )
     p.add_argument(
         "--to-version", type=int, default=None,
@@ -115,11 +124,17 @@ def main():
             p.error(f"--where is required for --op {args.op}")
         conjuncts = [tuple(c) for c in json.loads(args.where)]
         if args.op == "delete":
-            out = delete_where(spark, table, conjuncts)
+            out = delete_where(spark, table, conjuncts, mode=args.delete_mode)
         else:
             if not args.set_exprs:
                 p.error("--set is required for --op update")
             out = update_where(spark, table, conjuncts, json.loads(args.set_exprs))
+    elif args.op == "rewrite-deletes":
+        from kafka_delta_ingest_spark.maintenance.dml import (
+            rewrite_position_deletes,
+        )
+
+        out = rewrite_position_deletes(spark, table)
     elif args.op == "rollback":
         from kafka_delta_ingest_spark.maintenance.rollback import rollback
 

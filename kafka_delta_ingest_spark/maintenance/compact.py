@@ -55,13 +55,14 @@ def _rewrite_bins(
     file_to_bin = [
         (os.path.join(table.root, f.path), b.bin_id) for b in bins for f in b.files
     ]
-    paths = [p for p, _ in file_to_bin]
     bins_map = spark.createDataFrame(file_to_bin, "_path string, _bin int")
 
-    from kafka_delta_ingest_spark.table.scan import read_files
-
+    # Snapshot.read applies position deletes, so compaction folds
+    # merge-on-read deletes into the rewritten bins for free (the commit's
+    # live-row conservation check validates the fold from metadata)
+    binned = [f for b in bins for f in b.files]
     df = (
-        read_files(spark, paths, snap.schema, snap.partition_cols, file_path_col="_path")
+        snap.read(spark, binned, file_path_col="_path")
         .join(F.broadcast(bins_map), "_path")
         .drop("_path")
     )

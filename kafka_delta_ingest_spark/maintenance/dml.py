@@ -80,14 +80,15 @@ def _rewrite_touched(
         "operation": operation,
         "files_total": len(snap.files),
         "files_touched": len(touched),
-        "rows_before": snap.num_records(),
+        "rows_before": snap.num_live_records(),
     }
     if not touched:
-        metrics.update(rows_after=snap.num_records(), version=snap.version,
+        metrics.update(rows_after=snap.num_live_records(), version=snap.version,
                        duration_s=time.time() - t0)
         return metrics
-    paths = [f"{table.root}/{fe.path}" for fe in touched]
-    df = read_files(spark, paths, snap.schema, snap.partition_cols)
+    # Snapshot.read applies existing position deletes, so a CoW rewrite
+    # over a file that also has merge-on-read deletes cannot resurrect them
+    df = snap.read(spark, touched)
     out = transform(df, predicate_column(conjuncts))
     _, adds = stage_dataframe(spark, table, out, snap.partition_cols, snap.schema)
     v = table.commit(
@@ -102,7 +103,7 @@ def _rewrite_touched(
     after = table.snapshot(v)
     metrics.update(
         files_written=len(adds),
-        rows_after=after.num_records(),
+        rows_after=after.num_live_records(),
         version=v,
         duration_s=time.time() - t0,
     )
@@ -110,14 +111,29 @@ def _rewrite_touched(
 
 
 def delete_where(
-    spark: SparkSession, table: Table, conjuncts: list[Conjunct]
+    spark: SparkSession,
+    table: Table,
+    conjuncts: list[Conjunct],
+    mode: str = "copy_on_write",
 ) -> dict:
-    """``DELETE FROM table WHERE <AND of conjuncts>`` — copy-on-write.
+    """``DELETE FROM table WHERE <AND of conjuncts>``.
+
+    ``mode="copy_on_write"`` rewrites every touched file without the
+    matched rows — right for mass deletes, wrong for point deletes at
+    10^12 rows (rewriting a 128 MiB file to drop 3 rows).
+    ``mode="merge_on_read"`` writes a position-delete file instead
+    (Iceberg-v2 semantics): touched files are scanned for matching row
+    positions, ONE parquet of (data_path, pos) rows commits, and no data
+    file moves — scans anti-join it until ``rewrite_position_deletes``
+    (or any compact/cluster/optimize over the covered files) folds it in.
 
     Returns metrics incl. exact rows_before/rows_after from the manifests
-    (``rows_deleted`` = difference). Rewritten file sizing follows the
-    input split sizing; run compaction after mass deletes to restore
-    target file sizes."""
+    (``rows_deleted`` = difference). After copy-on-write mass deletes run
+    compaction to restore target file sizes."""
+    if mode == "merge_on_read":
+        return _delete_merge_on_read(spark, table, conjuncts)
+    if mode != "copy_on_write":
+        raise ValueError(f"unknown DELETE mode: {mode!r}")
     m = _rewrite_touched(
         spark, table, conjuncts,
         lambda df, pred: df.where(~pred),
@@ -125,6 +141,136 @@ def delete_where(
     )
     m["rows_deleted"] = m["rows_before"] - m["rows_after"]
     return m
+
+
+def _delete_merge_on_read(
+    spark: SparkSession, table: Table, conjuncts: list[Conjunct]
+) -> dict:
+    import os
+
+    from kafka_delta_ingest_spark.table.format import DeleteEntry
+
+    t0 = time.time()
+    snap = table.snapshot()
+    touched = prune_files(snap.files, conjuncts, snap.schema)
+    metrics = {
+        "operation": "delete-mor",
+        "files_total": len(snap.files),
+        "files_touched": len(touched),
+        "rows_before": snap.num_live_records(),
+    }
+    if not touched:
+        metrics.update(rows_after=metrics["rows_before"], rows_deleted=0,
+                       version=snap.version, duration_s=time.time() - t0)
+        return metrics
+
+    # scan ONLY candidate files, with existing deletes applied (a row
+    # already position-deleted must not be deleted twice — counts feed
+    # exact manifest accounting), keeping the file path + row position.
+    # The predicate pushes into the parquet scan; the output here is
+    # (data_path, pos) rows — dims only, tokens never reach the shuffle.
+    pred = predicate_column(conjuncts)
+    # only data-column conjuncts pass INTO the read, where they reach
+    # PushedFilters (filters placed after input_file_name cannot push
+    # down); partition-column conjuncts can't exist pre-reconstruction,
+    # so the full predicate is re-applied after. Splitting here (the
+    # conjunct columns are known) keeps the read's filter analyzable.
+    pcols = set(snap.partition_cols)
+    data_conj = [c for c in conjuncts if c[0] not in pcols]
+    df = snap.read(
+        spark, touched, file_path_col="_kdi_abs", row_index_col="_pos",
+        predicate=predicate_column(data_conj) if data_conj else None,
+    )
+    root_strip = len(table.root) + 2
+    hits = (
+        df.where(pred)
+        .select(
+            F.expr(f"substring(_kdi_abs, {root_strip})").alias("data_path"),
+            F.col("_pos").alias("pos"),
+        )
+    )
+
+    # ONE delete file per commit (coalesce(1)): position deletes are the
+    # point-delete path — (path,pos) pairs are tiny next to token rows.
+    # Mass deletes belong on copy_on_write, where rewriting is the work.
+    absd, reld = table.new_data_dir()
+    hits.coalesce(1).write.mode("overwrite").parquet(absd)
+    written = [
+        os.path.join(absd, n) for n in os.listdir(absd) if n.endswith(".parquet")
+    ]
+    assert len(written) == 1, f"expected one delete file, got {len(written)}"
+    counts_rows = (
+        spark.read.parquet(absd).groupBy("data_path").count().collect()
+    )
+    counts = {r["data_path"]: r["count"] for r in counts_rows}
+    n_del = sum(counts.values())
+    if not n_del:
+        # predicate matched no rows: drop the empty dir, no commit
+        metrics.update(rows_after=metrics["rows_before"], rows_deleted=0,
+                       version=snap.version, duration_s=time.time() - t0)
+        return metrics
+    entry = DeleteEntry(
+        path=f"{reld}/{os.path.basename(written[0])}",
+        size=sum(os.path.getsize(p) for p in written),
+        counts=counts,
+    )
+    v = table.commit(
+        Transaction(
+            operation="delete-mor",
+            add_deletes=[entry],
+            data_change=True,
+            metadata={"predicate": [list(c) for c in conjuncts]},
+        )
+    )
+    metrics.update(
+        rows_after=metrics["rows_before"] - n_del,
+        rows_deleted=n_del,
+        files_rewritten=0,
+        delete_files_written=1,
+        version=v,
+        duration_s=time.time() - t0,
+    )
+    return metrics
+
+
+def rewrite_position_deletes(
+    spark: SparkSession, table: Table
+) -> dict:
+    """Fold every live position-delete file into its covered data files:
+    read covered files (deletes applied via Snapshot.read), rewrite them,
+    Remove the originals in one atomic commit. Replay prunes the delete
+    entries the moment their covered files are removed, so the commit
+    carries no explicit delete-removal action; the physical delete files
+    stay on disk for pinned readers until snapshot expiry + orphan GC.
+    ``data_change=False`` — live rows are conserved (commit-validated)."""
+    t0 = time.time()
+    snap = table.snapshot()
+    covered_paths = {p for de in snap.delete_entries for p in de.counts}
+    covered = [fe for fe in snap.files if fe.path in covered_paths]
+    metrics = {
+        "operation": "rewrite-position-deletes",
+        "delete_files": len(snap.delete_entries),
+        "files_covered": len(covered),
+        "rows_deleted_folded": snap.num_deleted(),
+    }
+    if not covered:
+        metrics.update(version=snap.version, duration_s=time.time() - t0)
+        return metrics
+    df = snap.read(spark, covered)
+    _, adds = stage_dataframe(spark, table, df, snap.partition_cols, snap.schema)
+    v = table.commit(
+        Transaction(
+            operation="rewrite-position-deletes",
+            adds=adds,
+            removes=[fe.path for fe in covered],
+            data_change=False,
+        ),
+        expected_schema=snap.schema,
+    )
+    metrics.update(
+        files_written=len(adds), version=v, duration_s=time.time() - t0
+    )
+    return metrics
 
 
 def update_where(

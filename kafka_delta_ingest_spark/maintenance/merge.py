@@ -117,16 +117,10 @@ def merge_into(
     touched = _touched_files(spark, snap, source, key)
     untouched = [f.path for f in snap.files if f.path not in set(touched)]
 
-    import os
-
-    from kafka_delta_ingest_spark.table.scan import read_files
-
-    tdf = read_files(
-        spark,
-        [os.path.join(table.root, p) for p in touched],
-        snap.schema,
-        snap.partition_cols,
-    )
+    tset = set(touched)
+    # delete-aware read: MERGE over files carrying position deletes must
+    # not resurrect deleted rows into the rewritten files
+    tdf = snap.read(spark, [f for f in snap.files if f.path in tset])
 
     marked_src = source.withColumn("__is_src", F.lit(True))
     # salted left join: target rows keep or take the source version

@@ -55,6 +55,31 @@ def rollback(table: Table, to_version: int) -> dict:
     target_paths = {f.path for f in target.files}
     adds = [f for f in target.files if f.path not in head_paths]
     removes = sorted(head_paths - target_paths)
+    # restore the target's position-delete set exactly: entries added (or
+    # pruned differently) since the target are dropped, entries the target
+    # had are re-added verbatim (replay re-intersects counts with the
+    # restored live file set). An entry byte-identical at both versions
+    # needs no action.
+    head_del = {de.path: de.to_json() for de in head_snap.delete_entries}
+    tgt_del = {de.path: de for de in target.delete_entries}
+    remove_deletes = sorted(
+        p for p, j in head_del.items()
+        if p not in tgt_del or tgt_del[p].to_json() != j
+    )
+    add_deletes = [
+        de for p, de in sorted(tgt_del.items())
+        if p not in head_del or head_del[p] != de.to_json()
+    ]
+    missing_del = [
+        de.path
+        for de in add_deletes
+        if not os.path.exists(os.path.join(table.root, de.path))
+    ]
+    if missing_del:
+        raise TableError(
+            f"rollback target v{to_version} references {len(missing_del)} "
+            f"garbage-collected delete files, e.g. {missing_del[:3]}"
+        )
     schema_update: T.StructType | None = None
     if json.loads(target.schema.json()) != json.loads(head_snap.schema.json()):
         schema_update = target.schema
@@ -62,6 +87,8 @@ def rollback(table: Table, to_version: int) -> dict:
         operation="rollback",
         adds=adds,
         removes=removes,
+        add_deletes=add_deletes,
+        remove_deletes=remove_deletes,
         data_change=True,  # table contents change
         metadata={"rolled_back_to": to_version, "from_version": head_snap.version},
         schema_update=schema_update,

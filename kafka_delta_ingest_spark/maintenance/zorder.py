@@ -433,14 +433,8 @@ def cluster(
     t_write0 = time.time()
     try:
         if scope:
-            from kafka_delta_ingest_spark.table.scan import read_files
-
-            df = read_files(
-                spark,
-                [os.path.join(table.root, p) for p in old_paths],
-                snap.schema,
-                snap.partition_cols,
-            )
+            # Snapshot.read: position deletes applied in the scoped path too
+            df = snap.read(spark, scoped)
         else:
             df = snap.scan(spark)
         stat_ranges = _manifest_ranges(scoped, dims)

@@ -112,12 +112,49 @@ class FileEntry:
 
 
 @dataclass
+class DeleteEntry:
+    """One position-delete file (Iceberg-v2 merge-on-read analogue): a
+    parquet file of rows ``(data_path string, pos long)`` marking rows of
+    live data files as deleted WITHOUT rewriting them — the only sane
+    shape for point deletes against a 10^12-token table (copy-on-write
+    rewrites terabytes to drop a handful of rows).
+
+    ``counts`` is deleted-rows-per-covered-data-file, manifest-exact:
+    snapshot replay prunes a covered path the moment its data file is
+    removed (i.e. a rewrite applied the deletes), so delete entries die
+    with the files they cover and no tombstone bookkeeping is needed."""
+
+    path: str  # relative to table root
+    size: int
+    counts: dict[str, int] = field(default_factory=dict)
+
+    @property
+    def num_deleted(self) -> int:
+        return sum(self.counts.values())
+
+    def to_json(self) -> dict:
+        return {"path": self.path, "size": self.size, "counts": self.counts}
+
+    @staticmethod
+    def from_json(d: dict) -> "DeleteEntry":
+        return DeleteEntry(
+            path=d["path"], size=d["size"], counts=dict(d.get("counts", {}))
+        )
+
+
+@dataclass
 class Transaction:
     """Actions for one atomic commit (ref src/delta_helpers.rs:15-27)."""
 
     operation: str  # append | replace | merge | expire | manifest-rewrite | create
     adds: list[FileEntry] = field(default_factory=list)
     removes: list[str] = field(default_factory=list)  # relative paths
+    # position-delete files this commit adds (merge-on-read DELETE).
+    # Maintenance never removes entries explicitly — replay prunes them
+    # when the data files they cover are removed; remove_deletes exists
+    # for rollback, which must restore a past version's delete set exactly
+    add_deletes: list[DeleteEntry] = field(default_factory=list)
+    remove_deletes: list[str] = field(default_factory=list)
     app_txns: dict[str, int] = field(default_factory=dict)  # "<app>-<part>" -> offset
     data_change: bool = True  # False for pure rewrites (compaction/cluster)
     base_version: int | None = None  # snapshot the planner read; None = head
@@ -141,6 +178,7 @@ class Snapshot:
         schema: T.StructType,
         partition_cols: list[str],
         app_txns: dict[str, int],
+        deletes: "dict[str, DeleteEntry] | None" = None,
     ):
         self.table = table
         self.version = version
@@ -148,10 +186,15 @@ class Snapshot:
         self.schema = schema
         self.partition_cols = partition_cols
         self.app_txns = app_txns
+        self._deletes = deletes or {}
 
     @property
     def files(self) -> list[FileEntry]:
         return list(self._files.values())
+
+    @property
+    def delete_entries(self) -> "list[DeleteEntry]":
+        return list(self._deletes.values())
 
     def file_paths(self, absolute: bool = True) -> list[str]:
         ps = sorted(self._files)
@@ -160,7 +203,16 @@ class Snapshot:
         return ps
 
     def num_records(self) -> int:
+        """Physical rows in live data files (position deletes NOT applied)."""
         return sum(f.num_records for f in self._files.values())
+
+    def num_deleted(self) -> int:
+        """Rows marked deleted by live position-delete entries."""
+        return sum(de.num_deleted for de in self._deletes.values())
+
+    def num_live_records(self) -> int:
+        """Rows a scan returns: physical minus position-deleted."""
+        return self.num_records() - self.num_deleted()
 
     def total_bytes(self) -> int:
         return sum(f.size for f in self._files.values())
@@ -181,24 +233,44 @@ class Snapshot:
         ``predicate`` (a Column) is additionally applied row-level and gets
         pushed into the parquet scan by Catalyst.
         """
-        paths = self.file_paths()
+        kept = self.files
         if predicate_stats:
             from kafka_delta_ingest_spark.plans.pruning import prune_files
 
-            kept = prune_files(self.files, predicate_stats, self.schema)
-            paths = [os.path.join(self.table.root, f.path) for f in kept]
-        if not paths:
+            kept = prune_files(kept, predicate_stats, self.schema)
+        if not kept:
             return spark.createDataFrame([], self.schema)
-        from kafka_delta_ingest_spark.table.scan import read_files
-
-        df = read_files(
-            spark, paths, self.schema, self.partition_cols, predicate=predicate
-        )
+        df = self.read(spark, kept, predicate=predicate)
         if predicate is not None:
             df = df.filter(predicate)
         if columns:
             df = df.select(*columns)
         return df
+
+    def read(
+        self,
+        spark: SparkSession,
+        file_entries: "list[FileEntry] | None" = None,
+        file_path_col: str | None = None,
+        predicate=None,
+        row_index_col: str | None = None,
+    ) -> DataFrame:
+        """Read the given live files (default: all) with position deletes
+        applied — the one data-read path every maintenance op shares, so a
+        rewrite can never resurrect merge-on-read-deleted rows."""
+        from kafka_delta_ingest_spark.table.scan import read_files_applying_deletes
+
+        return read_files_applying_deletes(
+            spark,
+            self.table.root,
+            self.files if file_entries is None else file_entries,
+            self.delete_entries,
+            self.schema,
+            self.partition_cols,
+            file_path_col=file_path_col,
+            predicate=predicate,
+            row_index_col=row_index_col,
+        )
 
 
 class Table:
@@ -304,6 +376,7 @@ class Table:
             raise TableError(f"version {v} not available (head={head})")
 
         files: dict[str, FileEntry] = {}
+        deletes: dict[str, DeleteEntry] = {}
         app_txns: dict[str, int] = {}
         schema: T.StructType | None = None
         partition_cols: list[str] = []
@@ -316,6 +389,9 @@ class Table:
             schema = T.StructType.fromJson(meta["schema"])
             partition_cols = meta["partition_cols"]
             app_txns = dict(meta.get("app_txns", {}))
+            for d in meta.get("delete_entries", []):
+                de = DeleteEntry.from_json(d)
+                deletes[de.path] = de
             for row in tbl.to_pylist():
                 fe = FileEntry(
                     path=row["path"],
@@ -332,15 +408,41 @@ class Table:
             if "metadata" in c and c["metadata"].get("schema"):
                 schema = T.StructType.fromJson(c["metadata"]["schema"])
                 partition_cols = c["metadata"].get("partition_cols", [])
-            for rp in c.get("remove", []):
+            removed = c.get("remove", [])
+            for rp in removed:
                 files.pop(rp, None)
+            if removed and deletes:
+                # a removed data file takes its position deletes with it:
+                # the rewrite that removed it read through Snapshot.read,
+                # which applies deletes, so the replacement file already
+                # lacks those rows. Entries left covering nothing drop out.
+                rset = set(removed)
+                for dp in list(deletes):
+                    de = deletes[dp]
+                    if rset & de.counts.keys():
+                        nc = {
+                            p: n for p, n in de.counts.items() if p not in rset
+                        }
+                        if nc:
+                            deletes[dp] = DeleteEntry(de.path, de.size, nc)
+                        else:
+                            del deletes[dp]
             for a in c.get("add", []):
                 fe = FileEntry.from_json(a)
                 files[fe.path] = fe
+            for dp in c.get("remove_delete", []):
+                deletes.pop(dp, None)
+            for d in c.get("add_delete", []):
+                de = DeleteEntry.from_json(d)
+                # only live files can be covered (commit validation); keep
+                # replay robust anyway by intersecting with the live set
+                nc = {p: n for p, n in de.counts.items() if p in files}
+                if nc:
+                    deletes[de.path] = DeleteEntry(de.path, de.size, nc)
             app_txns.update(c.get("app_txns", {}))
         if schema is None:
             raise TableError("log contains no schema metadata")
-        return Snapshot(self, v, files, schema, partition_cols, app_txns)
+        return Snapshot(self, v, files, schema, partition_cols, app_txns, deletes)
 
     # --------------------------------------------------------------- commit
     def _atomic_write_version(self, v: int, commit: dict) -> None:
@@ -428,23 +530,48 @@ class Table:
                 raise ConcurrentDeleteError(
                     f"{len(missing)} removed files no longer live, e.g. {missing[:3]}"
                 )
+            live_after = (live | {a.path for a in txn.adds}) - set(txn.removes)
+            for de in txn.add_deletes:
+                # position deletes may only cover files that are live AFTER
+                # this commit (covering a file this txn removes is a plan
+                # bug; covering a dead file is a concurrency conflict)
+                bad = [p for p in de.counts if p not in live_after]
+                if bad:
+                    raise ConcurrentDeleteError(
+                        f"delete file {de.path} covers non-live data files, "
+                        f"e.g. {bad[:3]}"
+                    )
             if not txn.data_change and (txn.adds or txn.removes):
                 # a pure rewrite (compact/cluster/manifest) must conserve
-                # rows: simulate the post-commit manifest and require the
-                # row total to be unchanged — all from metadata, no data
-                # scan. Catches rewrite plans that silently dropped rows
-                # (e.g. a broken file->bin join) before they commit as loss.
+                # LIVE rows (physical minus position-deleted): simulate the
+                # post-commit manifest and require the live-row total to be
+                # unchanged — all from metadata, no data scan. Catches
+                # rewrite plans that silently dropped rows (broken file->bin
+                # join) AND rewrites that resurrected merge-on-read-deleted
+                # rows (bypassed Snapshot.read) before they commit as loss.
                 before = {p: fe.num_records for p, fe in snap._files.items()}
                 after = dict(before)
+                removed = set(txn.removes)
                 for p in txn.removes:
                     after.pop(p, None)
                 for a in txn.adds:
                     after[a.path] = a.num_records
-                if sum(after.values()) != sum(before.values()):
+                del_before = snap.num_deleted()
+                rdel = set(txn.remove_deletes)
+                del_after = sum(
+                    n
+                    for de in snap.delete_entries
+                    if de.path not in rdel
+                    for p, n in de.counts.items()
+                    if p not in removed
+                ) + sum(de.num_deleted for de in txn.add_deletes)
+                live_before = sum(before.values()) - del_before
+                live_after = sum(after.values()) - del_after
+                if live_after != live_before:
                     raise TableError(
-                        f"data_change=False commit does not conserve rows: "
-                        f"{sum(before.values())} -> {sum(after.values())} "
-                        f"({txn.operation})"
+                        f"data_change=False commit does not conserve rows "
+                        f"(live = physical - position-deleted): "
+                        f"{live_before} -> {live_after} ({txn.operation})"
                     )
             for key, off in txn.app_txns.items():
                 stored = snap.app_txns.get(key, -1)
@@ -459,6 +586,16 @@ class Table:
                 "operation": txn.operation,
                 "add": [a.to_json() for a in txn.adds],
                 "remove": list(txn.removes),
+                **(
+                    {"add_delete": [d.to_json() for d in txn.add_deletes]}
+                    if txn.add_deletes
+                    else {}
+                ),
+                **(
+                    {"remove_delete": list(txn.remove_deletes)}
+                    if txn.remove_deletes
+                    else {}
+                ),
                 "app_txns": txn.app_txns,
                 "data_change": txn.data_change,
                 "op_metadata": txn.metadata,
@@ -499,6 +636,11 @@ class Table:
             "schema": json.loads(snap.schema.json()),
             "partition_cols": snap.partition_cols,
             "app_txns": snap.app_txns,
+            # position-delete entries ride in the metadata blob: they are
+            # few by construction (rewrite_position_deletes folds them in,
+            # replay drops them with their covered files), unlike the
+            # file list which grows with the table
+            "delete_entries": [de.to_json() for de in snap.delete_entries],
         }
         tbl = pa.table(
             rows,
@@ -552,8 +694,17 @@ class Table:
                 c = self._read_commit(i)
                 for a in c.get("add", []):
                     refs.add(a["path"])
+                for d in c.get("add_delete", []):
+                    refs.add(d["path"])
         for name in os.listdir(self.log_dir):
             if name.startswith("checkpoint-v") and name.endswith(".parquet"):
-                tbl = pq.read_table(os.path.join(self.log_dir, name), columns=["path"])
+                fp = os.path.join(self.log_dir, name)
+                tbl = pq.read_table(fp, columns=["path"])
                 refs.update(tbl.column("path").to_pylist())
+                meta = pq.read_schema(fp).metadata or {}
+                if b"kdi_meta" in meta:
+                    for d in json.loads(meta[b"kdi_meta"].decode()).get(
+                        "delete_entries", []
+                    ):
+                        refs.add(d["path"])
         return refs

@@ -72,6 +72,12 @@ def incremental_scan(
                 f"version {v} ({c.get('operation')}) removes files; the "
                 "range is not expressible as an append-only delta"
             )
+        if c.get("add_delete"):
+            raise IncrementalScanError(
+                f"version {v} ({c.get('operation')}) adds position deletes "
+                "(merge-on-read DELETE); the range is not expressible as "
+                "an append-only delta"
+            )
         paths.extend(os.path.join(table.root, a["path"]) for a in c.get("add", []))
     missing = [p for p in paths if not os.path.exists(p)]
     if missing:

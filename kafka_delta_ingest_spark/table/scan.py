@@ -30,6 +30,7 @@ def read_files(
     partition_cols: list[str],
     file_path_col: str | None = None,
     predicate=None,
+    row_index_col: str | None = None,
 ) -> DataFrame:
     """Read explicit parquet leaf files as the full table schema.
 
@@ -45,6 +46,8 @@ def read_files(
         out = spark.createDataFrame([], schema)
         if file_path_col:
             out = out.withColumn(file_path_col, F.lit(None).cast("string"))
+        if row_index_col:
+            out = out.withColumn(row_index_col, F.lit(None).cast("long"))
         return out
     pset = set(partition_cols)
     data_schema = T.StructType([f for f in schema.fields if f.name not in pset])
@@ -71,7 +74,91 @@ def read_files(
     if file_path_col:
         df = df.withColumn(file_path_col, _decoded_file_path())
         cols.append(file_path_col)
+    if row_index_col:
+        # row position within the source parquet file (stable under
+        # predicate pushdown) — the anchor for position deletes
+        df = df.withColumn(row_index_col, F.col("_metadata.row_index"))
+        cols.append(row_index_col)
     return df.select(*cols)
+
+
+def read_files_applying_deletes(
+    spark: SparkSession,
+    root: str,
+    file_entries,
+    delete_entries,
+    schema: T.StructType,
+    partition_cols: list[str],
+    file_path_col: str | None = None,
+    predicate=None,
+    row_index_col: str | None = None,
+) -> DataFrame:
+    """Read live data files with position deletes (merge-on-read) applied.
+
+    Files NOT covered by any delete entry take the plain path — zero cost
+    on the hot path, which at 10^12 rows is almost every file. Covered
+    files are read with their parquet row index and anti-joined against
+    the (data_path, pos) delete rows; the delete side is broadcast when
+    small (the common case: point deletes), otherwise a shuffled join —
+    at which point ``rewrite_position_deletes`` is the cure, and the
+    maintenance advisor recommends it."""
+    covered_paths = {p for de in delete_entries for p in de.counts}
+    covered = [fe for fe in file_entries if fe.path in covered_paths]
+    plain = [fe for fe in file_entries if fe.path not in covered_paths]
+
+    parts: list[DataFrame] = []
+    if plain or not covered:
+        parts.append(
+            read_files(
+                spark,
+                [f"{root}/{fe.path}" for fe in plain],
+                schema,
+                partition_cols,
+                file_path_col=file_path_col,
+                predicate=predicate,
+                row_index_col=row_index_col,
+            )
+        )
+    if covered:
+        cov_set = {fe.path for fe in covered}
+        relevant = [de for de in delete_entries if cov_set & de.counts.keys()]
+        df = read_files(
+            spark,
+            [f"{root}/{fe.path}" for fe in covered],
+            schema,
+            partition_cols,
+            file_path_col="_kdi_abs",
+            predicate=predicate,
+            row_index_col="_kdi_pos",
+        )
+        dl = spark.read.schema("data_path string, pos long").parquet(
+            *[f"{root}/{de.path}" for de in relevant]
+        )
+        n_del = sum(
+            n for de in relevant for p, n in de.counts.items() if p in cov_set
+        )
+        if n_del <= 4_000_000:
+            dl = F.broadcast(dl)
+        # manifest paths are table-root-relative; strip "<root>/" from the
+        # scan's absolute decoded path (fixed-width prefix, plain substring)
+        rel = F.expr(f"substring(_kdi_abs, {len(root) + 2})")
+        out = df.join(
+            dl, (rel == dl["data_path"]) & (df["_kdi_pos"] == dl["pos"]),
+            "left_anti",
+        )
+        if file_path_col:
+            out = out.withColumnRenamed("_kdi_abs", file_path_col)
+        else:
+            out = out.drop("_kdi_abs")
+        if row_index_col:
+            out = out.withColumnRenamed("_kdi_pos", row_index_col)
+        else:
+            out = out.drop("_kdi_pos")
+        parts.append(out)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def _decoded_file_path():
