@@ -175,6 +175,12 @@ def main():
                     from kafka_delta_ingest_spark.maintenance.expire import gc_orphans
 
                     m = gc_orphans(spark, table, grace_s=args.grace_seconds)
+                elif r.op == "rewrite-deletes":
+                    from kafka_delta_ingest_spark.maintenance.dml import (
+                        rewrite_position_deletes,
+                    )
+
+                    m = rewrite_position_deletes(spark, table)
                 else:
                     continue
                 executed.append({"op": r.op, "metrics": m})
@@ -184,7 +190,10 @@ def main():
         out = {
             "version": snap.version,
             "files": len(snap.files),
-            "rows": snap.num_records(),
+            "rows": snap.num_live_records(),
+            "rows_physical": snap.num_records(),
+            "delete_files": len(snap.delete_entries),
+            "rows_position_deleted": snap.num_deleted(),
             "bytes": snap.total_bytes(),
         }
     print(json.dumps(out))

@@ -139,6 +139,34 @@ def advise(
                 )
             )
 
+    # merge-on-read delete pressure: every live delete file taxes every
+    # scan of its covered files with an anti-join; fold when the deleted
+    # fraction of covered rows is material or delete files accumulate
+    if snap.delete_entries:
+        covered_paths = {p for de in snap.delete_entries for p in de.counts}
+        covered_rows = sum(
+            f.num_records for f in snap.files if f.path in covered_paths
+        )
+        del_frac = snap.num_deleted() / covered_rows if covered_rows else 0.0
+        if len(snap.delete_entries) >= 8 or del_frac >= 0.05:
+            recs.append(
+                Recommendation(
+                    op="rewrite-deletes",
+                    reason=(
+                        f"{len(snap.delete_entries)} live delete files mark "
+                        f"{snap.num_deleted()} rows deleted across "
+                        f"{len(covered_paths)} data files "
+                        f"({del_frac:.1%} of covered rows)"
+                    ),
+                    severity=(
+                        "recommended"
+                        if len(snap.delete_entries) >= 8 or del_frac >= 0.2
+                        else "advisory"
+                    ),
+                    kwargs={},
+                )
+            )
+
     head = table.latest_version()
     retained = len(table.history())
     if retained > max_retained_versions:

@@ -46,3 +46,22 @@ def test_long_log_gets_expire_then_gc(spark, tmp_table_root):
     ops = _ops(recs)
     assert "expire" in ops and "gc" in ops
     assert ops.index("expire") < ops.index("gc")
+
+
+def test_mor_delete_pressure_recommends_rewrite_deletes(spark, tmp_table_root):
+    from kafka_delta_ingest_spark.maintenance.dml import delete_where
+
+    t = Table.create(tmp_table_root, TOKENS_SCHEMA, ["source"])
+    write_dataframe(spark, t, tokens_df(spark, 400, max_tok=16).repartition(2))
+    # one delete file marking a material fraction of covered rows
+    delete_where(spark, t, [("n_tok", ">=", 4)], mode="merge_on_read")
+    recs = advise(t, target_file_bytes=2 * 1024)
+    assert "rewrite-deletes" in _ops(recs)
+    rd = next(r for r in recs if r.op == "rewrite-deletes")
+    assert "delete file" in rd.reason
+
+    # folding clears the recommendation
+    from kafka_delta_ingest_spark.maintenance.dml import rewrite_position_deletes
+
+    rewrite_position_deletes(spark, t)
+    assert "rewrite-deletes" not in _ops(advise(t, target_file_bytes=2 * 1024))
