@@ -251,6 +251,48 @@ def q_delete_mor_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mor.unionByName(folded)
 
 
+def q_cdc_upsert_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-read CDC upsert via equality deletes (Iceberg-v2): each batch
+    commits its rows + an equality-delete of its keys in ONE atomic txn,
+    O(batch) work, the table never read — the merge-on-read complement of
+    MERGE INTO for a streaming feed at 10^12 rows. Three batches: updates
+    (doc_id%5 -> tokens+10), overriding updates (doc_id%10 -> tokens+25,
+    latest wins over batch 1), and inserts (copies under fresh doc_ids).
+    Stage 'mor' scans with the equality anti-join live (sequence rule:
+    newer inserts survive their own delete); 'folded' scans pure parquet
+    after rewrite_deletes. Both stages value-hash against the same
+    latest-wins oracle, so a resurrected stale row, a lost insert, or a
+    same-batch self-delete all fail the gate."""
+    from kafka_delta_ingest_spark.maintenance.dml import rewrite_deletes
+    from kafka_delta_ingest_spark.maintenance.upsert import upsert
+
+    t = _build_tokens_table(spark, sf_dir, _tmp_root("cdc_upsert"))
+    base = tokens_from_documents(spark, sf_dir)
+    did = F.col("doc_id").cast("long")
+    b1 = base.where(did % 5 == 0).withColumn(
+        "tokens", F.transform("tokens", lambda x: x + F.lit(10))
+    )
+    b2 = base.where(did % 10 == 0).withColumn(
+        "tokens", F.transform("tokens", lambda x: x + F.lit(25))
+    )
+    b3 = base.where(did % 13 == 0).withColumn(
+        "doc_id", (did + 10_000_000).cast("string")
+    )
+    for b in (b1, b2, b3):
+        m = upsert(spark, t, b, key="doc_id")
+        assert m["files_rewritten"] == 0 and m["delete_files_written"] == 1
+    mor = _scan_summary(t.snapshot().scan(spark)).withColumn(
+        "stage", F.lit("mor")
+    )
+    rewrite_deletes(spark, t)
+    snap = t.snapshot()
+    assert not snap.delete_entries
+    folded = _scan_summary(snap.scan(spark)).withColumn(
+        "stage", F.lit("folded")
+    )
+    return mor.unionByName(folded)
+
+
 def q_update_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level UPDATE (copy-on-write): docs with n_tok >= 400 get every
     token shifted by +1; the oracle recomputes the checksum arithmetically
@@ -1434,6 +1476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_travel_scan": q_time_travel_scan,
         "delete_scan": q_delete_scan,
         "delete_mor_scan": q_delete_mor_scan,
+        "cdc_upsert_scan": q_cdc_upsert_scan,
         "update_scan": q_update_scan,
         "expire_gc_scan": q_expire_gc_scan,
         "rollback_scan": q_rollback_scan,
@@ -2260,6 +2303,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT *, 'mor' AS stage FROM survivors
             UNION ALL
             SELECT *, 'folded' AS stage FROM survivors
+        """,
+        "cdc_upsert_scan": f"""
+            WITH s AS ({scan_sql}),
+            latest AS (
+                SELECT doc_id, n_tok, source,
+                       CASE WHEN CAST(doc_id AS BIGINT) % 10 = 0
+                            THEN tok_sum
+                                 + 25 * ((CAST(n_tok AS BIGINT) * (n_tok + 1)) // 2)
+                            WHEN CAST(doc_id AS BIGINT) % 5 = 0
+                            THEN tok_sum
+                                 + 10 * ((CAST(n_tok AS BIGINT) * (n_tok + 1)) // 2)
+                            ELSE tok_sum END AS tok_sum
+                FROM s
+                UNION ALL
+                SELECT CAST(CAST(doc_id AS BIGINT) + 10000000 AS VARCHAR)
+                           AS doc_id,
+                       n_tok, source, tok_sum
+                FROM s WHERE CAST(doc_id AS BIGINT) % 13 = 0
+            )
+            SELECT *, 'mor' AS stage FROM latest
+            UNION ALL
+            SELECT *, 'folded' AS stage FROM latest
         """,
         "update_scan": f"""
             SELECT doc_id, n_tok, source,

@@ -28,8 +28,19 @@ def main():
         choices=[
             "compact", "zorder", "hilbert", "optimize", "manifest",
             "expire", "gc", "stats", "delete", "update", "rollback",
-            "rewrite-deletes", "plan", "auto",
+            "rewrite-deletes", "upsert", "plan", "auto",
         ],
+    )
+    p.add_argument(
+        "--source-parquet",
+        default=None,
+        help="parquet path/glob of the batch for --op upsert (zero-read "
+        "CDC upsert: appends the batch + equality-deletes its keys in one "
+        "atomic commit)",
+    )
+    p.add_argument(
+        "--key", default="doc_id",
+        help="comma-separated upsert key columns for --op upsert",
     )
     p.add_argument(
         "--delete-mode",
@@ -135,6 +146,13 @@ def main():
         )
 
         out = rewrite_position_deletes(spark, table)
+    elif args.op == "upsert":
+        from kafka_delta_ingest_spark.maintenance.upsert import upsert
+
+        if not args.source_parquet:
+            p.error("--source-parquet is required for --op upsert")
+        src = spark.read.parquet(args.source_parquet)
+        out = upsert(spark, table, src, key=args.key.split(","))
     elif args.op == "rollback":
         from kafka_delta_ingest_spark.maintenance.rollback import rollback
 

@@ -148,19 +148,25 @@ def advise(
             f.num_records for f in snap.files if f.path in covered_paths
         )
         del_frac = snap.num_deleted() / covered_rows if covered_rows else 0.0
-        if len(snap.delete_entries) >= 8 or del_frac >= 0.05:
+        # equality deletes tax every OLDER intersecting file's scan with a
+        # key anti-join AND stack (each upsert batch adds one), so they
+        # trigger on accumulation alone
+        n_eq = len(snap.equality_entries)
+        if len(snap.delete_entries) >= 8 or del_frac >= 0.05 or n_eq >= 4:
             recs.append(
                 Recommendation(
                     op="rewrite-deletes",
                     reason=(
-                        f"{len(snap.delete_entries)} live delete files mark "
-                        f"{snap.num_deleted()} rows deleted across "
-                        f"{len(covered_paths)} data files "
-                        f"({del_frac:.1%} of covered rows)"
+                        f"{len(snap.delete_entries)} live delete files "
+                        f"({n_eq} equality) mark {snap.num_deleted()} rows "
+                        f"position-deleted across {len(covered_paths)} data "
+                        f"files ({del_frac:.1%} of covered rows)"
                     ),
                     severity=(
                         "recommended"
-                        if len(snap.delete_entries) >= 8 or del_frac >= 0.2
+                        if len(snap.delete_entries) >= 8
+                        or del_frac >= 0.2
+                        or n_eq >= 4
                         else "advisory"
                     ),
                     kwargs={},

@@ -233,25 +233,40 @@ def _delete_merge_on_read(
     return metrics
 
 
-def rewrite_position_deletes(
-    spark: SparkSession, table: Table
-) -> dict:
-    """Fold every live position-delete file into its covered data files:
-    read covered files (deletes applied via Snapshot.read), rewrite them,
-    Remove the originals in one atomic commit. Replay prunes the delete
-    entries the moment their covered files are removed, so the commit
-    carries no explicit delete-removal action; the physical delete files
-    stay on disk for pinned readers until snapshot expiry + orphan GC.
-    ``data_change=False`` — live rows are conserved (commit-validated)."""
+def rewrite_deletes(spark: SparkSession, table: Table) -> dict:
+    """Fold every live delete file (position AND equality) back into pure
+    parquet: read affected data files (deletes applied via Snapshot.read),
+    rewrite them, remove the originals in one atomic commit. Affected =
+    position-covered ∪ equality-applicable (older seq + intersecting key
+    range — manifest stats exempt provably-disjoint files from the
+    rewrite entirely). Replay prunes position entries the moment their
+    covered files are removed and equality entries once no intersecting
+    older file remains, so the commit carries no explicit delete-removal
+    action; the physical delete files stay on disk for pinned readers
+    until snapshot expiry + orphan GC. ``data_change=False`` — scans are
+    identical before/after (rows were already hidden at read time);
+    conservation is commit-validated except where equality deletes make
+    counts unknowable from metadata."""
     t0 = time.time()
     snap = table.snapshot()
-    covered_paths = {p for de in snap.delete_entries for p in de.counts}
-    covered = [fe for fe in snap.files if fe.path in covered_paths]
+    pos_covered = {
+        p
+        for de in snap.delete_entries
+        if de.kind == "position"
+        for p in de.counts
+    }
+    eq = snap.equality_entries
+    covered = [
+        fe
+        for fe in snap.files
+        if fe.path in pos_covered or any(de.applies_to(fe) for de in eq)
+    ]
     metrics = {
-        "operation": "rewrite-position-deletes",
+        "operation": "rewrite-deletes",
         "delete_files": len(snap.delete_entries),
+        "equality_delete_files": len(eq),
         "files_covered": len(covered),
-        "rows_deleted_folded": snap.num_deleted(),
+        "rows_position_deleted_folded": snap.num_deleted(),
     }
     if not covered:
         metrics.update(version=snap.version, duration_s=time.time() - t0)
@@ -260,17 +275,25 @@ def rewrite_position_deletes(
     _, adds = stage_dataframe(spark, table, df, snap.partition_cols, snap.schema)
     v = table.commit(
         Transaction(
-            operation="rewrite-position-deletes",
+            operation="rewrite-deletes",
             adds=adds,
             removes=[fe.path for fe in covered],
             data_change=False,
         ),
         expected_schema=snap.schema,
     )
+    after = table.snapshot(v)
     metrics.update(
-        files_written=len(adds), version=v, duration_s=time.time() - t0
+        files_written=len(adds),
+        delete_files_remaining=len(after.delete_entries),
+        version=v,
+        duration_s=time.time() - t0,
     )
     return metrics
+
+
+# historical name (position deletes landed first); folds both kinds
+rewrite_position_deletes = rewrite_deletes
 
 
 def update_where(

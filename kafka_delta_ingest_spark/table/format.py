@@ -90,15 +90,25 @@ class FileEntry:
     # stats: {"min": {col: v}, "max": {col: v}, "null_count": {col: n}}
     # arrays carry null_count only (ref src/writer.rs:676-681)
     stats: dict[str, dict[str, Any]] = field(default_factory=dict)
+    # data sequence number = the version that added this file (Iceberg-v2
+    # semantics: equality deletes apply only to files with seq < theirs).
+    # None in a fresh Add action — replay stamps it with the commit
+    # version; serialized explicitly when known so rollback re-adds keep
+    # their ORIGINAL seq (a restored file must stay older than the
+    # equality deletes that applied to it).
+    seq: int | None = None
 
     def to_json(self) -> dict:
-        return {
+        d = {
             "path": self.path,
             "size": self.size,
             "num_records": self.num_records,
             "partition_values": self.partition_values,
             "stats": self.stats,
         }
+        if self.seq is not None:
+            d["seq"] = self.seq
+        return d
 
     @staticmethod
     def from_json(d: dict) -> "FileEntry":
@@ -108,38 +118,97 @@ class FileEntry:
             num_records=d["num_records"],
             partition_values=d.get("partition_values", {}),
             stats=d.get("stats", {}),
+            seq=d.get("seq"),
         )
 
 
 @dataclass
 class DeleteEntry:
-    """One position-delete file (Iceberg-v2 merge-on-read analogue): a
-    parquet file of rows ``(data_path string, pos long)`` marking rows of
-    live data files as deleted WITHOUT rewriting them — the only sane
-    shape for point deletes against a 10^12-token table (copy-on-write
-    rewrites terabytes to drop a handful of rows).
+    """One delete file (Iceberg-v2 merge-on-read analogue), of two kinds:
 
+    ``kind="position"`` — parquet of ``(data_path string, pos long)``
+    rows marking rows of live data files as deleted WITHOUT rewriting
+    them — the only sane shape for point deletes against a 10^12-token
+    table (copy-on-write rewrites terabytes to drop a handful of rows).
     ``counts`` is deleted-rows-per-covered-data-file, manifest-exact:
     snapshot replay prunes a covered path the moment its data file is
     removed (i.e. a rewrite applied the deletes), so delete entries die
-    with the files they cover and no tombstone bookkeeping is needed."""
+    with the files they cover and no tombstone bookkeeping is needed.
+
+    ``kind="equality"`` — parquet of key values (columns =
+    ``equality_ids``) deleting every row of any OLDER data file
+    (``file.seq < delete.seq``) whose key matches — the zero-read CDC
+    upsert path: one commit = append new rows + equality-delete their
+    keys, O(batch) work regardless of table size. ``stats`` carries the
+    key min/max so scans and folds skip provably-disjoint files; replay
+    prunes the entry when no live intersecting older file remains.
+    ``num_rows`` is the delete file's own row count (deleted data rows
+    are unknowable without a read — Iceberg shares this property)."""
 
     path: str  # relative to table root
     size: int
     counts: dict[str, int] = field(default_factory=dict)
+    kind: str = "position"
+    equality_ids: list[str] = field(default_factory=list)
+    num_rows: int = 0  # rows in the delete file itself (equality kind)
+    # key min/max for equality pruning: {"min": {col: v}, "max": {col: v}}
+    stats: dict[str, dict[str, Any]] = field(default_factory=dict)
+    # sequence number = the version that added this entry (equality kind
+    # applies to strictly-older data files). Replay stamps it; serialized
+    # when known so rollback restores it exactly.
+    seq: int | None = None
 
     @property
     def num_deleted(self) -> int:
+        """Exact position-deleted rows; 0 for equality (unknown without
+        a read — never overstates manifest accounting)."""
         return sum(self.counts.values())
 
     def to_json(self) -> dict:
-        return {"path": self.path, "size": self.size, "counts": self.counts}
+        d = {"path": self.path, "size": self.size, "counts": self.counts}
+        if self.kind != "position":
+            d.update(
+                kind=self.kind,
+                equality_ids=self.equality_ids,
+                num_rows=self.num_rows,
+                stats=self.stats,
+            )
+        if self.seq is not None:
+            d["seq"] = self.seq
+        return d
 
     @staticmethod
     def from_json(d: dict) -> "DeleteEntry":
         return DeleteEntry(
-            path=d["path"], size=d["size"], counts=dict(d.get("counts", {}))
+            path=d["path"],
+            size=d["size"],
+            counts=dict(d.get("counts", {})),
+            kind=d.get("kind", "position"),
+            equality_ids=list(d.get("equality_ids", [])),
+            num_rows=d.get("num_rows", 0),
+            stats=d.get("stats", {}),
+            seq=d.get("seq"),
         )
+
+    def applies_to(self, fe: "FileEntry") -> bool:
+        """Equality kind: does this delete possibly affect ``fe``?
+        Older file (seq strictly less, None = being-added = newer) AND
+        key ranges intersect (missing stats on either side = must assume
+        intersection)."""
+        if self.kind != "equality":
+            return fe.path in self.counts
+        if fe.seq is None or self.seq is None or fe.seq >= self.seq:
+            return False
+        for c in self.equality_ids:
+            dlo = self.stats.get("min", {}).get(c)
+            dhi = self.stats.get("max", {}).get(c)
+            flo = fe.stats.get("min", {}).get(c)
+            fhi = fe.stats.get("max", {}).get(c)
+            if None in (dlo, dhi, flo, fhi):
+                continue  # no stats -> cannot prune on this column
+            if fhi < dlo or dhi < flo:
+                return False  # provably disjoint key ranges
+        return True
 
 
 @dataclass
@@ -211,8 +280,15 @@ class Snapshot:
         return sum(de.num_deleted for de in self._deletes.values())
 
     def num_live_records(self) -> int:
-        """Rows a scan returns: physical minus position-deleted."""
+        """Rows a scan returns: physical minus position-deleted. An UPPER
+        BOUND while equality deletes are live (their deleted-row count is
+        unknowable without a read); exact otherwise — check
+        ``equality_entries``."""
         return self.num_records() - self.num_deleted()
+
+    @property
+    def equality_entries(self) -> "list[DeleteEntry]":
+        return [de for de in self._deletes.values() if de.kind == "equality"]
 
     def total_bytes(self) -> int:
         return sum(f.size for f in self._files.values())
@@ -392,6 +468,7 @@ class Table:
             for d in meta.get("delete_entries", []):
                 de = DeleteEntry.from_json(d)
                 deletes[de.path] = de
+            has_seq = "seq" in tbl.column_names
             for row in tbl.to_pylist():
                 fe = FileEntry(
                     path=row["path"],
@@ -399,6 +476,9 @@ class Table:
                     num_records=row["num_records"],
                     partition_values=json.loads(row["partition_values"]),
                     stats=json.loads(row["stats"]),
+                    # pre-seq checkpoints can only exist without equality
+                    # deletes (same code version introduced both) -> 0
+                    seq=(row["seq"] if has_seq else 0),
                 )
                 files[fe.path] = fe
             start = ckpt + 1
@@ -429,19 +509,40 @@ class Table:
                             del deletes[dp]
             for a in c.get("add", []):
                 fe = FileEntry.from_json(a)
+                if fe.seq is None:
+                    fe.seq = i  # stamp: data sequence number = add version
                 files[fe.path] = fe
             for dp in c.get("remove_delete", []):
                 deletes.pop(dp, None)
             for d in c.get("add_delete", []):
                 de = DeleteEntry.from_json(d)
+                if de.seq is None:
+                    de.seq = i
+                if de.kind == "equality":
+                    deletes[de.path] = de
+                    continue
                 # only live files can be covered (commit validation); keep
                 # replay robust anyway by intersecting with the live set
                 nc = {p: n for p, n in de.counts.items() if p in files}
                 if nc:
-                    deletes[de.path] = DeleteEntry(de.path, de.size, nc)
+                    deletes[de.path] = DeleteEntry(
+                        de.path, de.size, nc, seq=de.seq
+                    )
             app_txns.update(c.get("app_txns", {}))
         if schema is None:
             raise TableError("log contains no schema metadata")
+        # an equality delete dies when no live intersecting OLDER file
+        # remains (a fold rewrote them all; rewritten files carry newer
+        # seqs and are exempt) — same lifecycle as position entries dying
+        # with their covered files, derived from metadata alone
+        live = list(files.values())
+        for dp in [
+            p
+            for p, de in deletes.items()
+            if de.kind == "equality"
+            and not any(de.applies_to(fe) for fe in live)
+        ]:
+            del deletes[dp]
         return Snapshot(self, v, files, schema, partition_cols, app_txns, deletes)
 
     # --------------------------------------------------------------- commit
@@ -532,6 +633,15 @@ class Table:
                 )
             live_after = (live | {a.path for a in txn.adds}) - set(txn.removes)
             for de in txn.add_deletes:
+                if de.kind == "equality":
+                    snames = {f.name for f in snap.schema.fields}
+                    bad_ids = [c for c in de.equality_ids if c not in snames]
+                    if not de.equality_ids or bad_ids:
+                        raise TableError(
+                            f"equality delete {de.path}: ids must be "
+                            f"non-empty schema columns (bad: {bad_ids})"
+                        )
+                    continue
                 # position deletes may only cover files that are live AFTER
                 # this commit (covering a file this txn removes is a plan
                 # bug; covering a dead file is a concurrency conflict)
@@ -541,7 +651,21 @@ class Table:
                         f"delete file {de.path} covers non-live data files, "
                         f"e.g. {bad[:3]}"
                     )
-            if not txn.data_change and (txn.adds or txn.removes):
+            # equality deletes hide an unknowable number of rows in the
+            # files they apply to, so a rewrite that folds them cannot be
+            # conservation-checked from metadata (Iceberg shares this
+            # blind spot); the check stays exact everywhere else
+            eq_applies_to_removed = any(
+                de.kind == "equality" and de.applies_to(snap._files[p])
+                for de in snap.delete_entries
+                for p in txn.removes
+                if p in snap._files
+            )
+            if (
+                not txn.data_change
+                and (txn.adds or txn.removes)
+                and not eq_applies_to_removed
+            ):
                 # a pure rewrite (compact/cluster/manifest) must conserve
                 # LIVE rows (physical minus position-deleted): simulate the
                 # post-commit manifest and require the live-row total to be
@@ -631,6 +755,9 @@ class Table:
             "num_records": [f.num_records for f in snap.files],
             "partition_values": [json.dumps(f.partition_values) for f in snap.files],
             "stats": [json.dumps(f.stats) for f in snap.files],
+            # data sequence numbers survive log collapse: equality-delete
+            # applicability (file.seq < delete.seq) must hold across it
+            "seq": [f.seq if f.seq is not None else 0 for f in snap.files],
         }
         meta = {
             "schema": json.loads(snap.schema.json()),
@@ -651,6 +778,7 @@ class Table:
                     ("num_records", pa.int64()),
                     ("partition_values", pa.string()),
                     ("stats", pa.string()),
+                    ("seq", pa.int64()),
                 ],
                 metadata={b"kdi_meta": json.dumps(meta).encode()},
             ),

@@ -93,18 +93,44 @@ def read_files_applying_deletes(
     predicate=None,
     row_index_col: str | None = None,
 ) -> DataFrame:
-    """Read live data files with position deletes (merge-on-read) applied.
+    """Read live data files with merge-on-read deletes applied.
 
     Files NOT covered by any delete entry take the plain path — zero cost
-    on the hot path, which at 10^12 rows is almost every file. Covered
-    files are read with their parquet row index and anti-joined against
-    the (data_path, pos) delete rows; the delete side is broadcast when
-    small (the common case: point deletes), otherwise a shuffled join —
-    at which point ``rewrite_position_deletes`` is the cure, and the
-    maintenance advisor recommends it."""
-    covered_paths = {p for de in delete_entries for p in de.counts}
-    covered = [fe for fe in file_entries if fe.path in covered_paths]
-    plain = [fe for fe in file_entries if fe.path not in covered_paths]
+    on the hot path, which at 10^12 rows is almost every file (position
+    deletes name their covered files; equality deletes are pruned by data
+    sequence number AND manifest key-range intersection). Covered files
+    are read once and anti-joined:
+
+    - position deletes: on (file path, parquet row index) against the
+      (data_path, pos) delete rows;
+    - equality deletes: on the key columns, null-safe, with the Iceberg
+      sequence rule ``delete.seq > file.seq`` (a per-file seq attached via
+      a broadcast path→seq map) so rows appended WITH an equality delete
+      in the same commit — the CDC upsert shape — survive their own
+      delete.
+
+    Delete sides broadcast when small (the common case); a shuffled join
+    past that means ``rewrite_deletes`` is due, and the maintenance
+    advisor recommends it."""
+    pos_entries = [de for de in delete_entries if de.kind == "position"]
+    eq_entries = [de for de in delete_entries if de.kind == "equality"]
+
+    pos_covered = {p for de in pos_entries for p in de.counts}
+    eq_files = {
+        fe.path
+        for fe in file_entries
+        if any(de.applies_to(fe) for de in eq_entries)
+    }
+    covered = [
+        fe
+        for fe in file_entries
+        if fe.path in pos_covered or fe.path in eq_files
+    ]
+    plain = [
+        fe
+        for fe in file_entries
+        if fe.path not in pos_covered and fe.path not in eq_files
+    ]
 
     parts: list[DataFrame] = []
     if plain or not covered:
@@ -121,7 +147,8 @@ def read_files_applying_deletes(
         )
     if covered:
         cov_set = {fe.path for fe in covered}
-        relevant = [de for de in delete_entries if cov_set & de.counts.keys()]
+        rel_pos = [de for de in pos_entries if cov_set & de.counts.keys()]
+        need_pos = bool(rel_pos)
         df = read_files(
             spark,
             [f"{root}/{fe.path}" for fe in covered],
@@ -129,32 +156,84 @@ def read_files_applying_deletes(
             partition_cols,
             file_path_col="_kdi_abs",
             predicate=predicate,
-            row_index_col="_kdi_pos",
+            # row index must come off the scan relation itself (metadata
+            # columns do not survive joins), so request it whenever the
+            # position anti-join OR the caller needs it
+            row_index_col="_kdi_pos" if (need_pos or row_index_col) else None,
         )
-        dl = spark.read.schema("data_path string, pos long").parquet(
-            *[f"{root}/{de.path}" for de in relevant]
-        )
-        n_del = sum(
-            n for de in relevant for p, n in de.counts.items() if p in cov_set
-        )
-        if n_del <= 4_000_000:
-            dl = F.broadcast(dl)
         # manifest paths are table-root-relative; strip "<root>/" from the
         # scan's absolute decoded path (fixed-width prefix, plain substring)
         rel = F.expr(f"substring(_kdi_abs, {len(root) + 2})")
-        out = df.join(
-            dl, (rel == dl["data_path"]) & (df["_kdi_pos"] == dl["pos"]),
-            "left_anti",
-        )
+
+        if need_pos:
+            dl = spark.read.schema("data_path string, pos long").parquet(
+                *[f"{root}/{de.path}" for de in rel_pos]
+            )
+            n_del = sum(
+                n
+                for de in rel_pos
+                for p, n in de.counts.items()
+                if p in cov_set
+            )
+            if n_del <= 4_000_000:
+                dl = F.broadcast(dl)
+            df = df.join(
+                dl,
+                (rel == dl["data_path"]) & (df["_kdi_pos"] == dl["pos"]),
+                "left_anti",
+            )
+
+        rel_eq = [
+            de
+            for de in eq_entries
+            if any(de.applies_to(fe) for fe in covered)
+        ]
+        if rel_eq:
+            # per-file data sequence numbers via a broadcast path->seq map
+            seq_map = spark.createDataFrame(
+                [(fe.path, int(fe.seq or 0)) for fe in covered],
+                "_kdi_rel string, _kdi_seq long",
+            )
+            df = df.join(
+                F.broadcast(seq_map), rel == F.col("_kdi_rel")
+            ).drop("_kdi_rel")
+            # one anti-join per distinct key set (normally exactly one)
+            by_ids: dict[tuple, list] = {}
+            for de in rel_eq:
+                by_ids.setdefault(tuple(de.equality_ids), []).append(de)
+            for ids, des in by_ids.items():
+                eqd = None
+                for de in des:
+                    one = (
+                        spark.read.parquet(f"{root}/{de.path}")
+                        .select(
+                            *[
+                                F.col(c).alias(f"_kdi_eq_{c}")
+                                for c in ids
+                            ]
+                        )
+                        .withColumn("_kdi_dseq", F.lit(int(de.seq or 0)))
+                    )
+                    eqd = one if eqd is None else eqd.unionByName(one)
+                if sum(de.num_rows for de in des) <= 4_000_000:
+                    eqd = F.broadcast(eqd)
+                cond = F.col("_kdi_dseq") > F.col("_kdi_seq")
+                for c in ids:
+                    cond = cond & F.col(c).eqNullSafe(
+                        F.col(f"_kdi_eq_{c}")
+                    )
+                df = df.join(eqd, cond, "left_anti")
+            df = df.drop("_kdi_seq")
+
         if file_path_col:
-            out = out.withColumnRenamed("_kdi_abs", file_path_col)
+            df = df.withColumnRenamed("_kdi_abs", file_path_col)
         else:
-            out = out.drop("_kdi_abs")
+            df = df.drop("_kdi_abs")
         if row_index_col:
-            out = out.withColumnRenamed("_kdi_pos", row_index_col)
-        else:
-            out = out.drop("_kdi_pos")
-        parts.append(out)
+            df = df.withColumnRenamed("_kdi_pos", row_index_col)
+        elif need_pos:
+            df = df.drop("_kdi_pos")
+        parts.append(df)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

@@ -71,7 +71,7 @@ def test_rewrite_position_deletes_folds_and_conserves(spark, tmp_table_root):
     snap = t.snapshot()
     fp = content_fingerprint(snap.scan(spark))
     m = rewrite_position_deletes(spark, t)
-    assert m["rows_deleted_folded"] == snap.num_deleted() > 0
+    assert m["rows_position_deleted_folded"] == snap.num_deleted() > 0
     after = t.snapshot()
     assert after.delete_entries == []
     assert after.num_records() == snap.num_live_records()
