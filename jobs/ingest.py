@@ -57,6 +57,10 @@ def main():
     p.add_argument("--once", action="store_true",
                    help="bounded run: process what exists and exit "
                         "(end_at_last_offsets analogue, ref src/lib.rs:526-592)")
+    p.add_argument("--upsert-key", action="append", default=[],
+                   help="CDC mode: upsert each batch by these key columns "
+                        "(equality deletes, latest Kafka offset wins; "
+                        "repeatable for composite keys)")
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -78,7 +82,7 @@ def main():
     pipe = IngestPipeline(
         table, app_id=args.app_id,
         transforms=parse_transforms(args.transform), dlq_table=dlq,
-        metrics=metrics,
+        metrics=metrics, upsert_key=args.upsert_key or None,
     )
     if not args.source and not args.topic:
         p.error("one of --source or --topic is required")

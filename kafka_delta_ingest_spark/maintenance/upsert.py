@@ -127,6 +127,7 @@ def upsert(
         "operation": "upsert-eq",
         "rows_upserted": rows_in,
         "distinct_keys": n_keys,
+        "bytes_written": sum(a.size for a in adds) + entry.size,
         "files_written": len(adds),
         "delete_files_written": 1,
         "files_rewritten": 0,

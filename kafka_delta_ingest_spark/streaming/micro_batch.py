@@ -23,6 +23,7 @@ from __future__ import annotations
 import time
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from kafka_delta_ingest_spark.ingest.buffers import (
@@ -48,12 +49,23 @@ class IngestPipeline:
         dlq_table: Table | None = None,
         metrics=None,  # kafka_delta_ingest_spark.metrics.IngestMetrics
         high_watermarks: dict[int, int] | None = None,
+        upsert_key: str | list[str] | None = None,
     ):
         self.table = table
         self.app_id = app_id
         self.transformer = Transformer(transforms or {})
         self.dlq_table = dlq_table
         self.metrics = metrics
+        # CDC mode: when set, each batch UPSERTS by these key columns
+        # instead of appending — latest record per key wins (ordered by
+        # Kafka (_partition, _offset): CDC feeds partition by key, so
+        # per-key order is per-partition order), committed as new data
+        # files + an equality delete of the batch's keys in the SAME
+        # atomic txn as the offsets (maintenance/upsert.py) — O(batch)
+        # work, the table never read
+        self.upsert_key = (
+            [upsert_key] if isinstance(upsert_key, str) else upsert_key
+        )
         # broker high watermarks (partition → next offset to be produced),
         # from the Kafka admin/consumer API when a broker exists; without
         # them TRUE lag is unknowable and the reference-named buffer.lag.*
@@ -86,24 +98,54 @@ class IngestPipeline:
         coerced = coerce_json(fresh, snap.schema, json_col="value", keep_cols=meta_cols)
         transformed = self.transformer.apply(coerced)
         good, dead = split_dead_letters(transformed)
+        if self.upsert_key:
+            # latest-wins within the batch BEFORE meta columns drop: a CDC
+            # feed carries several versions of a key per batch; Kafka order
+            # within a partition is the authority (feeds partition by key)
+            from pyspark.sql import Window
+
+            order = [
+                F.col(c).desc_nulls_last()
+                for c in ("_offset", "_partition")
+                if c in good.columns
+            ] or [F.lit(1).asc()]
+            w = Window.partitionBy(*self.upsert_key).orderBy(*order)
+            good = (
+                good.withColumn("_kdi_rn", F.row_number().over(w))
+                .where(F.col("_kdi_rn") == 1)
+                .drop("_kdi_rn")
+            )
         good = good.drop(*meta_cols)
 
         app_txns = watermarks_to_app_txns(watermarks, self.app_id)
         if not app_txns:
             return {"rows": 0, "dead": 0, "skipped_all": True, "duration_s": time.time() - t0}
 
-        _, adds = stage_dataframe(
-            spark, self.table, good, snap.partition_cols, snap.schema
-        )
         # never commit empty (ref: no empty version bumps, lib.rs:1102-1124)
         if self.metrics:
             self.metrics.delta_write_started()
         t_write = time.time()
+        adds = []
         try:
-            v = self.table.commit(
-                Transaction(operation="ingest", adds=adds, app_txns=app_txns),
-                expected_schema=snap.schema,
-            )
+            if self.upsert_key:
+                from kafka_delta_ingest_spark.maintenance.upsert import upsert
+
+                um = upsert(
+                    spark, self.table, good,
+                    key=self.upsert_key, app_txns=app_txns,
+                )
+                v = um["version"]
+                n_rows, n_bytes = um["rows_upserted"], um["bytes_written"]
+            else:
+                _, adds = stage_dataframe(
+                    spark, self.table, good, snap.partition_cols, snap.schema
+                )
+                v = self.table.commit(
+                    Transaction(operation="ingest", adds=adds, app_txns=app_txns),
+                    expected_schema=snap.schema,
+                )
+                n_rows = sum(a.num_records for a in adds)
+                n_bytes = sum(a.size for a in adds)
         except Exception:
             if self.metrics:
                 self.metrics.delta_write_failed()
@@ -133,14 +175,14 @@ class IngestPipeline:
                 )
                 n_dead = dead_rows
         if self.metrics:
-            n_good = sum(a.num_records for a in adds)
+            n_good = n_rows
             if self.dlq_table is None:
                 n_dead = dead.count()
             self.metrics.message_deserialized(n_good + n_dead)
             self.metrics.message_transformed(n_good)
             if n_dead:
                 self.metrics.message_transform_failed(n_dead)
-            self.metrics.message_deserialized_size(sum(a.size for a in adds))
+            self.metrics.message_deserialized_size(n_bytes)
             # lag gauges only with real broker high watermarks: emitting
             # committed positions under the reference's buffer.lag.* names
             # would read as monotonically growing lag on ported dashboards
@@ -153,11 +195,11 @@ class IngestPipeline:
                 }
                 lag = consumer_lag(self.high_watermarks, stored)
                 self.metrics.buffer_lag(list(lag["per_partition"].values()))
-            self.metrics.batch_completed(len(adds), t0)
+            self.metrics.batch_completed(len(adds) or 1, t0)
         return {
             "version": v,
-            "rows": sum(a.num_records for a in adds),
-            "bytes": sum(a.size for a in adds),
+            "rows": n_rows,
+            "bytes": n_bytes,
             "dead": n_dead,
             "watermarks": app_txns,
             "duration_s": time.time() - t0,

@@ -223,3 +223,66 @@ def test_stateful_offset_dedupe_across_restarts(spark, tmp_path):
     assert got2 == {
         (0, 5): "m0-5", (0, 6): "m0-6", (0, 7): "m0-7", (1, 3): "m1-3",
     }
+
+
+def _cdc_msgs(spark, recs, partition=0, start_offset=0):
+    """recs: list of (id, color) — one CDC record per row, offset = order."""
+    rows = [
+        (json.dumps({"id": i, "color": c,
+                     "ts": f"2021-03-{(i % 28) + 1:02d}T10:00:00Z"}),
+         partition, start_offset + k)
+        for k, (i, c) in enumerate(recs)
+    ]
+    return spark.createDataFrame(rows, "value string, _partition int, _offset long")
+
+
+def test_cdc_upsert_ingest_latest_wins_exactly_once(spark, tmp_path):
+    """CDC mode: each batch upserts by key via equality deletes — within a
+    batch the highest Kafka offset wins, across batches the latest batch
+    wins, replays no-op, and no data file is ever rewritten."""
+    table = Table.create(str(tmp_path / "t"), SCHEMA, ["date"])
+    pipe = IngestPipeline(
+        table,
+        app_id="cdc-test",
+        transforms={"date": "substr(epoch_micros_to_iso8601(unix_micros(ts)), 0, 10)"},
+        upsert_key="id",
+    )
+    # batch 1: ids 0..9 red, with id=3 updated to green LATER in the batch
+    b1 = _cdc_msgs(spark, [(i, "red") for i in range(10)] + [(3, "green")])
+    m1 = pipe.ingest_batch(spark, b1)
+    assert m1["rows"] == 10  # 11 records, 10 keys after latest-wins
+    scan = table.snapshot().scan(spark)
+    assert scan.count() == 10
+    assert scan.where("id = 3").collect()[0]["color"] == "green"
+
+    files_v1 = {f.path for f in table.snapshot().files}
+
+    # replay batch 1: exactly-once no-op
+    v = table.latest_version()
+    m2 = pipe.ingest_batch(spark, b1)
+    assert m2.get("skipped_all") and table.latest_version() == v
+
+    # batch 2: update ids 3 and 5, insert id 100
+    b2 = _cdc_msgs(
+        spark, [(3, "blue"), (5, "blue"), (100, "blue")], start_offset=11
+    )
+    m3 = pipe.ingest_batch(spark, b2)
+    assert m3["rows"] == 3
+    snap = table.snapshot()
+    # upsert never rewrites existing data files
+    assert files_v1 <= {f.path for f in snap.files}
+    # batch 1's delete entry is GONE: it applied to no older file (empty
+    # table) and replay prunes dead entries; only batch 2's survives
+    assert len(snap.equality_entries) == 1
+    got = {r["id"]: r["color"] for r in snap.scan(spark).collect()}
+    assert got[3] == "blue" and got[5] == "blue" and got[100] == "blue"
+    assert got[0] == "red" and len(got) == 11
+
+    # fold back to pure parquet; scan unchanged
+    from kafka_delta_ingest_spark.maintenance.dml import rewrite_deletes
+
+    rewrite_deletes(spark, table)
+    snap2 = table.snapshot()
+    assert snap2.delete_entries == []
+    got2 = {r["id"]: r["color"] for r in snap2.scan(spark).collect()}
+    assert got2 == got
