@@ -464,6 +464,36 @@ def q_manifest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_metadata_agg_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(*)/min/max/count(col) answered from manifest stats
+    (table/inspect.py metadata_aggregate): files provably inside the
+    predicate contribute pure metadata (zero data bytes — pytest proves it
+    with the data dir renamed away); only boundary files are scanned. The
+    O(files) fast path for per-partition accounting at 10^12 rows."""
+    from kafka_delta_ingest_spark.table.inspect import metadata_aggregate
+
+    t = _build_tokens_table(spark, sf_dir, _tmp_root("metaagg"))
+    cols = ["n_tok", "doc_id"]
+
+    def one(label: str, scope) -> DataFrame:
+        return metadata_aggregate(spark, t, cols, scope=scope).select(
+            F.lit(label).alias("scope_kind"),
+            F.col("cnt"),
+            F.col("min_n_tok").cast("long").alias("min_n_tok"),
+            F.col("max_n_tok").cast("long").alias("max_n_tok"),
+            F.col("cnt_n_tok"),
+            F.col("min_doc_id"),
+            F.col("max_doc_id"),
+            F.col("cnt_doc_id"),
+        )
+
+    return (
+        one("whole_table", None)
+        .unionByName(one("partition_aligned", [("source", "=", "src3")]))
+        .unionByName(one("range_straddle", [("n_tok", ">=", 100)]))
+    )
+
+
 # -------------------------------------------------------- ingest queries
 
 def _events_as_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1484,6 +1514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_agg_refresh": q_incremental_agg_refresh,
         "ledger_resume_scan": q_ledger_resume_scan,
         "manifest_stats": q_manifest_stats,
+        "metadata_agg_scan": q_metadata_agg_scan,
         # ingest semantics (reference A4-A20)
         "ingest_e2e": q_ingest_e2e,
         "offset_dedupe": q_offset_dedupe,
@@ -2379,6 +2410,28 @@ def oracle_sql() -> dict[str, str]:
                    MAX(doc_id) AS max_doc_id
             FROM ({_TOKENS_SQL})
             GROUP BY source
+        """,
+        "metadata_agg_scan": f"""
+            WITH base AS ({_TOKENS_SQL})
+            SELECT 'whole_table' AS scope_kind,
+                   COUNT(*) AS cnt,
+                   CAST(MIN(n_tok) AS BIGINT) AS min_n_tok,
+                   CAST(MAX(n_tok) AS BIGINT) AS max_n_tok,
+                   COUNT(n_tok) AS cnt_n_tok,
+                   MIN(doc_id) AS min_doc_id,
+                   MAX(doc_id) AS max_doc_id,
+                   COUNT(doc_id) AS cnt_doc_id
+            FROM base
+            UNION ALL
+            SELECT 'partition_aligned', COUNT(*),
+                   CAST(MIN(n_tok) AS BIGINT), CAST(MAX(n_tok) AS BIGINT),
+                   COUNT(n_tok), MIN(doc_id), MAX(doc_id), COUNT(doc_id)
+            FROM base WHERE source = 'src3'
+            UNION ALL
+            SELECT 'range_straddle', COUNT(*),
+                   CAST(MIN(n_tok) AS BIGINT), CAST(MAX(n_tok) AS BIGINT),
+                   COUNT(n_tok), MIN(doc_id), MAX(doc_id), COUNT(doc_id)
+            FROM base WHERE n_tok >= 100
         """,
         "ingest_e2e": """
             SELECT event_id, event_type, ROUND(value, 6) AS value,

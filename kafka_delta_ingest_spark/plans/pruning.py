@@ -141,3 +141,86 @@ def prune_files(
         for f in files
         if all(_may_match(f, c, op, lit, types.get(c)) for (c, op, lit) in conjuncts)
     ]
+
+
+def _must_match(
+    f: FileEntry, col: str, op: str, lit: Any, dt: T.DataType | None
+) -> bool:
+    """True iff EVERY row of the file provably matches the conjunct —
+    the dual of _may_match. Unknown/missing stats ⇒ False (the file must
+    be scanned); NULL rows never match a comparison, so a file with any
+    nulls in the column can't fully match either."""
+    if col in f.partition_values:
+        pv = f.partition_values[col]
+        if op in ("=", "=="):
+            return pv == str(lit)
+        if op == "in":
+            return pv in {str(x) for x in lit}
+        cpv, clit = _canon(pv, dt), _canon(lit, dt)
+        if cpv is None or clit is None:
+            return False
+        return _all_in_range(cpv, cpv, op, clit)
+    nulls = f.stats.get("null_count", {}).get(col)
+    if nulls is None or int(nulls) > 0:
+        return False
+    lo = _canon(f.stats.get("min", {}).get(col), dt)
+    hi = _canon(f.stats.get("max", {}).get(col), dt)
+    if lo is None or hi is None:
+        return False
+    if op == "in":
+        vals = [_canon(x, dt) for x in lit]
+        try:
+            return lo == hi and any(lo == x for x in vals if x is not None)
+        except (TypeError, InvalidOperation):
+            return False
+    clit = _canon(lit, dt)
+    if clit is None:
+        return False
+    return _all_in_range(lo, hi, op, clit)
+
+
+def _all_in_range(lo: Any, hi: Any, op: str, lit: Any) -> bool:
+    try:
+        if op in ("=", "=="):
+            return lo == lit == hi
+        if op == "<":
+            return hi < lit
+        if op == "<=":
+            return hi <= lit
+        if op == ">":
+            return lo > lit
+        if op == ">=":
+            return lo >= lit
+    except (TypeError, InvalidOperation):
+        return False
+    return False
+
+
+def split_files_by_predicate(
+    files: Iterable[FileEntry],
+    conjuncts: list[tuple[str, str, Any]],
+    schema: T.StructType | None = None,
+) -> "tuple[list[FileEntry], list[FileEntry]]":
+    """Three-way file classification against a conjunction, returned as
+    ``(inside, straddling)``: *inside* files provably contain ONLY matching
+    rows (metadata alone can answer aggregates over them), *straddling*
+    files may contain a mix and must be scanned, and provably-disjoint
+    files are dropped (the prune_files rule). The partition of work behind
+    metadata-only aggregation: at 10^12 rows a partition-aligned predicate
+    makes every file 'inside' and the query touches zero data bytes."""
+    for col, op, _ in conjuncts:
+        if op not in _OPS:
+            raise ValueError(f"unsupported pruning op: {op}")
+    types: dict[str, T.DataType] = (
+        {fld.name: fld.dataType for fld in schema.fields} if schema is not None else {}
+    )
+    inside: list[FileEntry] = []
+    straddling: list[FileEntry] = []
+    for f in files:
+        if not all(_may_match(f, c, op, lit, types.get(c)) for (c, op, lit) in conjuncts):
+            continue
+        if all(_must_match(f, c, op, lit, types.get(c)) for (c, op, lit) in conjuncts):
+            inside.append(f)
+        else:
+            straddling.append(f)
+    return inside, straddling

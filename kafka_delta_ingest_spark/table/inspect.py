@@ -162,3 +162,180 @@ def history_df(spark: SparkSession, table: Table) -> DataFrame:
         for h in table.history()
     ]
     return spark.createDataFrame(rows, _HISTORY_SCHEMA)
+
+
+def metadata_aggregate(
+    spark: SparkSession,
+    table: Table,
+    columns: list[str],
+    scope: "list[tuple[str, str, object]] | None" = None,
+    version: int | None = None,
+) -> DataFrame:
+    """``count(*)`` / ``min`` / ``max`` / ``count(col)`` answered from
+    manifest stats — zero data bytes read for files provably inside the
+    predicate.
+
+    The manifest's per-file ``num_records`` + min/max/null_count (written
+    per ref src/writer.rs:655-707) make these aggregates a pure metadata
+    fold over files *fully contained* in ``scope`` (every row provably
+    matches: partition value equal, or min/max inside the range with zero
+    nulls). Files that *straddle* the predicate boundary are scanned with
+    the predicate pushed down; provably-disjoint files are pruned. At
+    10^12 rows a partition-aligned predicate (the common case: per-day,
+    per-source) makes every file 'inside' and the whole query is O(files)
+    driver metadata — the difference between milliseconds and a cluster
+    scan.
+
+    Returns a 1-row DataFrame: ``cnt`` (count(*)), then per requested
+    column ``min_<c>``, ``max_<c>``, ``cnt_<c>`` (non-null count), typed
+    per the table schema. Raises under live merge-on-read deletes (counts
+    and extrema are unknowable without a read — fold with
+    ``rewrite_deletes`` first).
+    """
+    from pyspark.sql import functions as F
+
+    from kafka_delta_ingest_spark.maintenance.dml import predicate_column
+    from kafka_delta_ingest_spark.plans.pruning import split_files_by_predicate
+    from kafka_delta_ingest_spark.table.format import HIVE_DEFAULT_PARTITION
+
+    snap = table.snapshot(version)
+    if snap.delete_entries:
+        raise TableError(
+            "metadata aggregate is exact only without live delete files; "
+            "run rewrite-deletes to fold them first"
+        )
+    types = {f.name: f.dataType for f in snap.schema.fields}
+    for c in columns:
+        dt = types.get(c)
+        if dt is None:
+            raise ValueError(f"unknown column: {c}")
+        if isinstance(dt, (T.ArrayType, T.MapType, T.StructType, T.BinaryType)):
+            raise ValueError(f"min/max undefined for column type of {c!r}")
+
+    inside, straddling = split_files_by_predicate(
+        snap.files, scope or [], snap.schema
+    )
+
+    def _bounds(f, c):
+        """(min_str, max_str, nonnull) for one inside-file, or None if the
+        manifest can't answer for this column (demotes the file to a scan)."""
+        if c in f.partition_values:
+            pv = f.partition_values[c]
+            if pv == HIVE_DEFAULT_PARTITION:
+                return (None, None, 0)
+            return (pv, pv, f.num_records)
+        nulls = f.stats.get("null_count", {}).get(c)
+        if nulls is None:
+            return None
+        nulls = int(nulls)
+        if nulls >= f.num_records:
+            return (None, None, 0)
+        lo = f.stats.get("min", {}).get(c)
+        hi = f.stats.get("max", {}).get(c)
+        if lo is None or hi is None:
+            return None
+        return (str(lo), str(hi), f.num_records - nulls)
+
+    meta_rows, demoted = [], []
+    for f in inside:
+        per_col = [_bounds(f, c) for c in columns]
+        if any(b is None for b in per_col):
+            demoted.append(f)
+            continue
+        row = [f.num_records]
+        for lo, hi, nn in per_col:
+            row += [lo, hi, nn]
+        meta_rows.append(tuple(row))
+    straddling = straddling + demoted
+
+    meta_schema = T.StructType(
+        [T.StructField("cnt", T.LongType())]
+        + [
+            fld
+            for c in columns
+            for fld in (
+                T.StructField(f"min_{c}", T.StringType()),
+                T.StructField(f"max_{c}", T.StringType()),
+                T.StructField(f"cnt_{c}", T.LongType()),
+            )
+        ]
+    )
+    # strings → column types via Spark casts (ISO timestamps/dates, numerics,
+    # booleans all round-trip; the same rendering footer_stats writes)
+    parts = []
+    if meta_rows:
+        mdf = spark.createDataFrame(meta_rows, meta_schema)
+        parts.append(
+            mdf.select(
+                F.col("cnt"),
+                *[
+                    e
+                    for c in columns
+                    for e in (
+                        F.col(f"min_{c}").cast(types[c]).alias(f"min_{c}"),
+                        F.col(f"max_{c}").cast(types[c]).alias(f"max_{c}"),
+                        F.col(f"cnt_{c}"),
+                    )
+                ],
+            ).groupBy().agg(
+                F.sum("cnt").alias("cnt"),
+                *[
+                    e
+                    for c in columns
+                    for e in (
+                        F.min(f"min_{c}").alias(f"min_{c}"),
+                        F.max(f"max_{c}").alias(f"max_{c}"),
+                        F.sum(f"cnt_{c}").alias(f"cnt_{c}"),
+                    )
+                ],
+            )
+        )
+    if straddling:
+        pred = predicate_column(list(scope)) if scope else None
+        df = snap.read(spark, straddling, predicate=pred)
+        if pred is not None:
+            df = df.filter(pred)
+        parts.append(
+            df.groupBy().agg(
+                F.count(F.lit(1)).alias("cnt"),
+                *[
+                    e
+                    for c in columns
+                    for e in (
+                        F.min(c).alias(f"min_{c}"),
+                        F.max(c).alias(f"max_{c}"),
+                        F.count(c).alias(f"cnt_{c}"),
+                    )
+                ],
+            )
+        )
+    if not parts:
+        empty_schema = T.StructType(
+            [T.StructField("cnt", T.LongType())]
+            + [
+                fld
+                for c in columns
+                for fld in (
+                    T.StructField(f"min_{c}", types[c]),
+                    T.StructField(f"max_{c}", types[c]),
+                    T.StructField(f"cnt_{c}", T.LongType()),
+                )
+            ]
+        )
+        row = [0] + [None, None, 0] * len(columns)
+        return spark.createDataFrame([tuple(row)], empty_schema)
+    combined = parts[0]
+    for p in parts[1:]:
+        combined = combined.unionByName(p)
+    return combined.groupBy().agg(
+        F.sum("cnt").cast("long").alias("cnt"),
+        *[
+            e
+            for c in columns
+            for e in (
+                F.min(f"min_{c}").alias(f"min_{c}"),
+                F.max(f"max_{c}").alias(f"max_{c}"),
+                F.sum(f"cnt_{c}").cast("long").alias(f"cnt_{c}"),
+            )
+        ],
+    )

@@ -101,3 +101,96 @@ def test_history_metadata_table(spark, tmp_table_root):
     assert [r["data_change"] for r in h] == [False, True, False, True]
     assert h[2]["operation"] == "compact"
     assert h[3]["n_remove"] == 0 and h[3]["n_add"] > 0
+
+
+def test_metadata_aggregate_matches_scan_and_reads_zero_bytes(spark, tmp_table_root):
+    import os
+
+    from kafka_delta_ingest_spark.table.inspect import metadata_aggregate
+
+    t = _build(spark, tmp_table_root)
+    full = t.snapshot().scan(spark)
+
+    # whole table — answered entirely from manifests
+    got = metadata_aggregate(spark, t, ["n_tok", "doc_id"]).collect()[0].asDict()
+    exp = full.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("n_tok").alias("min_n_tok"),
+        F.max("n_tok").alias("max_n_tok"),
+        F.count("n_tok").alias("cnt_n_tok"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+        F.count("doc_id").alias("cnt_doc_id"),
+    ).collect()[0].asDict()
+    assert got == exp
+
+    # partition-aligned scope with the data directory RENAMED AWAY: the
+    # answer must come from metadata alone (zero data bytes readable)
+    src = sorted({f.partition_values["source"] for f in t.snapshot().files})[0]
+    exp_src = (
+        full.where(F.col("source") == src)
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("n_tok").alias("min_n_tok"),
+            F.max("n_tok").alias("max_n_tok"),
+            F.count("n_tok").alias("cnt_n_tok"),
+        )
+        .collect()[0]
+        .asDict()
+    )
+    os.rename(t.data_dir, t.data_dir + ".hidden")
+    try:
+        got_src = (
+            metadata_aggregate(spark, t, ["n_tok"], scope=[("source", "=", src)])
+            .collect()[0]
+            .asDict()
+        )
+    finally:
+        os.rename(t.data_dir + ".hidden", t.data_dir)
+    assert got_src == exp_src
+
+    # straddling range scope: hybrid metadata + boundary-file scan
+    got_rng = (
+        metadata_aggregate(spark, t, ["n_tok"], scope=[("n_tok", ">=", 10)])
+        .collect()[0]
+        .asDict()
+    )
+    exp_rng = (
+        full.where("n_tok >= 10")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("n_tok").alias("min_n_tok"),
+            F.max("n_tok").alias("max_n_tok"),
+            F.count("n_tok").alias("cnt_n_tok"),
+        )
+        .collect()[0]
+        .asDict()
+    )
+    assert got_rng == exp_rng
+
+    # empty scope → typed single row of zeros/nulls
+    z = (
+        metadata_aggregate(spark, t, ["n_tok"], scope=[("n_tok", ">", 10**9)])
+        .collect()[0]
+        .asDict()
+    )
+    assert z == {"cnt": 0, "min_n_tok": None, "max_n_tok": None, "cnt_n_tok": 0}
+
+
+def test_metadata_aggregate_refuses_live_deletes_but_serves_pinned_version(
+    spark, tmp_table_root
+):
+    import pytest as _pytest
+
+    from kafka_delta_ingest_spark.table.format import TableError
+    from kafka_delta_ingest_spark.table.inspect import metadata_aggregate
+
+    t = _build(spark, tmp_table_root)
+    before = metadata_aggregate(spark, t, ["n_tok"]).collect()[0].asDict()
+    v = t.latest_version()
+    delete_where(spark, t, [("n_tok", "=", 5)], mode="merge_on_read")
+    with _pytest.raises(TableError):
+        metadata_aggregate(spark, t, ["n_tok"])
+    # the pre-delete snapshot still answers (snapshot isolation)
+    pinned = metadata_aggregate(spark, t, ["n_tok"], version=v).collect()[0].asDict()
+    assert pinned == before
