@@ -231,6 +231,11 @@ class Transaction:
     # when set, this commit updates the table schema (snapshot replay picks
     # it up from the commit's "metadata" key, same as the create commit)
     schema_update: "T.StructType | None" = None
+    # when set, this commit changes the partition spec for FUTURE writes;
+    # existing files keep their original layout (their spec is the
+    # partition_values key set recorded per file) until a rewrite migrates
+    # them — Iceberg partition-spec evolution
+    partition_update: "list[str] | None" = None
 
 
 class Snapshot:
@@ -600,6 +605,37 @@ class Table:
             )
         )
 
+    def evolve_partitioning(self, new_partition_cols: list[str]) -> int:
+        """Partition-spec evolution as a metadata-only atomic commit.
+
+        Iceberg semantics: the new spec applies to FUTURE writes only.
+        Existing files keep the layout they were written under — each
+        manifest entry records its own ``partition_values`` key set, so
+        the scan (scan.py read_entries) groups files by their recorded
+        spec and reconstructs each group's partition columns from its
+        paths. No data rewrite happens at evolution time; a later
+        compaction/optimize pass migrates old files to the new spec
+        lazily. Every new partition column must be an existing table
+        column (Iceberg identity transform)."""
+        snap = self.snapshot()
+        fields = {f.name for f in snap.schema.fields}
+        missing = sorted(set(new_partition_cols) - fields)
+        if missing:
+            raise SchemaEvolutionError(
+                f"partition columns not in schema: {missing}"
+            )
+        if len(set(new_partition_cols)) != len(new_partition_cols):
+            raise SchemaEvolutionError(
+                f"duplicate partition columns: {new_partition_cols}"
+            )
+        return self.commit(
+            Transaction(
+                operation="evolve-partitioning",
+                data_change=False,
+                partition_update=list(new_partition_cols),
+            )
+        )
+
     def commit(
         self,
         txn: Transaction,
@@ -724,10 +760,14 @@ class Table:
                 "data_change": txn.data_change,
                 "op_metadata": txn.metadata,
             }
-            if txn.schema_update is not None:
+            if txn.schema_update is not None or txn.partition_update is not None:
                 commit["metadata"] = {
-                    "schema": json.loads(txn.schema_update.json()),
-                    "partition_cols": snap.partition_cols,
+                    "schema": json.loads((txn.schema_update or snap.schema).json()),
+                    "partition_cols": (
+                        list(txn.partition_update)
+                        if txn.partition_update is not None
+                        else snap.partition_cols
+                    ),
                 }
             try:
                 self._atomic_write_version(v, commit)

@@ -82,6 +82,51 @@ def read_files(
     return df.select(*cols)
 
 
+def read_entries(
+    spark: SparkSession,
+    root: str,
+    file_entries,
+    schema: T.StructType,
+    partition_cols: list[str],
+    file_path_col: str | None = None,
+    predicate=None,
+    row_index_col: str | None = None,
+) -> DataFrame:
+    """Read manifest entries, grouped by the partition spec each file was
+    written under.
+
+    A file's spec is its ``partition_values`` key set — recorded per file
+    at write time, so after ``Table.evolve_partitioning`` old files keep
+    their original layout (their partition columns live in the path, not
+    the data pages) and new files use the new spec. Each spec group is
+    read with its own data-schema/path-reconstruction split and the groups
+    union — Iceberg's spec-id-per-manifest-entry semantics. Spec counts
+    stay tiny (one per evolution), so this is one extra scan relation per
+    historical spec, not per file; a rewrite (compaction/optimize)
+    migrates files to the current spec lazily."""
+    groups: dict[frozenset, list] = {}
+    for fe in file_entries:
+        groups.setdefault(frozenset(fe.partition_values.keys()), []).append(fe)
+    if not groups:
+        groups[frozenset(partition_cols)] = []
+    parts = [
+        read_files(
+            spark,
+            [f"{root}/{fe.path}" for fe in fes],
+            schema,
+            sorted(key),
+            file_path_col=file_path_col,
+            predicate=predicate,
+            row_index_col=row_index_col,
+        )
+        for key, fes in sorted(groups.items(), key=lambda kv: sorted(kv[0]))
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def read_files_applying_deletes(
     spark: SparkSession,
     root: str,
@@ -135,9 +180,10 @@ def read_files_applying_deletes(
     parts: list[DataFrame] = []
     if plain or not covered:
         parts.append(
-            read_files(
+            read_entries(
                 spark,
-                [f"{root}/{fe.path}" for fe in plain],
+                root,
+                plain,
                 schema,
                 partition_cols,
                 file_path_col=file_path_col,
@@ -149,9 +195,10 @@ def read_files_applying_deletes(
         cov_set = {fe.path for fe in covered}
         rel_pos = [de for de in pos_entries if cov_set & de.counts.keys()]
         need_pos = bool(rel_pos)
-        df = read_files(
+        df = read_entries(
             spark,
-            [f"{root}/{fe.path}" for fe in covered],
+            root,
+            covered,
             schema,
             partition_cols,
             file_path_col="_kdi_abs",

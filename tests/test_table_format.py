@@ -345,3 +345,49 @@ def test_schema_evolution_add_nullable_column(spark, tmp_path):
     ]
     with pytest.raises(SchemaEvolutionError):
         t.evolve_schema(T.StructType(changed))  # type change
+
+
+def test_partition_spec_evolution(spark, tmp_path):
+    """Iceberg partition-spec evolution: metadata-only commit; old files
+    keep their recorded layout, new files use the new spec, and one scan
+    unions both spec groups with identical row content."""
+    from kafka_delta_ingest_spark.table.format import SchemaEvolutionError
+
+    t = make_small_file_table(spark, str(tmp_path / "t"), n_docs=60, n_files=3, max_tok=8)
+    snap0 = t.snapshot()
+    assert snap0.partition_cols == ["source"]
+    v_pre = t.latest_version()
+    before = {r["doc_id"]: r["tokens"] for r in snap0.scan(spark).collect()}
+
+    # evolve to unpartitioned — future writes only, no data rewrite
+    v_evo = t.evolve_partitioning([])
+    assert v_evo == v_pre + 1
+    snap1 = t.snapshot()
+    assert snap1.partition_cols == []
+    assert {f.path for f in snap1.files} == {f.path for f in snap0.files}
+
+    # new append lands unpartitioned while old files keep source-in-path
+    add_df = (
+        snap1.scan(spark).limit(7)
+        .withColumn("doc_id", F.concat(F.lit("new_"), "doc_id"))
+    )
+    new_rows = {r["doc_id"]: r["tokens"] for r in add_df.collect()}
+    _, adds = stage_dataframe(spark, t, add_df, snap1.partition_cols, snap1.schema)
+    assert all(fe.partition_values == {} for fe in adds)
+    t.commit(Transaction(operation="append", adds=adds))
+
+    snap2 = t.snapshot()
+    specs = {frozenset(fe.partition_values.keys()) for fe in snap2.files}
+    assert specs == {frozenset({"source"}), frozenset()}
+    got = {r["doc_id"]: r["tokens"] for r in snap2.scan(spark).collect()}
+    assert got == {**before, **new_rows}  # token-array equality across specs
+
+    # pinned pre-evolution snapshot keeps the OLD spec (metadata time travel)
+    assert t.snapshot(version=v_pre).partition_cols == ["source"]
+    assert t.snapshot(version=v_pre).scan(spark).count() == 60
+
+    # evolving to a non-schema or duplicate column is rejected
+    with pytest.raises(SchemaEvolutionError):
+        t.evolve_partitioning(["nope"])
+    with pytest.raises(SchemaEvolutionError):
+        t.evolve_partitioning(["source", "source"])
