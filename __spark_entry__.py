@@ -331,6 +331,52 @@ def q_rollback_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _scan_summary(t.snapshot().scan(spark))
 
 
+def q_partition_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec evolution (Iceberg): the table starts partitioned by
+    ``source``; ``evolve_partitioning([])`` commits a metadata-only spec
+    change (v2, zero data bytes moved), then an insert batch (v3) lands
+    under the NEW spec while every pre-evolution file keeps its original
+    source-in-path layout — the scan groups files by their recorded
+    per-file spec and unions the groups (stage 'mixed'). A fused OPTIMIZE
+    then migrates all files to the current spec lazily (stage 'migrated').
+    Both stages value-hash against the same oracle, so a lost partition
+    column on old files, a double-read across specs, or a migration that
+    perturbs token arrays all fail the gate. (Iceberg spec-evolution
+    semantics; the reference pins ONE static partitioning at table create,
+    src/main.rs:332-340 — evolution is what 10^12-row tables need when a
+    day-partitioned layout outgrows itself.)"""
+    from kafka_delta_ingest_spark.maintenance.optimize import optimize
+    from kafka_delta_ingest_spark.table.format import Transaction
+    from kafka_delta_ingest_spark.table.writer import stage_dataframe
+
+    t = _build_tokens_table(spark, sf_dir, _tmp_root("partevo"))
+    t.evolve_partitioning([])
+    snap = t.snapshot()
+    did = F.col("doc_id").cast("long")
+    ins = (
+        tokens_from_documents(spark, sf_dir)
+        .where(did % 25 == 0)
+        .withColumn("doc_id", (did + 10_000_000).cast("string"))
+    )
+    _, adds = stage_dataframe(spark, t, ins, snap.partition_cols, snap.schema)
+    assert all(fe.partition_values == {} for fe in adds)
+    t.commit(Transaction(operation="append", adds=adds))
+    snap2 = t.snapshot()
+    specs = {frozenset(fe.partition_values.keys()) for fe in snap2.files}
+    assert specs == {frozenset({"source"}), frozenset()}
+    mixed = _scan_summary(snap2.scan(spark)).withColumn("stage", F.lit("mixed"))
+    optimize(spark, t, dims=["source", "n_tok", "doc_id"], curve="zorder",
+             target_file_bytes=8 * 1024 * 1024)
+    snap3 = t.snapshot()
+    assert {frozenset(fe.partition_values.keys()) for fe in snap3.files} == {
+        frozenset()
+    }
+    migrated = _scan_summary(snap3.scan(spark)).withColumn(
+        "stage", F.lit("migrated")
+    )
+    return mixed.unionByName(migrated)
+
+
 def q_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental (CDC-style) append scan between versions — the batch
     form of the reference's resume-from-stored-offset consumption
@@ -1510,6 +1556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "update_scan": q_update_scan,
         "expire_gc_scan": q_expire_gc_scan,
         "rollback_scan": q_rollback_scan,
+        "partition_evolution_scan": q_partition_evolution_scan,
         "incremental_scan": q_incremental_scan,
         "incremental_agg_refresh": q_incremental_agg_refresh,
         "ledger_resume_scan": q_ledger_resume_scan,
@@ -2366,6 +2413,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "expire_gc_scan": scan_sql,
         "rollback_scan": scan_sql,
+        "partition_evolution_scan": f"""
+            WITH s AS ({scan_sql}),
+            post AS (
+                SELECT * FROM s
+                UNION ALL
+                SELECT CAST(CAST(doc_id AS BIGINT) + 10000000 AS VARCHAR)
+                           AS doc_id,
+                       n_tok, source, tok_sum
+                FROM s WHERE CAST(doc_id AS BIGINT) % 25 = 0
+            )
+            SELECT *, 'mixed' AS stage FROM post
+            UNION ALL
+            SELECT *, 'migrated' AS stage FROM post
+        """,
         "incremental_scan": f"""
             SELECT * FROM ({scan_sql})
             WHERE CAST(doc_id AS BIGINT) % 3 = 0

@@ -482,11 +482,15 @@ def cluster(
         # from the bounds job (profiled: 3.9 s of a 13.7 s OPTIMIZE).
         sample_paths = _sample_files_for_bounds(scoped, snap.partition_cols)
         if len(sample_paths) < len(scoped):
-            from kafka_delta_ingest_spark.table.scan import read_files
+            from kafka_delta_ingest_spark.table.scan import read_entries
 
-            bounds_in = read_files(
+            # read_entries (not read_files): sampled files may carry
+            # different partition specs after evolve_partitioning
+            sset = set(sample_paths)
+            bounds_in = read_entries(
                 spark,
-                [os.path.join(table.root, p) for p in sample_paths],
+                table.root,
+                [f for f in scoped if f.path in sset],
                 snap.schema,
                 snap.partition_cols,
             )
