@@ -177,6 +177,42 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _scan_summary(t.snapshot().scan(spark))
 
 
+def q_merge_clauses_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tri-clause ANSI MERGE in one salted full-outer join pass:
+    WHEN MATCHED AND n_tok<=100 DELETE; WHEN MATCHED UPDATE SET tokens =
+    src_tokens (source shifted every token by +5, so the checksum moves
+    by exactly 5·n(n+1)/2); WHEN NOT MATCHED AND src_n_tok>100 INSERT;
+    WHEN NOT MATCHED BY SOURCE AND source='src3' DELETE — scoped to the
+    src3 partition via manifest pruning, so the NMBS clause rewrites one
+    partition, not the table. The oracle replays all four clauses
+    arithmetically; a wrong clause order, a lost unmatched row, or an
+    insert that slipped its condition all hash-mismatch."""
+    from kafka_delta_ingest_spark.maintenance.merge import MergeClause, merge_into
+
+    t = _build_tokens_table(spark, sf_dir, _tmp_root("merge_clauses"))
+    base = tokens_from_documents(spark, sf_dir)
+    did = F.col("doc_id").cast("long")
+    upd = base.where(did % 4 == 0).withColumn(
+        "tokens", F.transform("tokens", lambda x: x + F.lit(5))
+    )
+    ins = base.where(did % 10 == 0).withColumn(
+        "doc_id", (did + 20_000_000).cast("string")
+    )
+    merge_into(
+        spark, t, upd.unionByName(ins), key="doc_id", job_id="q-merge-clauses",
+        when_matched=[
+            MergeClause("delete", condition="n_tok <= 100"),
+            MergeClause("update", set={"tokens": "src_tokens"}),
+        ],
+        when_not_matched=MergeClause("insert", condition="src_n_tok > 100"),
+        when_not_matched_by_source=[
+            MergeClause("delete", condition="source = 'src3'",
+                        scope=[("source", "=", "src3")]),
+        ],
+    )
+    return _scan_summary(t.snapshot().scan(spark))
+
+
 def q_time_travel_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot isolation through the log (north rule: readers of S_k see
     unchanged results mid-rewrite). After a destructive fused OPTIMIZE
@@ -1557,6 +1593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expire_gc_scan": q_expire_gc_scan,
         "rollback_scan": q_rollback_scan,
         "partition_evolution_scan": q_partition_evolution_scan,
+        "merge_clauses_scan": q_merge_clauses_scan,
         "incremental_scan": q_incremental_scan,
         "incremental_agg_refresh": q_incremental_agg_refresh,
         "ledger_resume_scan": q_ledger_resume_scan,
@@ -2426,6 +2463,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT *, 'mixed' AS stage FROM post
             UNION ALL
             SELECT *, 'migrated' AS stage FROM post
+        """,
+        "merge_clauses_scan": f"""
+            WITH s AS ({scan_sql})
+            SELECT doc_id, n_tok, source,
+                   CASE WHEN CAST(doc_id AS BIGINT) % 4 = 0
+                        THEN tok_sum
+                             + 5 * ((CAST(n_tok AS BIGINT) * (n_tok + 1)) // 2)
+                        ELSE tok_sum END AS tok_sum
+            FROM s
+            WHERE NOT (CAST(doc_id AS BIGINT) % 4 = 0 AND n_tok <= 100)
+              AND NOT (CAST(doc_id AS BIGINT) % 4 <> 0 AND source = 'src3')
+            UNION ALL
+            SELECT CAST(CAST(doc_id AS BIGINT) + 20000000 AS VARCHAR)
+                       AS doc_id,
+                   n_tok, source, tok_sum
+            FROM s
+            WHERE CAST(doc_id AS BIGINT) % 10 = 0 AND n_tok > 100
         """,
         "incremental_scan": f"""
             SELECT * FROM ({scan_sql})

@@ -28,13 +28,39 @@ from __future__ import annotations
 
 import time
 import uuid
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kafka_delta_ingest_spark.plans.pruning import prune_files
 from kafka_delta_ingest_spark.plans.salting import salted_join
 from kafka_delta_ingest_spark.table.format import Table, Transaction
 from kafka_delta_ingest_spark.table.stats import compute_add_entries
+
+
+@dataclass
+class MergeClause:
+    """One WHEN clause of a tri-clause MERGE.
+
+    ``action``: "update" | "delete" (matched / not-matched-by-source) or
+    "insert" (not-matched). ``condition``: SQL boolean evaluated per row —
+    target columns by name, source columns as ``src_<name>`` (NULL on
+    not-matched-by-source rows, so a src_-referencing condition is simply
+    false there, ANSI MERGE semantics). ``set``: update assignments
+    ``{target_col: sql_expr}`` (same namespace); ``set=None`` on a matched
+    update means full-row replace from source. ``scope``: optional
+    ``[(col, op, lit), ...]`` conjuncts that bound which FILES a
+    not-matched-by-source clause can touch — pruned on manifest partition
+    values + min/max stats, so an unconditioned-looking NMBS delete
+    scoped to one partition rewrites that partition only, not the table
+    (the difference between a feasible and an infeasible op at 10^12
+    rows)."""
+
+    action: str
+    condition: str | None = None
+    set: dict[str, str] | None = None
+    scope: list[tuple] | None = None
 
 
 def _touched_files(spark: SparkSession, snap, source: DataFrame, key: str) -> list[str]:
@@ -102,17 +128,40 @@ def merge_into(
     hot_keys: list | None = None,
     auto_detect_skew: bool = False,
     job_id: str | None = None,
-    when_matched: str = "update",  # update | delete
+    when_matched: "str | list[MergeClause]" = "update",  # update | delete | clauses
+    when_not_matched: "bool | MergeClause" = True,
+    when_not_matched_by_source: "list[MergeClause] | None" = None,
 ) -> dict:
-    """Upsert ``source`` into the table by ``key``. Matched rows are
-    replaced by the source row (or deleted); unmatched source rows are
-    inserted. Returns metrics."""
+    """MERGE ``source`` into the table by ``key``.
+
+    Legacy form (``when_matched`` a string): matched rows are replaced by
+    the source row (or deleted); unmatched source rows are inserted.
+
+    Tri-clause form (ANSI MERGE): ordered ``when_matched`` clauses
+    (first-true-wins UPDATE SET / DELETE, each optionally conditioned),
+    ``when_not_matched`` insert (bool or a conditioned MergeClause), and
+    ``when_not_matched_by_source`` UPDATE/DELETE clauses over target rows
+    no source row matches — file eligibility bounded by each clause's
+    ``scope`` conjuncts via manifest pruning. One salted full-outer join
+    pass computes all three row categories. Returns metrics."""
     job_id = job_id or f"merge-{uuid.uuid4().hex[:8]}"
     t0 = time.time()
     snap = table.snapshot()
     # SQL MERGE forbids multiple source matches per target row; we keep the
     # last-wins stance of the reference's buffer dedupe (value_buffers.rs:26-30)
     source = source.select(*[f.name for f in snap.schema.fields]).dropDuplicates([key])
+
+    legacy = (
+        isinstance(when_matched, str)
+        and when_not_matched is True
+        and not when_not_matched_by_source
+    )
+    if not legacy:
+        return _merge_clauses(
+            spark, table, snap, source, key, salt_factor, hot_keys,
+            auto_detect_skew, job_id, t0,
+            when_matched, when_not_matched, when_not_matched_by_source,
+        )
 
     touched = _touched_files(spark, snap, source, key)
     untouched = [f.path for f in snap.files if f.path not in set(touched)]
@@ -168,6 +217,197 @@ def merge_into(
         "version": v,
         "touched_files": len(touched),
         "untouched_files": len(untouched),
+        "files_written": len(adds),
+        "rows_written": sum(a.num_records for a in adds),
+        "duration_s": time.time() - t0,
+    }
+
+
+def _merge_clauses(
+    spark: SparkSession,
+    table: Table,
+    snap,
+    source: DataFrame,
+    key: str,
+    salt_factor: int,
+    hot_keys: list | None,
+    auto_detect_skew: bool,
+    job_id: str,
+    t0: float,
+    when_matched,
+    when_not_matched,
+    when_not_matched_by_source,
+) -> dict:
+    """General tri-clause MERGE: ONE salted full-outer join pass.
+
+    Row categories fall out of the join: matched (both sides), target-only
+    (feeds not-matched-by-source clauses), source-only (feeds the insert
+    clause — correct against the WHOLE table because key-overlap pruning
+    guarantees every possible match lives in a touched file). Clause
+    resolution is a single first-true-wins CASE per row; per-column values
+    are CASE over the resolved action — all pure Catalyst, one shuffle."""
+    cols = [f.name for f in snap.schema.fields]
+
+    matched_clauses = (
+        [MergeClause(when_matched)] if isinstance(when_matched, str)
+        else list(when_matched or [])
+    )
+    for cl in matched_clauses:
+        if cl.action not in ("update", "delete"):
+            raise ValueError(f"when_matched action must be update|delete: {cl.action}")
+    if when_not_matched is True:
+        ins_clause = MergeClause("insert")
+    elif not when_not_matched:
+        ins_clause = None
+    else:
+        ins_clause = when_not_matched
+    if ins_clause and ins_clause.action != "insert":
+        raise ValueError(f"when_not_matched action must be insert: {ins_clause.action}")
+    nmbs = list(when_not_matched_by_source or [])
+    for cl in nmbs:
+        if cl.action not in ("update", "delete"):
+            raise ValueError(
+                f"when_not_matched_by_source action must be update|delete: {cl.action}"
+            )
+        if cl.action == "update" and not cl.set:
+            raise ValueError("not-matched-by-source update requires set exprs")
+        bad = sorted(set(cl.set or {}) - set(cols))
+        if bad:
+            raise ValueError(f"set targets not in schema: {bad}")
+    for cl in matched_clauses:
+        bad = sorted(set(cl.set or {}) - set(cols))
+        if bad:
+            raise ValueError(f"set targets not in schema: {bad}")
+
+    # ---- touched files: key overlap ∪ each NMBS clause's pruned scope
+    key_touched = (
+        set(_touched_files(spark, snap, source, key))
+        if (matched_clauses or ins_clause)
+        else set()
+    )
+    nmbs_touched: set = set()
+    for cl in nmbs:
+        if cl.scope:
+            nmbs_touched |= {f.path for f in prune_files(snap.files, cl.scope, snap.schema)}
+        else:
+            nmbs_touched = {f.path for f in snap.files}
+            break
+    tset = key_touched | nmbs_touched
+    touched = sorted(tset)
+
+    # delete-aware read (position/equality deletes must not resurrect)
+    tdf = snap.read(spark, [f for f in snap.files if f.path in tset]).withColumn(
+        "__is_tgt", F.lit(True)
+    )
+    src_renamed = source.select(
+        F.col(key), *[F.col(c).alias(f"src_{c}") for c in cols if c != key]
+    ).withColumn("__is_src", F.lit(True))
+
+    joined = salted_join(
+        tdf,
+        src_renamed,
+        key,
+        how="full",
+        salt_factor=salt_factor,
+        hot_keys=hot_keys,
+        auto_detect=auto_detect_skew and hot_keys is None,
+    )
+
+    is_tgt = F.col("__is_tgt").isNotNull()
+    is_src = F.col("__is_src").isNotNull()
+
+    def _cond(cl: MergeClause):
+        return F.expr(cl.condition) if cl.condition else F.lit(True)
+
+    w = None
+
+    def _add(cond, tag):
+        nonlocal w
+        w = F.when(cond, F.lit(tag)) if w is None else w.when(cond, F.lit(tag))
+
+    for i, cl in enumerate(matched_clauses):
+        _add(is_tgt & is_src & _cond(cl), f"m{i}")
+    for i, cl in enumerate(nmbs):
+        _add(is_tgt & ~is_src & _cond(cl), f"s{i}")
+    if ins_clause:
+        _add(~is_tgt & _cond(ins_clause), "i")
+    default = F.when(is_tgt, F.lit("keep")).otherwise(F.lit("drop"))
+    act = w.otherwise(default) if w is not None else default
+
+    drop_tags = ["drop"]
+    drop_tags += [f"m{i}" for i, cl in enumerate(matched_clauses) if cl.action == "delete"]
+    drop_tags += [f"s{i}" for i, cl in enumerate(nmbs) if cl.action == "delete"]
+
+    kept = joined.withColumn("__action", act).where(~F.col("__action").isin(drop_tags))
+
+    def _clause_value(cl: MergeClause, c: str):
+        if cl.set is None:  # full-row replace from source
+            return F.col(key) if c == key else F.col(f"src_{c}")
+        return F.expr(cl.set[c]) if c in cl.set else F.col(c)
+
+    out_cols = []
+    for c in cols:
+        v = None
+        for i, cl in enumerate(matched_clauses):
+            if cl.action != "update":
+                continue
+            val = _clause_value(cl, c)
+            v = (
+                F.when(F.col("__action") == f"m{i}", val)
+                if v is None
+                else v.when(F.col("__action") == f"m{i}", val)
+            )
+        for i, cl in enumerate(nmbs):
+            if cl.action != "update":
+                continue
+            val = _clause_value(cl, c)
+            v = (
+                F.when(F.col("__action") == f"s{i}", val)
+                if v is None
+                else v.when(F.col("__action") == f"s{i}", val)
+            )
+        if ins_clause:
+            val = F.col(key) if c == key else F.col(f"src_{c}")
+            v = (
+                F.when(F.col("__action") == "i", val)
+                if v is None
+                else v.when(F.col("__action") == "i", val)
+            )
+        expr = v.otherwise(F.col(c)) if v is not None else F.col(c)
+        out_cols.append(expr.cast(snap.schema[c].dataType).alias(c))
+    out = kept.select(*out_cols)
+
+    absd, _ = table.new_data_dir()
+    wtr = out.write.mode("overwrite")
+    if snap.partition_cols:
+        wtr = wtr.partitionBy(*snap.partition_cols)
+    wtr.parquet(absd)
+    adds = compute_add_entries(spark, table.root, absd, snap.schema, snap.partition_cols)
+
+    v = table.commit(
+        Transaction(
+            operation="merge",
+            adds=adds,
+            removes=touched,
+            data_change=True,
+            metadata={
+                "job_id": job_id,
+                "key": key,
+                "touched": len(touched),
+                "clauses": {
+                    "matched": [cl.action for cl in matched_clauses],
+                    "not_matched": bool(ins_clause),
+                    "not_matched_by_source": [cl.action for cl in nmbs],
+                },
+            },
+        ),
+        expected_schema=snap.schema,
+    )
+    return {
+        "job_id": job_id,
+        "version": v,
+        "touched_files": len(touched),
+        "untouched_files": len(snap.files) - len(touched),
         "files_written": len(adds),
         "rows_written": sum(a.num_records for a in adds),
         "duration_s": time.time() - t0,

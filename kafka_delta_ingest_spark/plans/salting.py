@@ -65,12 +65,14 @@ def salted_join(
 ) -> DataFrame:
     """Join ``big ⋈ small`` on ``key`` with explicit hot-key salting.
 
-    ``how`` supports inner/left (left = big side preserved). The salt on
-    the big side is a *deterministic* hash of the whole row (not rand()),
-    so retried tasks re-produce identical salts — required for exactly-once
-    semantics under task retry (the engine-wide idempotency stance
-    inherited from the reference's rebalance-safe design,
-    /root/reference/src/lib.rs:599-656)."""
+    ``how`` supports inner/left (left = big side preserved) and full
+    (both sides preserved: an unmatched replicated small-side row would
+    surface once per salt, so the hot path keeps only its salt-0 copy).
+    The salt on the big side is a *deterministic* hash of the whole row
+    (not rand()), so retried tasks re-produce identical salts — required
+    for exactly-once semantics under task retry (the engine-wide
+    idempotency stance inherited from the reference's rebalance-safe
+    design, /root/reference/src/lib.rs:599-656)."""
     keys = _key_cols(key)
     if hot_keys is None and auto_detect:
         hot_keys = detect_hot_keys(big, key)
@@ -100,6 +102,20 @@ def salted_join(
     )
     small_cold = small.where(~hot_pred_small)
 
-    joined_hot = big_hot.join(small_hot, keys + [_SALT], how).drop(_SALT)
+    if how == "full":
+        # full outer can't run directly on (key, salt): a MATCHED small
+        # row still leaves unmatched replicas at salts no big row of its
+        # key landed on. Decompose: big-preserved left join + small-only
+        # rows whose key has NO big row at all (anti join against the
+        # distinct big hot keys — ≤ len(hot_keys) values, broadcast-cheap).
+        joined_hot = big_hot.join(small_hot, keys + [_SALT], "left").drop(_SALT)
+        small_only = small.where(hot_pred_small).join(
+            F.broadcast(big.where(hot_pred_big).select(*keys).distinct()),
+            keys,
+            "left_anti",
+        )
+        joined_hot = joined_hot.unionByName(small_only, allowMissingColumns=True)
+    else:
+        joined_hot = big_hot.join(small_hot, keys + [_SALT], how).drop(_SALT)
     joined_cold = big_cold.join(small_cold, keys, how)
     return joined_hot.unionByName(joined_cold)
