@@ -413,6 +413,45 @@ def q_partition_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixed.unionByName(migrated)
 
 
+def q_wap_publish_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish via branches (table/refs.py): a batch (docs
+    %20==0 copied under fresh ids with every token +7) is committed to an
+    ``audit`` branch — invisible to main readers (asserted). Main then
+    advances with a fused OPTIMIZE that rewrites every file, so publish
+    takes the SQUASH path: one atomic commit carrying the branch's net
+    file diff, validated like any commit. The oracle is the base
+    derivation + the audited batch, so a leak of unpublished rows, a lost
+    branch commit, or a squash that resurrected pre-optimize files all
+    hash-mismatch. (WAP is the reference's stage-then-validate consumer
+    loop, tests/helpers/mod.rs:396-405, promoted to a table primitive.)"""
+    from kafka_delta_ingest_spark.maintenance.optimize import optimize
+    from kafka_delta_ingest_spark.table.format import Transaction
+    from kafka_delta_ingest_spark.table.writer import stage_dataframe
+
+    t = _build_tokens_table(spark, sf_dir, _tmp_root("wap"))
+    n_main = t.snapshot().num_records()
+    b = t.create_branch("audit")
+    did = F.col("doc_id").cast("long")
+    batch = (
+        tokens_from_documents(spark, sf_dir)
+        .where(did % 20 == 0)
+        .withColumn("doc_id", (did + 30_000_000).cast("string"))
+        .withColumn("tokens", F.transform("tokens", lambda x: x + F.lit(7)))
+    )
+    snap = b.snapshot()
+    _, adds = stage_dataframe(spark, b, batch, snap.partition_cols, snap.schema)
+    b.commit(Transaction(operation="append", adds=adds))
+    # audit: branch sees the batch, main does not
+    assert t.snapshot().num_records() == n_main
+    assert b.snapshot().num_records() > n_main
+    # main advances -> publish must squash, not fast-forward
+    optimize(spark, t, dims=["source", "n_tok", "doc_id"], curve="zorder",
+             target_file_bytes=8 * 1024 * 1024)
+    t.publish_branch("audit")
+    assert t.history()[-1]["operation"] == "publish"
+    return _scan_summary(t.snapshot().scan(spark))
+
+
 def q_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental (CDC-style) append scan between versions — the batch
     form of the reference's resume-from-stored-offset consumption
@@ -1594,6 +1633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollback_scan": q_rollback_scan,
         "partition_evolution_scan": q_partition_evolution_scan,
         "merge_clauses_scan": q_merge_clauses_scan,
+        "wap_publish_scan": q_wap_publish_scan,
         "incremental_scan": q_incremental_scan,
         "incremental_agg_refresh": q_incremental_agg_refresh,
         "ledger_resume_scan": q_ledger_resume_scan,
@@ -2480,6 +2520,17 @@ def oracle_sql() -> dict[str, str]:
                    n_tok, source, tok_sum
             FROM s
             WHERE CAST(doc_id AS BIGINT) % 10 = 0 AND n_tok > 100
+        """,
+        "wap_publish_scan": f"""
+            WITH s AS ({scan_sql})
+            SELECT doc_id, n_tok, source, tok_sum FROM s
+            UNION ALL
+            SELECT CAST(CAST(doc_id AS BIGINT) + 30000000 AS VARCHAR)
+                       AS doc_id,
+                   n_tok, source,
+                   tok_sum + 7 * ((CAST(n_tok AS BIGINT) * (n_tok + 1)) // 2)
+                       AS tok_sum
+            FROM s WHERE CAST(doc_id AS BIGINT) % 20 = 0
         """,
         "incremental_scan": f"""
             SELECT * FROM ({scan_sql})

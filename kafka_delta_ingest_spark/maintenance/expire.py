@@ -28,6 +28,11 @@ from kafka_delta_ingest_spark.table.format import CHECKPOINT_INTERVAL, Table
 def expire_snapshots(table: Table, retain_last: int = CHECKPOINT_INTERVAL) -> dict:
     head = table.latest_version()
     cutoff = head - retain_last + 1
+    # tag targets and branch fork points stay readable: expiring a version
+    # a ref pins would break the tag's time travel / the branch's replay
+    protected = table.protected_versions()
+    if protected:
+        cutoff = min(cutoff, min(protected))
     if cutoff <= 0:
         return {"expired": 0, "head": head}
     # checkpoint at the cutoff so snapshots >= cutoff stay resolvable

@@ -832,6 +832,67 @@ class Table:
             json.dump({"version": v}, f)
         os.replace(tmp2, ptr)
 
+    # ---------------------------------------------------------------- refs
+    # branches / tags / write-audit-publish — implementation in
+    # table/refs.py; thin delegates here so the Table object is the API
+    def create_branch(self, name: str, at_version: int | None = None):
+        from kafka_delta_ingest_spark.table import refs
+
+        return refs.create_branch(self, name, at_version)
+
+    def branch(self, name: str):
+        from kafka_delta_ingest_spark.table import refs
+
+        return refs.Branch(self, name)
+
+    def list_branches(self) -> dict[str, int]:
+        from kafka_delta_ingest_spark.table import refs
+
+        return refs.list_branches(self)
+
+    def drop_branch(self, name: str) -> None:
+        from kafka_delta_ingest_spark.table import refs
+
+        refs.drop_branch(self, name)
+
+    def publish_branch(self, branch, drop: bool = True) -> int:
+        from kafka_delta_ingest_spark.table import refs
+
+        if isinstance(branch, str):
+            branch = refs.Branch(self, branch)
+        return refs.publish_branch(self, branch, drop=drop)
+
+    def create_tag(self, name: str, version: int | None = None) -> int:
+        from kafka_delta_ingest_spark.table import refs
+
+        return refs.create_tag(self, name, version)
+
+    def tag_version(self, name: str) -> int:
+        from kafka_delta_ingest_spark.table import refs
+
+        return refs.tag_version(self, name)
+
+    def list_tags(self) -> dict[str, int]:
+        from kafka_delta_ingest_spark.table import refs
+
+        return refs.list_tags(self)
+
+    def delete_tag(self, name: str) -> None:
+        from kafka_delta_ingest_spark.table import refs
+
+        refs.delete_tag(self, name)
+
+    def protected_versions(self) -> list[int]:
+        """Main versions pinned by refs: tag targets and branch fork
+        points. Snapshot expiry must keep these readable and orphan GC
+        must keep their files (maintenance/expire.py)."""
+        from kafka_delta_ingest_spark.table import refs
+
+        return sorted(
+            set(refs.list_tags(self).values())
+            | set(refs.list_branches(self).values())
+        )
+
     # ------------------------------------------------------------- history
     def history(self) -> list[dict]:
         out = []
@@ -874,5 +935,24 @@ class Table:
                     for d in json.loads(meta[b"kdi_meta"].decode()).get(
                         "delete_entries", []
                     ):
+                        refs.add(d["path"])
+        # unpublished branch commits reference data files too — an audit
+        # branch's staged files must survive a concurrent GC on main
+        branches_dir = os.path.join(self.log_dir, "branches")
+        if os.path.isdir(branches_dir):
+            for bname in os.listdir(branches_dir):
+                bdir = os.path.join(branches_dir, bname)
+                try:
+                    names = os.listdir(bdir)
+                except NotADirectoryError:
+                    continue
+                for fn in names:
+                    if not (fn.startswith("v") and fn.endswith(".json")):
+                        continue
+                    with open(os.path.join(bdir, fn)) as f:
+                        c = json.load(f)
+                    for a in c.get("add", []):
+                        refs.add(a["path"])
+                    for d in c.get("add_delete", []):
                         refs.add(d["path"])
         return refs
