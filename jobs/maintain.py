@@ -29,7 +29,23 @@ def main():
             "compact", "zorder", "hilbert", "optimize", "manifest",
             "expire", "gc", "stats", "delete", "update", "rollback",
             "rewrite-deletes", "upsert", "plan", "auto",
+            "branch", "drop-branch", "tag", "delete-tag", "publish", "refs",
+            "evolve-partitioning",
         ],
+    )
+    p.add_argument(
+        "--name", default=None,
+        help="ref name for --op branch/drop-branch/tag/delete-tag/publish",
+    )
+    p.add_argument(
+        "--at-version", type=int, default=None,
+        help="fork/pin version for --op branch/tag (default: current head)",
+    )
+    p.add_argument(
+        "--partition-cols", default=None,
+        help="comma-separated identity partition columns for "
+        "--op evolve-partitioning ('' = unpartitioned); future writes "
+        "only, existing files keep their recorded layout",
     )
     p.add_argument(
         "--source-parquet",
@@ -203,6 +219,32 @@ def main():
                     continue
                 executed.append({"op": r.op, "metrics": m})
             out["executed"] = executed
+    elif args.op in ("branch", "drop-branch", "tag", "delete-tag", "publish"):
+        if not args.name:
+            p.error(f"--name is required for --op {args.op}")
+        if args.op == "branch":
+            b = table.create_branch(args.name, at_version=args.at_version)
+            out = {"branch": args.name, "fork_version": b.fork_version}
+        elif args.op == "drop-branch":
+            table.drop_branch(args.name)
+            out = {"dropped": args.name}
+        elif args.op == "tag":
+            v = table.create_tag(args.name, version=args.at_version)
+            out = {"tag": args.name, "version": v}
+        elif args.op == "delete-tag":
+            table.delete_tag(args.name)
+            out = {"deleted_tag": args.name}
+        else:  # publish: fast-forward when possible, else atomic squash
+            v = table.publish_branch(args.name)
+            out = {"published": args.name, "head": v}
+    elif args.op == "refs":
+        out = {"branches": table.list_branches(), "tags": table.list_tags()}
+    elif args.op == "evolve-partitioning":
+        if args.partition_cols is None:
+            p.error("--partition-cols is required for --op evolve-partitioning")
+        cols = [c for c in args.partition_cols.split(",") if c]
+        v = table.evolve_partitioning(cols)
+        out = {"version": v, "partition_cols": cols}
     elif args.op == "stats":
         snap = table.snapshot()
         out = {
