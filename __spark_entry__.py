@@ -413,6 +413,60 @@ def q_partition_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixed.unionByName(migrated)
 
 
+def q_hidden_partition_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden partitioning (table/transforms.py — Iceberg partition
+    transforms): the table is laid out by ``bucket(8, doc_id)``; queries
+    mention only real columns, yet a ``doc_id = X`` point lookup prunes to
+    the one matching bucket through the transform (asserted: the pruned
+    file set is a strict subset AND the matching bucket only). Stage
+    'full' scans everything (layout must not perturb data — token-array
+    equality via checksum); stage 'point' returns the looked-up doc. The
+    oracle recomputes both stages from the raw derivation, so a transform
+    that corrupts rows, drops a bucket, or prunes a live file all
+    hash-mismatch. (The reference pins identity partitioning at create,
+    src/main.rs:332-340; bucket is what doc_id-keyed tables need at 10^12
+    rows — identity would mint one directory per value.)"""
+    from kafka_delta_ingest_spark.plans.pruning import prune_files
+    from kafka_delta_ingest_spark.table import transforms
+    from kafka_delta_ingest_spark.table.format import Table, Transaction
+    from kafka_delta_ingest_spark.table.writer import stage_dataframe
+
+    root = _tmp_root("hiddenpart")
+    if os.path.exists(root):
+        shutil.rmtree(root)
+    t = Table.create(root, TOKENS_SCHEMA, ["bucket(8,doc_id)"])
+    df = tokens_from_documents(spark, sf_dir).repartition(16)
+    _, adds = stage_dataframe(
+        spark, t, df, t.snapshot().partition_cols, TOKENS_SCHEMA
+    )
+    t.commit(Transaction(operation="append", adds=adds))
+    snap = t.snapshot()
+    assert all(
+        set(f.partition_values) == {"doc_id_bucket_8"} for f in snap.files
+    )
+
+    target = str(
+        df.where(F.col("doc_id").cast("long") % 50 == 3)
+        .select(F.min(F.col("doc_id").cast("long"))).collect()[0][0]
+    )
+    pruned = prune_files(
+        snap.files, [("doc_id", "=", target)], snap.schema,
+        spec=snap.partition_cols,
+    )
+    want = str(transforms.py_value("bucket(8,doc_id)", target))
+    assert 0 < len(pruned) < len(snap.files)
+    assert {f.partition_values["doc_id_bucket_8"] for f in pruned} == {want}
+
+    full = _scan_summary(snap.scan(spark)).withColumn("stage", F.lit("full"))
+    point = _scan_summary(
+        snap.scan(
+            spark, predicate=F.col("doc_id") == target,
+            predicate_stats=[("doc_id", "=", target)],
+        )
+    ).withColumn("stage", F.lit("point"))
+    return full.unionByName(point)
+
+
 def q_wap_publish_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write-audit-publish via branches (table/refs.py): a batch (docs
     %20==0 copied under fresh ids with every token +7) is committed to an
@@ -1632,6 +1686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expire_gc_scan": q_expire_gc_scan,
         "rollback_scan": q_rollback_scan,
         "partition_evolution_scan": q_partition_evolution_scan,
+        "hidden_partition_scan": q_hidden_partition_scan,
         "merge_clauses_scan": q_merge_clauses_scan,
         "wap_publish_scan": q_wap_publish_scan,
         "incremental_scan": q_incremental_scan,
@@ -2503,6 +2558,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT *, 'mixed' AS stage FROM post
             UNION ALL
             SELECT *, 'migrated' AS stage FROM post
+        """,
+        "hidden_partition_scan": f"""
+            WITH s AS ({scan_sql}),
+            tgt AS (
+                SELECT CAST(MIN(CAST(doc_id AS BIGINT)) AS VARCHAR) AS id
+                FROM s WHERE CAST(doc_id AS BIGINT) % 50 = 3
+            )
+            SELECT *, 'full' AS stage FROM s
+            UNION ALL
+            SELECT s.*, 'point' AS stage FROM s, tgt WHERE s.doc_id = tgt.id
         """,
         "merge_clauses_scan": f"""
             WITH s AS ({scan_sql})

@@ -43,8 +43,10 @@ def main():
     )
     p.add_argument(
         "--partition-cols", default=None,
-        help="comma-separated identity partition columns for "
-        "--op evolve-partitioning ('' = unpartitioned); future writes "
+        help="comma-separated partition-spec entries for "
+        "--op evolve-partitioning ('' = unpartitioned): identity columns "
+        "and/or hidden-partitioning transforms bucket(N,col) / "
+        "truncate(W,col) / year|month|day|hour(col); future writes "
         "only, existing files keep their recorded layout",
     )
     p.add_argument(
@@ -242,7 +244,10 @@ def main():
     elif args.op == "evolve-partitioning":
         if args.partition_cols is None:
             p.error("--partition-cols is required for --op evolve-partitioning")
-        cols = [c for c in args.partition_cols.split(",") if c]
+        from kafka_delta_ingest_spark.table import transforms
+
+        # paren-aware split: "source,bucket(16,doc_id)" is TWO entries
+        cols = transforms.split_spec(args.partition_cols)
         v = table.evolve_partitioning(cols)
         out = {"version": v, "partition_cols": cols}
     elif args.op == "stats":

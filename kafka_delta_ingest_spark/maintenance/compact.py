@@ -66,6 +66,15 @@ def _rewrite_bins(
         .join(F.broadcast(bins_map), "_path")
         .drop("_path")
     )
+    # hidden partitioning: recompute transform values (path-only columns)
+    # before the partitioned write — the scan returns source columns only
+    from kafka_delta_ingest_spark.table import transforms
+
+    pkeys = transforms.keys(snap.partition_cols)
+    for k, expr in transforms.derived_exprs(
+        snap.partition_cols, snap.schema
+    ).items():
+        df = df.withColumn(k, expr)
     # 2× partitions over bins: hash collisions would otherwise give some
     # tasks two bins (stragglers); partitionBy still emits exactly one file
     # per bin because a bin's rows never split across tasks
@@ -73,12 +82,12 @@ def _rewrite_bins(
     (
         df.repartition(n_part, "_bin")
         .write.mode("overwrite")
-        .partitionBy(*(snap.partition_cols + ["_bin"]))
+        .partitionBy(*(pkeys + ["_bin"]))
         .parquet(absd)
     )
     # stats over staged output; _bin is a synthetic partition col we strip
     adds = compute_add_entries(
-        spark, table.root, absd, snap.schema, snap.partition_cols + ["_bin"]
+        spark, table.root, absd, snap.schema, pkeys + ["_bin"]
     )
     by_bin: dict[int, list] = {}
     for fe in adds:
@@ -124,7 +133,8 @@ def compact(
     if scope:
         from kafka_delta_ingest_spark.plans.pruning import prune_files
 
-        candidates = prune_files(candidates, list(scope), snap.schema)
+        candidates = prune_files(candidates, list(scope), snap.schema,
+                                 spec=snap.partition_cols)
     all_bins = plan_bins(
         candidates,
         target_file_bytes=target_file_bytes,
@@ -233,16 +243,17 @@ def _entries_for_existing(spark, table, snap, rel_paths: list[str]):
     )
     from kafka_delta_ingest_spark.table.stats import stat_leaves
 
-    pset = set(snap.partition_cols)
+    from kafka_delta_ingest_spark.table import transforms
+
+    pkeys = transforms.keys(snap.partition_cols)
+    pset = set(pkeys)
     leaf_types = {
         n: (dt, mm)
         for (n, dt, mm) in stat_leaves(snap.schema)
         if n.split(".", 1)[0] not in pset
     }
     out = [
-        _one_file(
-            os.path.join(table.root, p), table.root, leaf_types, snap.partition_cols
-        )
+        _one_file(os.path.join(table.root, p), table.root, leaf_types, pkeys)
         for p in rel_paths
     ]
     out.sort(key=lambda e: e.path)

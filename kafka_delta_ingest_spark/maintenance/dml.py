@@ -75,7 +75,8 @@ def _rewrite_touched(
 ) -> dict:
     t0 = time.time()
     snap = table.snapshot()
-    touched = prune_files(snap.files, conjuncts, snap.schema)
+    touched = prune_files(snap.files, conjuncts, snap.schema,
+                          spec=snap.partition_cols)
     metrics = {
         "operation": operation,
         "files_total": len(snap.files),
@@ -152,7 +153,8 @@ def _delete_merge_on_read(
 
     t0 = time.time()
     snap = table.snapshot()
-    touched = prune_files(snap.files, conjuncts, snap.schema)
+    touched = prune_files(snap.files, conjuncts, snap.schema,
+                          spec=snap.partition_cols)
     metrics = {
         "operation": "delete-mor",
         "files_total": len(snap.files),
@@ -307,7 +309,13 @@ def update_where(
     strings over the pre-update row. Partition columns cannot be updated
     (that is a repartition-the-row move — use MERGE delete+insert).
     Row count is conserved (asserted via manifests)."""
-    snap_cols = set(table.snapshot().partition_cols)
+    from kafka_delta_ingest_spark.table import transforms
+
+    # reject updates to identity partition cols AND to source columns of
+    # partition transforms (either would move the row across partitions)
+    snap_cols = {
+        transforms.source_col(e) for e in table.snapshot().partition_cols
+    }
     bad = sorted(set(set_exprs) & snap_cols)
     if bad:
         raise ValueError(f"cannot UPDATE partition columns: {bad}")

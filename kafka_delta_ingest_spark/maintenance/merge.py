@@ -196,11 +196,16 @@ def merge_into(
         out = survivors.unionByName(inserts)
 
     absd, _ = table.new_data_dir()
+    from kafka_delta_ingest_spark.table import transforms
+
+    pkeys = transforms.keys(snap.partition_cols)
+    for k, e in transforms.derived_exprs(snap.partition_cols, snap.schema).items():
+        out = out.withColumn(k, e)
     w = out.write.mode("overwrite")
-    if snap.partition_cols:
-        w = w.partitionBy(*snap.partition_cols)
+    if pkeys:
+        w = w.partitionBy(*pkeys)
     w.parquet(absd)
-    adds = compute_add_entries(spark, table.root, absd, snap.schema, snap.partition_cols)
+    adds = compute_add_entries(spark, table.root, absd, snap.schema, pkeys)
 
     v = table.commit(
         Transaction(
@@ -288,7 +293,12 @@ def _merge_clauses(
     nmbs_touched: set = set()
     for cl in nmbs:
         if cl.scope:
-            nmbs_touched |= {f.path for f in prune_files(snap.files, cl.scope, snap.schema)}
+            nmbs_touched |= {
+                f.path
+                for f in prune_files(
+                    snap.files, cl.scope, snap.schema, spec=snap.partition_cols
+                )
+            }
         else:
             nmbs_touched = {f.path for f in snap.files}
             break
@@ -378,11 +388,16 @@ def _merge_clauses(
     out = kept.select(*out_cols)
 
     absd, _ = table.new_data_dir()
+    from kafka_delta_ingest_spark.table import transforms
+
+    pkeys = transforms.keys(snap.partition_cols)
+    for c, e in transforms.derived_exprs(snap.partition_cols, snap.schema).items():
+        out = out.withColumn(c, e)
     wtr = out.write.mode("overwrite")
-    if snap.partition_cols:
-        wtr = wtr.partitionBy(*snap.partition_cols)
+    if pkeys:
+        wtr = wtr.partitionBy(*pkeys)
     wtr.parquet(absd)
-    adds = compute_add_entries(spark, table.root, absd, snap.schema, snap.partition_cols)
+    adds = compute_add_entries(spark, table.root, absd, snap.schema, pkeys)
 
     v = table.commit(
         Transaction(

@@ -404,7 +404,8 @@ def cluster(
     if scope:
         from kafka_delta_ingest_spark.plans.pruning import prune_files
 
-        scoped = prune_files(scoped, list(scope), snap.schema)
+        scoped = prune_files(scoped, list(scope), snap.schema,
+                             spec=snap.partition_cols)
     old_paths = [f.path for f in scoped]
     if not old_paths:
         return {"job_id": job_id, "rows": 0, "bytes": 0, "files_written": 0, "duration_s": 0.0}
@@ -437,6 +438,15 @@ def cluster(
             df = snap.read(spark, scoped)
         else:
             df = snap.scan(spark)
+        # hidden partitioning: per-partition grouping, bounds, and the
+        # final layout all operate on partition KEYS; transform values are
+        # recomputed from source columns (pure Catalyst) after the read
+        from kafka_delta_ingest_spark.table import transforms
+
+        pkeys = transforms.keys(snap.partition_cols)
+        dexprs = transforms.derived_exprs(snap.partition_cols, snap.schema)
+        for k, expr in dexprs.items():
+            df = df.withColumn(k, expr)
         stat_ranges = _manifest_ranges(scoped, dims)
         keyed = cluster_keyed_df(df, dims, curve, stat_ranges, key_impl)
 
@@ -468,7 +478,7 @@ def cluster(
                 None
                 if f.partition_values.get(c) in (None, HIVE_DEFAULT_PARTITION)
                 else str(f.partition_values.get(c))
-                for c in snap.partition_cols
+                for c in pkeys
             )
             est = int(f.num_records * rho) if rho else f.size
             bytes_by_partition[pk] = bytes_by_partition.get(pk, 0) + est
@@ -480,7 +490,7 @@ def cluster(
         # 10^12 tokens that turns a dims-of-every-row pass into a ~10%
         # one; on fragmented inputs it removes thousands of file opens
         # from the bounds job (profiled: 3.9 s of a 13.7 s OPTIMIZE).
-        sample_paths = _sample_files_for_bounds(scoped, snap.partition_cols)
+        sample_paths = _sample_files_for_bounds(scoped, pkeys)
         if len(sample_paths) < len(scoped):
             from kafka_delta_ingest_spark.table.scan import read_entries
 
@@ -492,27 +502,29 @@ def cluster(
                 table.root,
                 [f for f in scoped if f.path in sset],
                 snap.schema,
-                snap.partition_cols,
+                pkeys,
             )
+            for k, expr in dexprs.items():
+                bounds_in = bounds_in.withColumn(k, expr)
         else:
             bounds_in = df
         keyed_dims = cluster_keyed_df(
-            bounds_in.select(*(snap.partition_cols + dims)), dims, curve,
+            bounds_in.select(*(pkeys + dims)), dims, curve,
             stat_ranges, key_impl,
         )
         t_bounds0 = time.time()
         bounds_df, n_buckets = _bucket_bounds(
-            spark, keyed_dims, snap.partition_cols, bytes_by_partition,
+            spark, keyed_dims, pkeys, bytes_by_partition,
             target_file_bytes,
         )
         t_bounds = time.time() - t_bounds0
-        if snap.partition_cols:
+        if pkeys:
             cond = None
-            for c in snap.partition_cols:
+            for c in pkeys:
                 e = keyed[c].eqNullSafe(bounds_df[c])
                 cond = e if cond is None else (cond & e)
             joined = keyed.join(F.broadcast(bounds_df), cond).drop(
-                *[bounds_df[c] for c in snap.partition_cols]
+                *[bounds_df[c] for c in pkeys]
             )
         else:
             joined = keyed.crossJoin(F.broadcast(bounds_df))
@@ -550,7 +562,7 @@ def cluster(
         out = out.drop("_ckey")
         (
             out.write.mode("overwrite")
-            .partitionBy(*(snap.partition_cols + ["_gbin"]))
+            .partitionBy(*(pkeys + ["_gbin"]))
             .parquet(absd)
         )
     finally:
@@ -562,7 +574,7 @@ def cluster(
 
     t_stats0 = time.time()
     adds = compute_add_entries(
-        spark, table.root, absd, snap.schema, snap.partition_cols + ["_gbin"]
+        spark, table.root, absd, snap.schema, pkeys + ["_gbin"]
     )
     for fe in adds:
         fe.partition_values.pop("_gbin", None)

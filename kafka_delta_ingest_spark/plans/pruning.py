@@ -125,11 +125,21 @@ def prune_files(
     files: Iterable[FileEntry],
     conjuncts: list[tuple[str, str, Any]],
     schema: T.StructType | None = None,
+    spec: list[str] | None = None,
 ) -> list[FileEntry]:
     """Keep files that *may* contain rows matching every conjunct.
 
     ``schema`` supplies the logical column types; without it, columns whose
-    values aren't directly comparable are kept conservatively."""
+    values aren't directly comparable are kept conservatively. ``spec`` is
+    the table's partition spec: source-column equality conjuncts are mapped
+    through its transforms (hidden partitioning — table/transforms.py) so
+    a predicate on ``doc_id`` prunes on the recorded bucket values."""
+    if spec:
+        from kafka_delta_ingest_spark.table import transforms
+
+        conjuncts = list(conjuncts) + transforms.derived_conjuncts(
+            spec, list(conjuncts)
+        )
     for col, op, _ in conjuncts:
         if op not in _OPS:
             raise ValueError(f"unsupported pruning op: {op}")

@@ -317,8 +317,15 @@ class Snapshot:
         kept = self.files
         if predicate_stats:
             from kafka_delta_ingest_spark.plans.pruning import prune_files
+            from kafka_delta_ingest_spark.table import transforms
 
-            kept = prune_files(kept, predicate_stats, self.schema)
+            # hidden partitioning: map source-column equality conjuncts
+            # through the spec's transforms so a doc_id = X predicate
+            # prunes on the doc_id_bucket_N partition values too
+            conj = list(predicate_stats) + transforms.derived_conjuncts(
+                self.partition_cols, predicate_stats
+            )
+            kept = prune_files(kept, conj, self.schema)
         if not kept:
             return spark.createDataFrame([], self.schema)
         df = self.read(spark, kept, predicate=predicate)
@@ -339,6 +346,7 @@ class Snapshot:
         """Read the given live files (default: all) with position deletes
         applied — the one data-read path every maintenance op shares, so a
         rewrite can never resurrect merge-on-read-deleted rows."""
+        from kafka_delta_ingest_spark.table import transforms
         from kafka_delta_ingest_spark.table.scan import read_files_applying_deletes
 
         return read_files_applying_deletes(
@@ -347,7 +355,10 @@ class Snapshot:
             self.files if file_entries is None else file_entries,
             self.delete_entries,
             self.schema,
-            self.partition_cols,
+            # scan works on partition KEYS: identity keys reconstruct from
+            # the path; transform keys aren't schema fields so the reader
+            # ignores them (their source column lives in the data pages)
+            transforms.keys(self.partition_cols),
             file_path_col=file_path_col,
             predicate=predicate,
             row_index_col=row_index_col,
@@ -387,6 +398,9 @@ class Table:
     def create(
         root: str, schema: T.StructType, partition_cols: list[str] | None = None
     ) -> "Table":
+        from kafka_delta_ingest_spark.table import transforms
+
+        transforms.validate_spec(list(partition_cols or []), schema)
         t = Table(root)
         os.makedirs(t.log_dir, exist_ok=True)
         os.makedirs(t.data_dir, exist_ok=True)
@@ -615,19 +629,17 @@ class Table:
         spec and reconstructs each group's partition columns from its
         paths. No data rewrite happens at evolution time; a later
         compaction/optimize pass migrates old files to the new spec
-        lazily. Every new partition column must be an existing table
-        column (Iceberg identity transform)."""
+        lazily. Spec entries are identity columns or hidden-partitioning
+        transforms — ``bucket(N,col)`` / ``truncate(W,col)``
+        (table/transforms.py); every source column must exist in the
+        schema."""
+        from kafka_delta_ingest_spark.table import transforms
+
         snap = self.snapshot()
-        fields = {f.name for f in snap.schema.fields}
-        missing = sorted(set(new_partition_cols) - fields)
-        if missing:
-            raise SchemaEvolutionError(
-                f"partition columns not in schema: {missing}"
-            )
-        if len(set(new_partition_cols)) != len(new_partition_cols):
-            raise SchemaEvolutionError(
-                f"duplicate partition columns: {new_partition_cols}"
-            )
+        try:
+            transforms.validate_spec(list(new_partition_cols), snap.schema)
+        except ValueError as e:
+            raise SchemaEvolutionError(str(e)) from None
         return self.commit(
             Transaction(
                 operation="evolve-partitioning",

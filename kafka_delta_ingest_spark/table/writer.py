@@ -33,14 +33,25 @@ def stage_dataframe(
     partition_cols: list[str],
     schema,
 ) -> tuple[str, list[FileEntry]]:
-    """Write ``df`` to a fresh per-commit data dir; return (dir, adds)."""
+    """Write ``df`` to a fresh per-commit data dir; return (dir, adds).
+
+    ``partition_cols`` is the partition SPEC: identity column names
+    and/or transforms (``bucket(16,doc_id)`` — table/transforms.py).
+    Transform values are computed here (pure Catalyst exprs) and become
+    path-only columns via partitionBy; identity columns behave as
+    before."""
+    from kafka_delta_ingest_spark.table import transforms
+
     absd, _rel = table.new_data_dir()
     out = _enforce_schema(df, schema)
+    pkeys = transforms.keys(partition_cols)
+    for k, expr in transforms.derived_exprs(partition_cols, schema).items():
+        out = out.withColumn(k, expr)
     w = out.write.mode("overwrite")
-    if partition_cols:
-        w = w.partitionBy(*partition_cols)
+    if pkeys:
+        w = w.partitionBy(*pkeys)
     w.parquet(absd)
-    adds = compute_add_entries(spark, table.root, absd, schema, partition_cols)
+    adds = compute_add_entries(spark, table.root, absd, schema, pkeys)
     return absd, adds
 
 
