@@ -32,6 +32,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from kafka_delta_ingest_spark.plans.pruning import prune_files
 from kafka_delta_ingest_spark.plans.salting import salted_join
@@ -64,46 +65,90 @@ class MergeClause:
 
 
 def _touched_files(spark: SparkSession, snap, source: DataFrame, key: str) -> list[str]:
-    """Manifest ⋈ source-keys range join → distinct file paths that may
-    contain a matching key. Metadata-side broadcast, data-side distinct on
-    the key column only (column-pruned scan of the source).
+    """Manifest ⋈ source-keys join → distinct file paths that may contain
+    a matching key. Metadata-side broadcast, data-side distinct on the key
+    column only (column-pruned scan of the source). Two independent
+    pruning dimensions, ANDed:
 
-    The manifest min/max (JSON scalars or ISO strings, depending on the
-    stats path) are cast back to the key column's ACTUAL type before the
-    range comparison — comparing stringified numerics lexicographically
-    would silently skip files ('5' <= '19' is false) and corrupt the table
-    with duplicate keys. A bound that fails ``try_cast`` degrades to
-    "always touched" (prune conservatively, never lose matches)."""
+    - **min/max range overlap**: the manifest bounds (JSON scalars or ISO
+      strings, depending on the stats path) are cast back to the key
+      column's ACTUAL type before comparing — stringified numerics compare
+      lexicographically ('5' <= '19' is false) and would silently skip
+      files, corrupting the table with duplicate keys. A bound that fails
+      ``try_cast`` degrades to "always touched".
+    - **partition-value membership through the spec** (hidden
+      partitioning, table/transforms.py): when the table is laid out by
+      ``bucket(N, key)`` (or truncate/temporal/identity over the key), a
+      file is touched only if its RECORDED partition value equals the
+      transform of some source key. For a point-y CDC batch against a
+      doc_id-keyed table this is the decisive prune: random doc_ids make
+      every file's min/max range overlap every batch, while bucket
+      membership cuts the rewrite to ≤ |batch| buckets of N.
+
+    Both prunes are conservative (NULL recorded value / no stats ⇒ keep)."""
+    from kafka_delta_ingest_spark.table import transforms
+    from kafka_delta_ingest_spark.table.format import HIVE_DEFAULT_PARTITION
+
     ktype = snap.schema[key].dataType
+    # spec entries that partition BY the merge key (directly or through a
+    # transform); identity entries only for types whose partitionBy path
+    # rendering equals the string cast (strings / integrals)
+    pentries = []
+    for e in snap.partition_cols:
+        kind, col, _p = transforms.parse(e)
+        if col != key:
+            continue
+        if kind == "identity" and not isinstance(
+            ktype, (T.StringType, T.ByteType, T.ShortType, T.IntegerType,
+                    T.LongType)
+        ):
+            continue
+        pentries.append(e)
+
+    def _pv(f, e):
+        v = f.partition_values.get(transforms.key(e))
+        return None if v in (None, HIVE_DEFAULT_PARTITION) else str(v)
+
     manifest = [
         (
             f.path,
             _stat_str(f.stats.get("min", {}).get(key)),
             _stat_str(f.stats.get("max", {}).get(key)),
+            *[_pv(f, e) for e in pentries],
         )
         for f in snap.files
     ]
-    # files without stats are always touched (can't prune)
-    no_stats = [p for p, lo, hi in manifest if lo is None or hi is None]
-    ranged = [(p, lo, hi) for p, lo, hi in manifest if lo is not None and hi is not None]
+    # files without stats OR partition values are always range-touched;
+    # fully unprunable only when every dimension is missing
+    no_stats = [
+        row[0]
+        for row in manifest
+        if (row[1] is None or row[2] is None) and all(v is None for v in row[3:])
+    ]
+    ranged = [r for r in manifest if r[0] not in set(no_stats)]
     if not ranged:
         return sorted(set(no_stats))
-    mdf = spark.createDataFrame(ranged, "path string, lo string, hi string").select(
+    pv_names = [f"pv{i}" for i in range(len(pentries))]
+    ddl = "path string, lo string, hi string" + "".join(
+        f", {n} string" for n in pv_names
+    )
+    mdf = spark.createDataFrame(ranged, ddl).select(
         "path",
         F.col("lo").try_cast(ktype).alias("lo"),
         F.col("hi").try_cast(ktype).alias("hi"),
+        *pv_names,
     )
     keys = source.select(F.col(key).alias("k")).distinct()
+    cond = (
+        F.col("lo").isNull()
+        | F.col("hi").isNull()
+        | ((F.col("k") >= F.col("lo")) & (F.col("k") <= F.col("hi")))
+    )
+    for e, n in zip(pentries, pv_names):
+        tk = transforms.apply_expr(e, F.col("k"), ktype).cast("string")
+        cond = cond & (F.col(n).isNull() | (tk == F.col(n)))
     touched = (
-        keys.join(
-            F.broadcast(mdf),
-            F.col("lo").isNull()
-            | F.col("hi").isNull()
-            | ((F.col("k") >= F.col("lo")) & (F.col("k") <= F.col("hi"))),
-        )
-        .select("path")
-        .distinct()
-        .collect()
+        keys.join(F.broadcast(mdf), cond).select("path").distinct().collect()
     )
     return sorted({r["path"] for r in touched} | set(no_stats))
 

@@ -177,6 +177,58 @@ def test_maintenance_preserves_hidden_layout(spark, tmp_path):
         assert "doc_id_bucket_4=" in f.path and "source=" in f.path
 
 
+def test_merge_prunes_by_bucket_membership(spark, tmp_path):
+    """MERGE touched-file pruning composes the min/max range check with
+    partition-value membership through the spec: on a bucket(8,doc_id)
+    table, a CDC batch rewrites only files whose RECORDED bucket equals
+    the bucket of some batch key — min/max alone can't prune here because
+    random doc_ids make every file's range overlap every batch."""
+    from kafka_delta_ingest_spark.maintenance.merge import merge_into
+
+    t = Table.create(str(tmp_path / "t"), TOKENS_SCHEMA, ["bucket(8,doc_id)"])
+    df = tokens_df(spark, 400, max_tok=8).repartition(4)
+    write_dataframe(spark, t, df)
+    snap = t.snapshot()
+    n_files = len(snap.files)
+    assert n_files >= 8
+
+    # batch: 3 existing docs updated + 1 new doc inserted
+    keys = sorted(_rows(df))[:3]
+    batch = df.where(F.col("doc_id").isin(keys)).withColumn(
+        "tokens", F.transform("tokens", lambda x: x + F.lit(1))
+    ).unionByName(
+        df.where(F.col("doc_id") == keys[0]).withColumn(
+            "doc_id", F.lit("brand-new-doc")
+        )
+    )
+    want_buckets = {
+        str(transforms.py_value("bucket(8,doc_id)", k))
+        for k in keys + ["brand-new-doc"]
+    }
+    m = merge_into(spark, t, batch, key="doc_id", job_id="m1")
+    assert m["touched_files"] < n_files
+    touched_ok = {
+        f.partition_values["doc_id_bucket_8"]
+        for f in snap.files
+    } >= want_buckets
+    assert touched_ok
+    # every touched file's bucket is in the batch's bucket set
+    after = t.snapshot()
+    removed = {f.path for f in snap.files} - {f.path for f in after.files}
+    by_path = {f.path: f for f in snap.files}
+    assert removed and all(
+        by_path[p].partition_values["doc_id_bucket_8"] in want_buckets
+        for p in removed
+    )
+    # semantics unchanged: updates applied, insert landed, rest untouched
+    got = _rows(after.scan(spark))
+    exp = _rows(df)
+    exp["brand-new-doc"] = list(exp[keys[0]])
+    for k in keys:
+        exp[k] = [x + 1 for x in exp[k]]
+    assert got == exp
+
+
 def test_update_transform_source_col_rejected(spark, tmp_path):
     from kafka_delta_ingest_spark.maintenance.dml import update_where
 
