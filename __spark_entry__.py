@@ -467,6 +467,54 @@ def q_hidden_partition_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return full.unionByName(point)
 
 
+def q_distributed_plan_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed scan planning (plans/distributed_planning.py): eleven
+    appends cross the interval-10 checkpoint boundary, so planning runs
+    off the parquet checkpoint (scanned by executors, never parsed as
+    driver objects) plus a one-commit JSON tail. Stage 'full' reads the
+    whole table through scan_planned; stage 'pruned' plans with a
+    ``source = 'src1'`` conjunct — the planner's Catalyst prune is
+    asserted file-for-file identical to the driver-side prune_files, and
+    both stages value-hash against the from-scratch derivation. At 10^12
+    rows the manifest is millions of entries: this is the Iceberg-style
+    distributed-planning path that keeps planning off the driver."""
+    from kafka_delta_ingest_spark.plans.distributed_planning import (
+        plan_scan_paths,
+        scan_planned,
+    )
+    from kafka_delta_ingest_spark.plans.pruning import prune_files
+    from kafka_delta_ingest_spark.table.format import Table
+    from kafka_delta_ingest_spark.table.writer import write_dataframe
+
+    root = _tmp_root("distplan")
+    if os.path.exists(root):
+        shutil.rmtree(root)
+    t = Table.create(root, TOKENS_SCHEMA, ["source"])
+    base = tokens_from_documents(spark, sf_dir)
+    did = F.col("doc_id").cast("long")
+    for i in range(11):
+        write_dataframe(spark, t, base.where(did % 11 == i))
+    assert t._latest_checkpoint_at_or_before(t.latest_version()) == 10
+
+    conj = [("source", "=", "src1")]
+    snap = t.snapshot()
+    driver_kept = {
+        f.path
+        for f in prune_files(snap.files, conj, snap.schema,
+                             spec=snap.partition_cols)
+    }
+    assert set(plan_scan_paths(spark, t, conj)) == driver_kept
+    assert 0 < len(driver_kept) < len(snap.files)
+
+    full = _scan_summary(scan_planned(spark, t, [])).withColumn(
+        "stage", F.lit("full")
+    )
+    pruned = _scan_summary(
+        scan_planned(spark, t, conj, predicate=F.col("source") == "src1")
+    ).withColumn("stage", F.lit("pruned"))
+    return full.unionByName(pruned)
+
+
 def q_wap_publish_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write-audit-publish via branches (table/refs.py): a batch (docs
     %20==0 copied under fresh ids with every token +7) is committed to an
@@ -1687,6 +1735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollback_scan": q_rollback_scan,
         "partition_evolution_scan": q_partition_evolution_scan,
         "hidden_partition_scan": q_hidden_partition_scan,
+        "distributed_plan_scan": q_distributed_plan_scan,
         "merge_clauses_scan": q_merge_clauses_scan,
         "wap_publish_scan": q_wap_publish_scan,
         "incremental_scan": q_incremental_scan,
@@ -2558,6 +2607,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT *, 'mixed' AS stage FROM post
             UNION ALL
             SELECT *, 'migrated' AS stage FROM post
+        """,
+        "distributed_plan_scan": f"""
+            WITH s AS ({scan_sql})
+            SELECT *, 'full' AS stage FROM s
+            UNION ALL
+            SELECT *, 'pruned' AS stage FROM s WHERE source = 'src1'
         """,
         "hidden_partition_scan": f"""
             WITH s AS ({scan_sql}),
