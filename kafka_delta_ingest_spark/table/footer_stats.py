@@ -104,12 +104,23 @@ def _one_file(
     # null arrays; our schema forbids null elements so they coincide
     # (writer.rs:709-786 counts outer nulls — same number here)
     rel = os.path.relpath(os.path.abspath(abs_path), os.path.abspath(table_root))
+    from kafka_delta_ingest_spark.table.stats import truncate_string_stats
+
+    string_cols = {
+        n
+        for n, (dt, mm) in leaf_types.items()
+        if mm and isinstance(dt, T.StringType)
+    }
     return FileEntry(
         path=rel,
         size=os.path.getsize(abs_path),
         num_records=int(md.num_rows),
         partition_values=_partition_values_from_path(rel, partition_cols),
-        stats={"min": mins, "max": maxs, "null_count": nulls},
+        stats=truncate_string_stats(
+            {"min": mins, "max": maxs, "null_count": nulls},
+            None,
+            cols=string_cols,
+        ),
     )
 
 

@@ -224,6 +224,10 @@ def metadata_aggregate(
             if pv == HIVE_DEFAULT_PARTITION:
                 return (None, None, 0)
             return (pv, pv, f.num_records)
+        if c in f.stats.get("inexact", []):
+            # truncated bound (stats.py truncate_string_stats): valid for
+            # pruning, NOT an exact extremum — demote to a pushdown scan
+            return None
         nulls = f.stats.get("null_count", {}).get(c)
         if nulls is None:
             return None

@@ -36,6 +36,75 @@ from kafka_delta_ingest_spark.table.format import (
 
 ISO_MS = "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"  # ref src/writer.rs:1127-1137
 
+# Iceberg-style bound truncation for long string stats (Iceberg's
+# write.metadata.metrics default is truncate(16); we default wider since
+# our manifests also serve metadata-only aggregates). At 10^12 rows the
+# manifest itself is big data — a 2 KB document-prefix min/max per file
+# across 10^6 files is 4 GB of metadata for two stat columns.
+STRING_STAT_TRUNCATE = int(os.environ.get("KDI_STAT_TRUNCATE_LEN", "64"))
+
+_MAX_CP = 0x10FFFF
+_SURR_LO, _SURR_HI = 0xD800, 0xDFFF
+
+
+def _increment_string(s: str) -> str | None:
+    """Smallest-effort strict upper bound for any string with prefix
+    ``s``: increment the last incrementable code point (skipping into the
+    surrogate gap) and drop everything after it. None if every code point
+    is U+10FFFF (no such bound exists at this length)."""
+    for i in range(len(s) - 1, -1, -1):
+        c = ord(s[i])
+        if c >= _MAX_CP:
+            continue
+        c += 1
+        if _SURR_LO <= c <= _SURR_HI:
+            c = _SURR_HI + 1
+        return s[:i] + chr(c)
+    return None
+
+
+def string_stat_cols(schema: T.StructType) -> set[str]:
+    return {
+        n for (n, dt, mm) in stat_leaves(schema)
+        if mm and isinstance(dt, T.StringType)
+    }
+
+
+def truncate_string_stats(
+    stats: dict,
+    schema: T.StructType | None,
+    limit: int | None = None,
+    cols: set[str] | None = None,
+) -> dict:
+    """Truncate long STRING min/max in place, Iceberg semantics:
+
+    - min → ``limit``-char prefix (a valid lower bound: prefix ≤ value);
+    - max → ``limit``-char prefix with the last code point incremented
+      (a valid strict upper bound: every string with that prefix sorts
+      below it); if no code point is incrementable the FULL value is kept.
+
+    Truncated columns are recorded in ``stats['inexact']`` — pruning is
+    unaffected (bounds stay conservative) but metadata-only aggregates
+    must not serve them as exact extrema (table/inspect.py demotes those
+    files to a pushdown scan)."""
+    lim = STRING_STAT_TRUNCATE if limit is None else limit
+    mins, maxs = stats.get("min", {}), stats.get("max", {})
+    string_cols = cols if cols is not None else string_stat_cols(schema)
+    inexact = set(stats.get("inexact", []))
+    for c in string_cols:
+        lo, hi = mins.get(c), maxs.get(c)
+        if isinstance(lo, str) and len(lo) > lim:
+            mins[c] = lo[:lim]
+            inexact.add(c)
+        if isinstance(hi, str) and len(hi) > lim:
+            bumped = _increment_string(hi[:lim])
+            if bumped is not None:
+                maxs[c] = bumped
+                inexact.add(c)
+    if inexact:
+        stats["inexact"] = sorted(inexact)
+    return stats
+
 _SCALAR_TYPES = (
     T.StringType,
     T.IntegerType,
@@ -201,7 +270,9 @@ def compute_add_entries_scan(
                 size=sizes.get(fpath, 0),
                 num_records=int(d["num_records"]),
                 partition_values=_partition_values_from_path(rel, partition_cols),
-                stats={"min": mins, "max": maxs, "null_count": nulls},
+                stats=truncate_string_stats(
+                    {"min": mins, "max": maxs, "null_count": nulls}, schema
+                ),
             )
         )
     # determinism for ledgers/tests
