@@ -515,6 +515,48 @@ def q_distributed_plan_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return full.unionByName(pruned)
 
 
+def q_row_changes_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level change feed (table/changes.py — Iceberg changelog scan /
+    Delta CDF analogue, computed not stored): after a CoW UPDATE (tokens
+    +1 where n_tok >= 400), a merge-on-read DELETE (n_tok <= 50), a
+    zero-read CDC upsert of brand-new keys, and a full fused OPTIMIZE,
+    ``row_changes(v1 → head)`` must emit exactly the four net change sets
+    — and NOTHING for rows the OPTIMIZE merely moved (identical rows
+    cancel in the full-outer join). The oracle derives every change row
+    arithmetically from the raw derivation, so a resurrected deleted row,
+    a phantom change from the rewrite, a lost preimage, or a wrong
+    postimage checksum all hash-mismatch. (Batch form of the reference's
+    consumer-resume contract, src/lib.rs:1026-1046, generalized past
+    append-only history.)"""
+    from kafka_delta_ingest_spark.maintenance.dml import (
+        delete_where,
+        update_where,
+    )
+    from kafka_delta_ingest_spark.maintenance.optimize import optimize
+    from kafka_delta_ingest_spark.maintenance.upsert import upsert
+    from kafka_delta_ingest_spark.table.changes import row_changes
+
+    t = _build_tokens_table(spark, sf_dir, _tmp_root("rowchanges"))
+    v1 = t.latest_version()
+    update_where(spark, t, [("n_tok", ">=", 400)],
+                 {"tokens": "transform(tokens, x -> x + 1)"})
+    delete_where(spark, t, [("n_tok", "<=", 50)], mode="merge_on_read")
+    did = F.col("doc_id").cast("long")
+    ins = (
+        tokens_from_documents(spark, sf_dir)
+        .where(did % 25 == 0)
+        .withColumn("doc_id", (did + 10_000_000).cast("string"))
+    )
+    upsert(spark, t, ins, key="doc_id")
+    optimize(spark, t, dims=["n_tok", "doc_id"], curve="zorder",
+             target_file_bytes=8 * 1024 * 1024)
+    ch = row_changes(spark, t, v1, key="doc_id")
+    return ch.select(
+        "doc_id", "n_tok", "source", _tok_checksum().alias("tok_sum"),
+        "_change_type",
+    )
+
+
 def q_wap_publish_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write-audit-publish via branches (table/refs.py): a batch (docs
     %20==0 copied under fresh ids with every token +7) is committed to an
@@ -1736,6 +1778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_evolution_scan": q_partition_evolution_scan,
         "hidden_partition_scan": q_hidden_partition_scan,
         "distributed_plan_scan": q_distributed_plan_scan,
+        "row_changes_scan": q_row_changes_scan,
         "merge_clauses_scan": q_merge_clauses_scan,
         "wap_publish_scan": q_wap_publish_scan,
         "incremental_scan": q_incremental_scan,
@@ -2613,6 +2656,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT *, 'full' AS stage FROM s
             UNION ALL
             SELECT *, 'pruned' AS stage FROM s WHERE source = 'src1'
+        """,
+        "row_changes_scan": f"""
+            WITH s AS ({scan_sql})
+            SELECT doc_id, n_tok, source, tok_sum,
+                   'delete' AS _change_type
+            FROM s WHERE n_tok <= 50
+            UNION ALL
+            SELECT doc_id, n_tok, source, tok_sum,
+                   'update_preimage' AS _change_type
+            FROM s WHERE n_tok >= 400
+            UNION ALL
+            SELECT doc_id, n_tok, source,
+                   tok_sum + (CAST(n_tok AS BIGINT) * (n_tok + 1)) // 2
+                       AS tok_sum,
+                   'update_postimage' AS _change_type
+            FROM s WHERE n_tok >= 400
+            UNION ALL
+            SELECT CAST(CAST(doc_id AS BIGINT) + 10000000 AS VARCHAR)
+                       AS doc_id,
+                   n_tok, source, tok_sum, 'insert' AS _change_type
+            FROM s WHERE CAST(doc_id AS BIGINT) % 25 = 0
         """,
         "hidden_partition_scan": f"""
             WITH s AS ({scan_sql}),
