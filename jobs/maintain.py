@@ -30,8 +30,15 @@ def main():
             "expire", "gc", "stats", "delete", "update", "rollback",
             "rewrite-deletes", "upsert", "plan", "auto",
             "branch", "drop-branch", "tag", "delete-tag", "publish", "refs",
-            "evolve-partitioning",
+            "evolve-partitioning", "set-properties",
         ],
+    )
+    p.add_argument(
+        "--properties", default=None,
+        help='JSON object for --op set-properties, e.g. '
+        '\'{"write.parquet.compression": "zstd"}\'; a null value deletes '
+        "the key. write.parquet.* properties become parquet writer "
+        "options on every subsequent data write",
     )
     p.add_argument(
         "--name", default=None,
@@ -250,6 +257,11 @@ def main():
         cols = transforms.split_spec(args.partition_cols)
         v = table.evolve_partitioning(cols)
         out = {"version": v, "partition_cols": cols}
+    elif args.op == "set-properties":
+        if args.properties is None:
+            p.error("--properties is required for --op set-properties")
+        v = table.set_properties(json.loads(args.properties))
+        out = {"version": v, "properties": table.snapshot().properties}
     elif args.op == "stats":
         snap = table.snapshot()
         out = {

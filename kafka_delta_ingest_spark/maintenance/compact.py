@@ -79,9 +79,13 @@ def _rewrite_bins(
     # tasks two bins (stragglers); partitionBy still emits exactly one file
     # per bin because a bin's rows never split across tasks
     n_part = max(2 * len(bins), spark.sparkContext.defaultParallelism, 1)
+    from kafka_delta_ingest_spark.table.writer import apply_write_options
+
     (
-        df.repartition(n_part, "_bin")
-        .write.mode("overwrite")
+        apply_write_options(
+            df.repartition(n_part, "_bin").write.mode("overwrite"),
+            snap.properties,
+        )
         .partitionBy(*(pkeys + ["_bin"]))
         .parquet(absd)
     )

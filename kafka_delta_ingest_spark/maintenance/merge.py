@@ -246,7 +246,9 @@ def merge_into(
     pkeys = transforms.keys(snap.partition_cols)
     for k, e in transforms.derived_exprs(snap.partition_cols, snap.schema).items():
         out = out.withColumn(k, e)
-    w = out.write.mode("overwrite")
+    from kafka_delta_ingest_spark.table.writer import apply_write_options
+
+    w = apply_write_options(out.write.mode("overwrite"), snap.properties)
     if pkeys:
         w = w.partitionBy(*pkeys)
     w.parquet(absd)
@@ -438,7 +440,9 @@ def _merge_clauses(
     pkeys = transforms.keys(snap.partition_cols)
     for c, e in transforms.derived_exprs(snap.partition_cols, snap.schema).items():
         out = out.withColumn(c, e)
-    wtr = out.write.mode("overwrite")
+    from kafka_delta_ingest_spark.table.writer import apply_write_options
+
+    wtr = apply_write_options(out.write.mode("overwrite"), snap.properties)
     if pkeys:
         wtr = wtr.partitionBy(*pkeys)
     wtr.parquet(absd)

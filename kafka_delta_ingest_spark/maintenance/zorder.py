@@ -560,8 +560,10 @@ def cluster(
         if sort_rows:
             out = out.sortWithinPartitions("_gbin", "_ckey")
         out = out.drop("_ckey")
+        from kafka_delta_ingest_spark.table.writer import apply_write_options
+
         (
-            out.write.mode("overwrite")
+            apply_write_options(out.write.mode("overwrite"), snap.properties)
             .partitionBy(*(pkeys + ["_gbin"]))
             .parquet(absd)
         )

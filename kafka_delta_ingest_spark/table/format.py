@@ -236,6 +236,9 @@ class Transaction:
     # partition_values key set recorded per file) until a rewrite migrates
     # them — Iceberg partition-spec evolution
     partition_update: "list[str] | None" = None
+    # when set, this commit merges these entries into the table properties
+    # (a None value deletes the key) — metadata-only, like schema updates
+    properties_update: "dict[str, Any] | None" = None
 
 
 class Snapshot:
@@ -253,6 +256,7 @@ class Snapshot:
         partition_cols: list[str],
         app_txns: dict[str, int],
         deletes: "dict[str, DeleteEntry] | None" = None,
+        properties: dict | None = None,
     ):
         self.table = table
         self.version = version
@@ -260,6 +264,9 @@ class Snapshot:
         self.schema = schema
         self.partition_cols = partition_cols
         self.app_txns = app_txns
+        # table properties (write.parquet.* map to writer options,
+        # table/writer.py parquet_write_options) — versioned like schema
+        self.properties = dict(properties or {})
         self._deletes = deletes or {}
 
     @property
@@ -396,7 +403,10 @@ class Table:
     # --------------------------------------------------------------- create
     @staticmethod
     def create(
-        root: str, schema: T.StructType, partition_cols: list[str] | None = None
+        root: str,
+        schema: T.StructType,
+        partition_cols: list[str] | None = None,
+        properties: dict | None = None,
     ) -> "Table":
         from kafka_delta_ingest_spark.table import transforms
 
@@ -411,6 +421,7 @@ class Table:
             "metadata": {
                 "schema": json.loads(schema.json()),
                 "partition_cols": partition_cols or [],
+                "properties": dict(properties or {}),
             },
             "add": [],
             "remove": [],
@@ -475,6 +486,7 @@ class Table:
         app_txns: dict[str, int] = {}
         schema: T.StructType | None = None
         partition_cols: list[str] = []
+        properties: dict = {}
 
         start = 0
         ckpt = self._latest_checkpoint_at_or_before(v)
@@ -484,6 +496,7 @@ class Table:
             schema = T.StructType.fromJson(meta["schema"])
             partition_cols = meta["partition_cols"]
             app_txns = dict(meta.get("app_txns", {}))
+            properties = dict(meta.get("properties", {}))
             for d in meta.get("delete_entries", []):
                 de = DeleteEntry.from_json(d)
                 deletes[de.path] = de
@@ -507,6 +520,8 @@ class Table:
             if "metadata" in c and c["metadata"].get("schema"):
                 schema = T.StructType.fromJson(c["metadata"]["schema"])
                 partition_cols = c["metadata"].get("partition_cols", [])
+            if "metadata" in c and "properties" in c["metadata"]:
+                properties = dict(c["metadata"]["properties"])
             removed = c.get("remove", [])
             for rp in removed:
                 files.pop(rp, None)
@@ -562,7 +577,10 @@ class Table:
             and not any(de.applies_to(fe) for fe in live)
         ]:
             del deletes[dp]
-        return Snapshot(self, v, files, schema, partition_cols, app_txns, deletes)
+        return Snapshot(
+            self, v, files, schema, partition_cols, app_txns, deletes,
+            properties=properties,
+        )
 
     # --------------------------------------------------------------- commit
     def _atomic_write_version(self, v: int, commit: dict) -> None:
@@ -579,6 +597,21 @@ class Table:
         """Last committed offset for an app txn key, -1 if none
         (ref delta_helpers.rs:70-80: last_txn_version)."""
         return self.snapshot().app_txns.get(app_key, -1)
+
+    def set_properties(self, updates: "dict[str, Any]") -> int:
+        """Merge ``updates`` into the table properties as one metadata-only
+        atomic commit (a None value deletes the key). Properties are
+        versioned with the log: pinned snapshots keep the properties they
+        were committed with. ``write.parquet.*`` properties become parquet
+        writer options on every subsequent data write
+        (table/writer.py parquet_write_options)."""
+        return self.commit(
+            Transaction(
+                operation="set-properties",
+                data_change=False,
+                properties_update=dict(updates),
+            )
+        )
 
     def evolve_schema(self, new_schema: T.StructType) -> int:
         """Additive schema evolution as a metadata-only atomic commit.
@@ -781,6 +814,14 @@ class Table:
                         else snap.partition_cols
                     ),
                 }
+            if txn.properties_update is not None:
+                merged = dict(snap.properties)
+                for k, pv in txn.properties_update.items():
+                    if pv is None:
+                        merged.pop(k, None)
+                    else:
+                        merged[k] = pv
+                commit.setdefault("metadata", {})["properties"] = merged
             try:
                 self._atomic_write_version(v, commit)
             except FileExistsError:
@@ -815,6 +856,7 @@ class Table:
             "schema": json.loads(snap.schema.json()),
             "partition_cols": snap.partition_cols,
             "app_txns": snap.app_txns,
+            "properties": snap.properties,
             # position-delete entries ride in the metadata blob: they are
             # few by construction (rewrite_position_deletes folds them in,
             # replay drops them with their covered files), unlike the

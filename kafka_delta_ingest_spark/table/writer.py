@@ -13,6 +13,48 @@ from kafka_delta_ingest_spark.table.format import FileEntry, Table, Transaction
 from kafka_delta_ingest_spark.table.stats import compute_add_entries
 
 
+def parquet_write_options(properties: dict | None) -> dict[str, str]:
+    """Map ``write.parquet.*`` table properties to Spark parquet writer
+    options — honored by EVERY data write path (ingest append, compaction,
+    clustering, MERGE, CoW DML all stage through a DataFrameWriter):
+
+    - ``write.parquet.compression`` → ``compression`` (zstd/snappy/...);
+      at 10^12 tokens the codec choice is a 2-3× disk/network multiplier.
+    - ``write.parquet.bloom.filter.columns`` (csv) →
+      ``parquet.bloom.filter.enabled#<col>=true`` per column; the parquet
+      reader consults footers transparently, making point lookups on
+      high-cardinality keys (doc_id) skip row groups that min/max can't.
+    - ``write.parquet.bloom.filter.expected.ndv`` →
+      ``parquet.bloom.filter.expected.ndv#<col>`` (sizes the bitset).
+    - ``write.parquet.block.size-bytes`` → ``parquet.block.size``.
+    """
+    props = properties or {}
+    out: dict[str, str] = {}
+    comp = props.get("write.parquet.compression")
+    if comp:
+        out["compression"] = str(comp)
+    cols = [
+        c.strip()
+        for c in str(props.get("write.parquet.bloom.filter.columns", "")).split(",")
+        if c.strip()
+    ]
+    ndv = props.get("write.parquet.bloom.filter.expected.ndv")
+    for c in cols:
+        out[f"parquet.bloom.filter.enabled#{c}"] = "true"
+        if ndv:
+            out[f"parquet.bloom.filter.expected.ndv#{c}"] = str(ndv)
+    block = props.get("write.parquet.block.size-bytes")
+    if block:
+        out["parquet.block.size"] = str(block)
+    return out
+
+
+def apply_write_options(writer, properties: dict | None):
+    for k, v in parquet_write_options(properties).items():
+        writer = writer.option(k, v)
+    return writer
+
+
 def _enforce_schema(df: DataFrame, schema) -> DataFrame:
     """Schema-on-write enforcement: project + cast to the table schema,
     failing fast on missing columns (ref record_batch_from_json schema
@@ -32,6 +74,7 @@ def stage_dataframe(
     df: DataFrame,
     partition_cols: list[str],
     schema,
+    properties: dict | None = None,
 ) -> tuple[str, list[FileEntry]]:
     """Write ``df`` to a fresh per-commit data dir; return (dir, adds).
 
@@ -39,15 +82,18 @@ def stage_dataframe(
     and/or transforms (``bucket(16,doc_id)`` — table/transforms.py).
     Transform values are computed here (pure Catalyst exprs) and become
     path-only columns via partitionBy; identity columns behave as
-    before."""
+    before. ``properties``: the table properties (write.parquet.* become
+    writer options); None loads them from the current snapshot."""
     from kafka_delta_ingest_spark.table import transforms
 
+    if properties is None:
+        properties = table.snapshot().properties
     absd, _rel = table.new_data_dir()
     out = _enforce_schema(df, schema)
     pkeys = transforms.keys(partition_cols)
     for k, expr in transforms.derived_exprs(partition_cols, schema).items():
         out = out.withColumn(k, expr)
-    w = out.write.mode("overwrite")
+    w = apply_write_options(out.write.mode("overwrite"), properties)
     if pkeys:
         w = w.partitionBy(*pkeys)
     w.parquet(absd)
@@ -67,7 +113,10 @@ def write_dataframe(
     """Stage + commit in one step (the DataWriter::insert_all analogue,
     src/writer.rs:578-600). Returns the committed version."""
     snap = table.snapshot()
-    _, adds = stage_dataframe(spark, table, df, snap.partition_cols, snap.schema)
+    _, adds = stage_dataframe(
+        spark, table, df, snap.partition_cols, snap.schema,
+        properties=snap.properties,
+    )
     txn = Transaction(
         operation=operation,
         adds=adds,

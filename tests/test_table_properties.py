@@ -1,0 +1,112 @@
+"""Table properties (table/format.py + table/writer.py): versioned
+key-value metadata; write.parquet.* properties become parquet writer
+options on every data write path (append, compaction, clustering,
+MERGE, CoW DML all stage through a DataFrameWriter)."""
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_delta_ingest_spark.datagen import TOKENS_SCHEMA, tokens_df
+from kafka_delta_ingest_spark.table.format import Table
+from kafka_delta_ingest_spark.table.writer import (
+    parquet_write_options,
+    write_dataframe,
+)
+
+
+def _codecs(t):
+    snap = t.snapshot()
+    out = set()
+    for f in snap.files:
+        md = pq.ParquetFile(os.path.join(t.root, f.path)).metadata
+        out.add(md.row_group(0).column(0).compression)
+    return out
+
+
+def test_property_mapping():
+    opts = parquet_write_options({
+        "write.parquet.compression": "zstd",
+        "write.parquet.bloom.filter.columns": "doc_id, source",
+        "write.parquet.bloom.filter.expected.ndv": 100000,
+        "write.parquet.block.size-bytes": 8388608,
+    })
+    assert opts["compression"] == "zstd"
+    assert opts["parquet.bloom.filter.enabled#doc_id"] == "true"
+    assert opts["parquet.bloom.filter.enabled#source"] == "true"
+    assert opts["parquet.bloom.filter.expected.ndv#source"] == "100000"
+    assert opts["parquet.block.size"] == "8388608"
+    assert parquet_write_options({}) == {} and parquet_write_options(None) == {}
+
+
+def test_properties_versioned_and_merged(spark, tmp_path):
+    t = Table.create(
+        str(tmp_path / "t"), TOKENS_SCHEMA, [],
+        properties={"write.parquet.compression": "zstd", "owner": "a"},
+    )
+    assert t.snapshot().properties["owner"] == "a"
+    v_before = t.latest_version()
+    t.set_properties({"owner": None, "comment": "hi"})
+    got = t.snapshot().properties
+    assert got == {"write.parquet.compression": "zstd", "comment": "hi"}
+    # pinned snapshot keeps the properties it was committed with
+    assert t.snapshot(v_before).properties["owner"] == "a"
+
+
+def test_properties_survive_checkpoint(spark, tmp_path):
+    t = Table.create(
+        str(tmp_path / "t"), TOKENS_SCHEMA, [],
+        properties={"comment": "kept"},
+    )
+    df = tokens_df(spark, 20, max_tok=4)
+    for _ in range(10):  # cross the interval-10 checkpoint
+        write_dataframe(spark, t, df.limit(5))
+    assert t._latest_checkpoint_at_or_before(t.latest_version()) == 10
+    assert t.snapshot().properties == {"comment": "kept"}
+
+
+def test_compression_property_honored_by_all_write_paths(spark, tmp_path):
+    from kafka_delta_ingest_spark.maintenance.optimize import optimize
+
+    t = Table.create(
+        str(tmp_path / "t"), TOKENS_SCHEMA, ["source"],
+        properties={"write.parquet.compression": "zstd"},
+    )
+    write_dataframe(spark, t, tokens_df(spark, 200, max_tok=8).repartition(4))
+    assert _codecs(t) == {"ZSTD"}
+    optimize(spark, t, dims=["n_tok", "doc_id"], curve="zorder",
+             target_file_bytes=4 * 1024 * 1024)
+    assert _codecs(t) == {"ZSTD"}  # rewrites inherit the codec
+    before = {r["doc_id"]: r["tokens"]
+              for r in t.snapshot().scan(spark).collect()}
+    # switching the property re-encodes on the NEXT rewrite only
+    t.set_properties({"write.parquet.compression": "snappy"})
+    optimize(spark, t, dims=["n_tok", "doc_id"], curve="zorder",
+             target_file_bytes=2 * 1024 * 1024)
+    assert _codecs(t) == {"SNAPPY"}
+    after = {r["doc_id"]: r["tokens"]
+             for r in t.snapshot().scan(spark).collect()}
+    assert after == before  # token-array equality across re-encodes
+
+
+def test_bloom_filter_property_adds_footer_bytes(spark, tmp_path):
+    def total_size(root, props):
+        t = Table.create(str(root), TOKENS_SCHEMA, [], properties=props)
+        write_dataframe(
+            spark, t, tokens_df(spark, 2000, max_tok=4).coalesce(1)
+        )
+        return sum(f.size for f in t.snapshot().files)
+
+    plain = total_size(tmp_path / "plain", {})
+    bloomed = total_size(
+        tmp_path / "bloom",
+        {
+            "write.parquet.bloom.filter.columns": "doc_id",
+            "write.parquet.bloom.filter.expected.ndv": 2000,
+        },
+    )
+    # the bloom bitset is real bytes in the file (pyarrow doesn't expose
+    # the offset, so presence is asserted via the size delta)
+    assert bloomed > plain + 512
