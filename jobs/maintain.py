@@ -89,6 +89,11 @@ def main():
     p.add_argument("--target-file-bytes", type=int, default=128 * 1024 * 1024)
     p.add_argument("--dims", default="source,n_tok,doc_id")
     p.add_argument("--retain-last", type=int, default=10)
+    p.add_argument(
+        "--older-than-ms", type=int, default=None,
+        help="for --op expire: only expire versions committed before this "
+        "epoch-ms timestamp (whichever bound retains more wins)",
+    )
     p.add_argument("--grace-seconds", type=float, default=3600.0)
     p.add_argument("--job-id", default=None)
     p.add_argument("--verify", action="store_true")
@@ -145,7 +150,10 @@ def main():
     elif args.op == "expire":
         from kafka_delta_ingest_spark.maintenance.expire import expire_snapshots
 
-        out = expire_snapshots(table, retain_last=args.retain_last)
+        out = expire_snapshots(
+            table, retain_last=args.retain_last,
+            older_than_ms=args.older_than_ms,
+        )
     elif args.op == "gc":
         from kafka_delta_ingest_spark.maintenance.expire import gc_orphans
 

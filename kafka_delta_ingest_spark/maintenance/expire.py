@@ -25,9 +25,31 @@ from pyspark.sql import SparkSession
 from kafka_delta_ingest_spark.table.format import CHECKPOINT_INTERVAL, Table
 
 
-def expire_snapshots(table: Table, retain_last: int = CHECKPOINT_INTERVAL) -> dict:
+def expire_snapshots(
+    table: Table,
+    retain_last: int = CHECKPOINT_INTERVAL,
+    older_than_ms: int | None = None,
+) -> dict:
+    """Expire history. ``retain_last`` keeps the newest K versions;
+    ``older_than_ms`` (Iceberg expire_snapshots(older_than=...)) expires
+    only versions committed strictly before the timestamp — whichever
+    bound retains MORE wins, and ref-pinned versions are always kept."""
     head = table.latest_version()
     cutoff = head - retain_last + 1
+    if older_than_ms is not None:
+        age_cut = 0
+        for v in range(head, -1, -1):
+            p = table._version_path(v)
+            if not os.path.exists(p):
+                age_cut = v + 1
+                break
+            ts = table._read_commit(v).get("timestamp_ms")
+            if ts is not None and ts < older_than_ms:
+                age_cut = v + 1  # v is old enough to expire; keep v+1..head
+                break
+        else:
+            age_cut = 0
+        cutoff = min(cutoff, age_cut)
     # tag targets and branch fork points stay readable: expiring a version
     # a ref pins would break the tag's time travel / the branch's replay
     protected = table.protected_versions()

@@ -472,6 +472,30 @@ class Table:
                 return cv
         return None
 
+    def version_as_of(self, timestamp_ms: int) -> int:
+        """The newest version committed at or before ``timestamp_ms``
+        (Iceberg/Delta TIMESTAMP AS OF). Only the live (unexpired) range
+        is searchable; raises if the timestamp predates it."""
+        best = -1
+        head = self.latest_version()
+        for v in range(head, -1, -1):
+            path = self._version_path(v)
+            if not os.path.exists(path):
+                break  # older history expired
+            ts = self._read_commit(v).get("timestamp_ms")
+            if ts is not None and ts <= timestamp_ms:
+                best = v
+                break
+        if best < 0:
+            raise TableError(
+                f"no live version committed at or before {timestamp_ms}"
+            )
+        return best
+
+    def snapshot_as_of(self, timestamp_ms: int) -> Snapshot:
+        """Time travel by wall clock: the snapshot live at the timestamp."""
+        return self.snapshot(self.version_as_of(timestamp_ms))
+
     def snapshot(self, version: int | None = None) -> Snapshot:
         head = self.latest_version()
         if head < 0:

@@ -60,6 +60,35 @@ def test_expire_snapshots_and_gc_orphans(spark, tmp_table_root):
     assert gc_orphans(spark, t, grace_s=0.0)["candidates"] == 0
 
 
+def test_time_travel_by_timestamp_and_age_expiry(spark, tmp_table_root):
+    t = make_small_file_table(spark, tmp_table_root, n_docs=200, n_files=4, max_tok=16)
+    v1 = t.latest_version()
+    ts_v1 = t._read_commit(v1)["timestamp_ms"]
+    fp1 = content_fingerprint(t.snapshot().scan(spark))
+    compact(spark, t, target_file_bytes=64 * 1024 * 1024, job_id="tt-c")
+    v2 = t.latest_version()
+    ts_v2 = t._read_commit(v2)["timestamp_ms"]
+
+    # TIMESTAMP AS OF: at ts_v1 the pre-compaction snapshot was live
+    assert t.version_as_of(ts_v1) == v1
+    assert t.version_as_of(ts_v2 + 10_000) == v2
+    assert content_fingerprint(t.snapshot_as_of(ts_v1).scan(spark)) == fp1
+    with pytest.raises(TableError):
+        t.version_as_of(ts_v1 - 1_000_000)
+
+    # age-based expiry: nothing is old enough -> no-op even with
+    # retain_last=1 (whichever bound retains more wins)
+    r = expire_snapshots(t, retain_last=1, older_than_ms=ts_v1 - 1_000_000)
+    assert r["expired"] == 0
+    assert t.snapshot(v1) is not None
+    # everything before "now" is old enough -> retain-K rule applies
+    r2 = expire_snapshots(t, retain_last=1,
+                          older_than_ms=ts_v2 + 1_000_000)
+    assert r2["oldest_readable"] == v2
+    with pytest.raises(TableError):
+        t.snapshot(v1)
+
+
 def test_gc_grace_protects_staged_files(spark, tmp_table_root):
     t = make_small_file_table(spark, tmp_table_root, n_docs=100, n_files=2, max_tok=16)
     # stage (write) without commit — in-flight work
