@@ -127,6 +127,12 @@ def run_maintenance(spark, root: str, mode: str | None = None) -> dict:
         passes = 1
         out["optimize_sec"] = round(wall, 3)
         out["files_written"] = om["files_written"]
+        # phase breakdown (cluster metrics): where the wall went — the
+        # non-write phases are the per-transaction latency floor that
+        # strong-scaling runs expose
+        for k in ("bounds_s", "write_s", "stats_s", "commit_s"):
+            if k in om:
+                out[k] = om[k]
     else:
         cm = compact(spark, table, target_file_bytes=target, job_id="bench-compact")
         t_compact = time.time() - t0

@@ -30,8 +30,13 @@ def main():
             "expire", "gc", "stats", "delete", "update", "rollback",
             "rewrite-deletes", "upsert", "plan", "auto",
             "branch", "drop-branch", "tag", "delete-tag", "publish", "refs",
-            "evolve-partitioning", "set-properties",
+            "evolve-partitioning", "set-properties", "partitions", "changes",
         ],
+    )
+    p.add_argument(
+        "--from-version", type=int, default=None,
+        help="for --op changes: base version of the change feed "
+        "(--to-version bounds the end; default head)",
     )
     p.add_argument(
         "--properties", default=None,
@@ -265,6 +270,33 @@ def main():
         cols = transforms.split_spec(args.partition_cols)
         v = table.evolve_partitioning(cols)
         out = {"version": v, "partition_cols": cols}
+    elif args.op == "partitions":
+        from kafka_delta_ingest_spark.table.inspect import partitions_df
+
+        out = {
+            "partitions": [
+                {**r.asDict(), "partition": dict(r["partition"])}
+                for r in partitions_df(spark, table).collect()
+            ]
+        }
+    elif args.op == "changes":
+        from kafka_delta_ingest_spark.table.changes import row_changes
+
+        if args.from_version is None:
+            p.error("--from-version is required for --op changes")
+        ch = row_changes(
+            spark, table, args.from_version, args.to_version, key=args.key
+        )
+        counts = {
+            r["_change_type"]: r["count"]
+            for r in ch.groupBy("_change_type").count().collect()
+        }
+        out = {
+            "from_version": args.from_version,
+            "to_version": args.to_version
+            if args.to_version is not None else table.latest_version(),
+            "changes": counts,
+        }
     elif args.op == "set-properties":
         if args.properties is None:
             p.error("--properties is required for --op set-properties")

@@ -32,7 +32,11 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-from kafka_delta_ingest_spark.table.format import Table, TableError
+from kafka_delta_ingest_spark.table.format import (
+    HIVE_DEFAULT_PARTITION,
+    Table,
+    TableError,
+)
 
 
 class IncrementalScanError(TableError):
@@ -162,6 +166,51 @@ def history_df(spark: SparkSession, table: Table) -> DataFrame:
         for h in table.history()
     ]
     return spark.createDataFrame(rows, _HISTORY_SCHEMA)
+
+
+_PARTITIONS_SCHEMA = T.StructType(
+    [
+        T.StructField("partition", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("spec", T.StringType()),
+        T.StructField("file_count", T.LongType()),
+        T.StructField("row_count", T.LongType()),
+        T.StructField("total_bytes", T.LongType()),
+        T.StructField("avg_file_bytes", T.LongType()),
+    ]
+)
+
+
+def partitions_df(
+    spark: SparkSession, table: Table, version: int | None = None
+) -> DataFrame:
+    """The ``partitions`` metadata table: per-partition file/row/byte
+    rollup from manifests alone (Iceberg's partitions table). The first
+    thing an operator looks at before scoped maintenance — which
+    partitions are fragmented (low avg_file_bytes, high file_count) and
+    how big a scoped OPTIMIZE would be. ``spec`` is the sorted key set the
+    file was written under, so mixed-spec tables (partition evolution)
+    group correctly instead of colliding."""
+    snap = table.snapshot(version)
+    agg: dict[tuple, list] = {}
+    for f in snap.files:
+        pv = {
+            k: (None if v == HIVE_DEFAULT_PARTITION else str(v))
+            for k, v in f.partition_values.items()
+        }
+        key = tuple(sorted(pv.items()))
+        a = agg.setdefault(key, [0, 0, 0])
+        a[0] += 1
+        a[1] += int(f.num_records)
+        a[2] += int(f.size)
+    rows = [
+        (
+            dict(key),
+            ",".join(k for k, _ in key),
+            n, r, b, b // max(n, 1),
+        )
+        for key, (n, r, b) in sorted(agg.items())
+    ]
+    return spark.createDataFrame(rows, _PARTITIONS_SCHEMA)
 
 
 def metadata_aggregate(

@@ -194,3 +194,37 @@ def test_metadata_aggregate_refuses_live_deletes_but_serves_pinned_version(
     # the pre-delete snapshot still answers (snapshot isolation)
     pinned = metadata_aggregate(spark, t, ["n_tok"], version=v).collect()[0].asDict()
     assert pinned == before
+
+
+def test_partitions_metadata_table(spark, tmp_path):
+    from kafka_delta_ingest_spark.table.format import Transaction
+    from kafka_delta_ingest_spark.table.inspect import partitions_df
+    from kafka_delta_ingest_spark.table.writer import stage_dataframe
+
+    t = Table.create(str(tmp_path / "t"), TOKENS_SCHEMA, ["source"])
+    df = tokens_df(spark, 300, max_tok=8).repartition(4)
+    write_dataframe(spark, t, df)
+    snap = t.snapshot()
+    got = {tuple(sorted(r["partition"].items())): r
+           for r in partitions_df(spark, t).collect()}
+    # one row per source partition, totals match the manifest exactly
+    for key, r in got.items():
+        src = dict(key)["source"]
+        fs = [f for f in snap.files if f.partition_values["source"] == src]
+        assert r["file_count"] == len(fs)
+        assert r["row_count"] == sum(f.num_records for f in fs)
+        assert r["total_bytes"] == sum(f.size for f in fs)
+        assert r["spec"] == "source"
+    assert sum(r["row_count"] for r in got.values()) == snap.num_records()
+
+    # mixed-spec table (partition evolution): specs group separately
+    t.evolve_partitioning([])
+    add = tokens_df(spark, 50, max_tok=8, seed=9).withColumn(
+        "doc_id", F.concat(F.lit("x"), "doc_id")
+    )
+    s2 = t.snapshot()
+    _, adds = stage_dataframe(spark, t, add, s2.partition_cols, s2.schema)
+    t.commit(Transaction(operation="append", adds=adds))
+    rows = partitions_df(spark, t).collect()
+    specs = {r["spec"] for r in rows}
+    assert specs == {"source", ""}
