@@ -1423,6 +1423,17 @@ def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_histogram(tokens_from_documents(spark, sf_dir), k=50)
 
 
+def q_token_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent token-pair frequencies (the BPE-training inner
+    step). Pairs materialize row-locally via zip_with over the array and
+    its shifted self packed into one long — no posexplode self-join, so
+    the corpus shuffles once as distinct-pair partial counts. Oracle
+    replays pair packing + unnest + count in SQL."""
+    from kafka_delta_ingest_spark.operators.text import token_pair_counts
+
+    return token_pair_counts(tokens_from_documents(spark, sf_dir), k=50)
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified hash sample of documents (md5 family:
     oracle replays membership exactly) — keep-all src0, half src1,
@@ -1821,6 +1832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_buckets": q_length_buckets,
         "shuffle_shards": q_shuffle_shards,
         "token_histogram": q_token_histogram,
+        "token_pair_counts": q_token_pair_counts,
         "length_percentiles": q_length_percentiles,
         "ann_topk": q_ann_topk,
         "ann_lsh_selfhit": q_ann_lsh_selfhit,
@@ -3053,6 +3065,22 @@ def oracle_sql() -> dict[str, str]:
             u AS (SELECT unnest(tokens) AS token FROM t)
             SELECT token, COUNT(*) AS cnt FROM u
             GROUP BY token ORDER BY cnt DESC, token LIMIT 50
+        """,
+        "token_pair_counts": f"""
+            WITH t AS ({TOKENS_FROM_DOCUMENTS_SQL}),
+            p AS (
+                SELECT unnest(list_transform(
+                    range(1, n_tok),
+                    i -> CAST(tokens[i] AS BIGINT) * 4294967296
+                         + tokens[i + 1]
+                )) AS pair
+                FROM t WHERE n_tok >= 2
+            )
+            SELECT CAST(pair // 4294967296 AS INTEGER) AS left,
+                   CAST(pair % 4294967296 AS INTEGER) AS right,
+                   COUNT(*) AS cnt
+            FROM p GROUP BY pair
+            ORDER BY cnt DESC, pair LIMIT 50
         """,
         # membership = nibble-parse(md5 first 8 hex)/2^32 < per-stratum rate
         "stratified_sample": f"""

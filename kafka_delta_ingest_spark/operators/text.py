@@ -189,6 +189,46 @@ def token_histogram(
     )
 
 
+def token_pair_counts(
+    tokens_df: DataFrame, tokens_col: str = "tokens", k: int = 50
+) -> DataFrame:
+    """Top-k ADJACENT token-pair frequencies — the inner step of BPE
+    vocabulary training (count all bigrams of the current token stream,
+    merge the most frequent pair) and the census behind vocab-extension /
+    tokenizer-drift analysis on a pre-tokenized corpus.
+
+    Plan shape: pairs are materialized row-locally with ``zip_with`` over
+    the array and its 1-shifted slice (no posexplode self-join — the
+    classic formulation shuffles the corpus TWICE and joins on
+    (doc, pos)), packed into ONE long (left<<32|right, exact for int32
+    vocab ids) so the groupBy aggregates a primitive; two-phase hash
+    count means the shuffle carries one row per distinct pair per task.
+    Top-k with deterministic (count desc, pair asc) tie-break;
+    left/right unpacked after the cut."""
+    pair = F.explode(
+        F.zip_with(
+            F.slice(F.col(tokens_col), 1, F.greatest(
+                F.size(tokens_col) - 1, F.lit(0))).cast("array<long>"),
+            F.slice(F.col(tokens_col), 2, F.greatest(
+                F.size(tokens_col) - 1, F.lit(0))).cast("array<long>"),
+            lambda a, b: F.shiftleft(a, 32) + b,
+        )
+    ).alias("pair")
+    return (
+        tokens_df.where(F.size(tokens_col) >= 2)
+        .select(pair)
+        .groupBy("pair")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "pair")
+        .limit(k)
+        .select(
+            F.shiftright("pair", 32).cast("int").alias("left"),
+            (F.col("pair") % F.lit(2**32)).cast("int").alias("right"),
+            "cnt",
+        )
+    )
+
+
 def exact_percentiles(
     df: DataFrame,
     value_col: str,

@@ -707,3 +707,24 @@ def test_shuffle_shards_permutation_invariants(spark):
         (r["doc_id"], r["shard"]) for r in other.collect()
     } ^ {(r["doc_id"], r["shard"]) for r in out}
     assert diff  # different salt → different permutation
+
+
+def test_token_pair_counts(spark):
+    from kafka_delta_ingest_spark.operators.text import token_pair_counts
+
+    rows = [
+        ("a", [1, 2, 1, 2, 3]),   # pairs: (1,2) (2,1) (1,2) (2,3)
+        ("b", [1, 2]),            # (1,2)
+        ("c", [7]),               # too short: no pairs
+        ("d", []),                # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    got = [(r["left"], r["right"], r["cnt"])
+           for r in token_pair_counts(df, k=10).collect()]
+    assert got == [(1, 2, 3), (2, 1, 1), (2, 3, 1)]
+    # top-k cut is deterministic under count ties (pair asc)
+    got2 = [(r["left"], r["right"]) for r in token_pair_counts(df, k=2).collect()]
+    assert got2 == [(1, 2), (2, 1)]
+    # stays a hash aggregation over a primitive long (no SortAggregate)
+    plan = token_pair_counts(df, k=10)._jdf.queryExecution().executedPlan().toString()
+    assert "SortAggregate" not in plan
