@@ -1434,6 +1434,22 @@ def q_token_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_pair_counts(tokens_from_documents(spark, sf_dir), k=50)
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge training, 6 rounds over the derived corpus:
+    per round one pair-count job + a pure-Catalyst greedy fold
+    substitution (operators/text.py bpe_merges). Iterative multi-job
+    algorithm — rows-only driver check (no SQL oracle: the merge loop's
+    substitution isn't SQL-expressible); correctness is pinned by the
+    hand-verified pytest (overlapping-count semantics, greedy
+    non-overlapping substitution, deterministic tie-breaks) and by
+    determinism of every round."""
+    from kafka_delta_ingest_spark.operators.text import bpe_merges
+
+    return bpe_merges(
+        spark, tokens_from_documents(spark, sf_dir), n_merges=6
+    )
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified hash sample of documents (md5 family:
     oracle replays membership exactly) — keep-all src0, half src1,
@@ -1833,6 +1849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_shards": q_shuffle_shards,
         "token_histogram": q_token_histogram,
         "token_pair_counts": q_token_pair_counts,
+        "bpe_merges": q_bpe_merges,
         "length_percentiles": q_length_percentiles,
         "ann_topk": q_ann_topk,
         "ann_lsh_selfhit": q_ann_lsh_selfhit,

@@ -728,3 +728,24 @@ def test_token_pair_counts(spark):
     # stays a hash aggregation over a primitive long (no SortAggregate)
     plan = token_pair_counts(df, k=10)._jdf.queryExecution().executedPlan().toString()
     assert "SortAggregate" not in plan
+
+
+def test_bpe_merges(spark):
+    from kafka_delta_ingest_spark.operators.text import bpe_merges
+
+    rows = [
+        ("a", [1, 2, 1, 2, 3]),
+        ("b", [1, 2, 3, 1, 2]),
+        ("c", [1, 1, 1, 1]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    m = {r["rank"]: (r["left"], r["right"], r["new_id"], r["cnt"])
+         for r in bpe_merges(spark, df, 3, new_id_start=100).collect()}
+    # round 0: (1,2) x4 is the top pair
+    assert m[0] == (1, 2, 100, 4)
+    # after substituting 100=(1,2): a=[100,100,3], b=[100,3,100], c=[1,1,1,1]
+    # round 1 pairs: (1,1)x3 (overlapping occurrences count, classic BPE
+    # get_stats), (100,100)x1 (100,3)x2 (3,100)x1 -> (1,1) wins
+    assert m[1] == (1, 1, 101, 3)
+    # after 101=(1,1): c=[101,101]; round 2 top: (100,3)x2
+    assert m[2] == (100, 3, 102, 2)
