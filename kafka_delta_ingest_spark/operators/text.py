@@ -312,6 +312,63 @@ def bpe_merges(
     )
 
 
+def bpe_apply(
+    tokens_df: DataFrame,
+    merges,
+    tokens_col: str = "tokens",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Re-encode a corpus with a learned BPE merge table (the inference
+    side of ``bpe_merges``): merges apply in RANK order, each
+    substituted greedily left-to-right — exactly the order training
+    applied them, so applying a table to its own training corpus
+    reproduces the training end state. ``merges`` is the DataFrame
+    ``bpe_merges`` returns or a list of (rank, left, right, new_id, ...)
+    rows. The merge table is vocab-sized: it ships to executors in the
+    UDF closure (broadcast), the corpus is the only distributed side;
+    ONE pass, no shuffle — a row-local map."""
+    global pd, np
+    import numpy as np
+    import pandas as pd
+
+    if isinstance(merges, DataFrame):
+        merges = merges.collect()
+    table = [
+        (int(m["rank"]), int(m["left"]), int(m["right"]), int(m["new_id"]))
+        if not isinstance(m, tuple) else (int(m[0]), int(m[1]), int(m[2]), int(m[3]))
+        for m in merges
+    ]
+    table.sort()
+    ranked = [(l, r, n) for _rank, l, r, n in table]
+
+    @F.pandas_udf("array<int>")
+    def encode(col: pd.Series) -> pd.Series:
+        out = []
+        for arr in col:
+            a = list(arr)
+            for left, right, nid in ranked:
+                n = len(a)
+                if n < 2:
+                    break
+                v = np.asarray(a, dtype=np.int64)
+                if not ((v[:-1] == left) & (v[1:] == right)).any():
+                    continue  # fast skip: merge absent from this row
+                res: list[int] = []
+                i = 0
+                while i < n:
+                    if i + 1 < n and a[i] == left and a[i + 1] == right:
+                        res.append(nid)
+                        i += 2
+                    else:
+                        res.append(a[i])
+                        i += 1
+                a = res
+            out.append(a)
+        return pd.Series(out)
+
+    return tokens_df.withColumn(out_col or tokens_col, encode(F.col(tokens_col)))
+
+
 def exact_percentiles(
     df: DataFrame,
     value_col: str,

@@ -749,3 +749,23 @@ def test_bpe_merges(spark):
     assert m[1] == (1, 1, 101, 3)
     # after 101=(1,1): c=[101,101]; round 2 top: (100,3)x2
     assert m[2] == (100, 3, 102, 2)
+
+
+def test_bpe_apply_reproduces_training_end_state(spark):
+    from kafka_delta_ingest_spark.operators.text import bpe_apply, bpe_merges
+
+    rows = [
+        ("a", [1, 2, 1, 2, 3]),
+        ("b", [1, 2, 3, 1, 2]),
+        ("c", [1, 1, 1, 1]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    merges = bpe_merges(spark, df, 3, new_id_start=100)
+    got = {r["doc_id"]: r["tokens"]
+           for r in bpe_apply(df, merges).collect()}
+    # 100=(1,2), 101=(1,1), 102=(100,3) applied in rank order
+    assert got == {
+        "a": [100, 102],        # [1,2,1,2,3] -> [100,100,3] -> [100,102]
+        "b": [102, 100],        # [1,2,3,1,2] -> [100,3,100] -> [102,100]
+        "c": [101, 101],        # [1,1,1,1] -> greedy (1,1) twice
+    }
