@@ -57,6 +57,7 @@ PLANNED = [
     "bigram_lm",
     "ccnet_buckets",
     "dsir_weights",
+    "token_pair_counts",
 ]
 
 # ann/exact pair scoring is an intentional broadcast nested-loop (queries
