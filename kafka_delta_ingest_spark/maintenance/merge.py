@@ -246,8 +246,12 @@ def merge_into(
     pkeys = transforms.keys(snap.partition_cols)
     for k, e in transforms.derived_exprs(snap.partition_cols, snap.schema).items():
         out = out.withColumn(k, e)
-    from kafka_delta_ingest_spark.table.writer import apply_write_options
+    from kafka_delta_ingest_spark.table.writer import (
+        apply_constraints,
+        apply_write_options,
+    )
 
+    out = apply_constraints(out, snap.properties)
     w = apply_write_options(out.write.mode("overwrite"), snap.properties)
     if pkeys:
         w = w.partitionBy(*pkeys)
@@ -440,8 +444,12 @@ def _merge_clauses(
     pkeys = transforms.keys(snap.partition_cols)
     for c, e in transforms.derived_exprs(snap.partition_cols, snap.schema).items():
         out = out.withColumn(c, e)
-    from kafka_delta_ingest_spark.table.writer import apply_write_options
+    from kafka_delta_ingest_spark.table.writer import (
+        apply_constraints,
+        apply_write_options,
+    )
 
+    out = apply_constraints(out, snap.properties)
     wtr = apply_write_options(out.write.mode("overwrite"), snap.properties)
     if pkeys:
         wtr = wtr.partitionBy(*pkeys)

@@ -55,6 +55,39 @@ def apply_write_options(writer, properties: dict | None):
     return writer
 
 
+def table_constraints(properties: dict | None) -> dict[str, str]:
+    """``constraint.<name>`` table properties -> {name: boolean SQL expr}
+    (Delta CHECK-constraint semantics: every written row must satisfy
+    every expression)."""
+    return {
+        k[len("constraint."):]: str(v)
+        for k, v in (properties or {}).items()
+        if k.startswith("constraint.") and v
+    }
+
+
+def apply_constraints(df: DataFrame, properties: dict | None) -> DataFrame:
+    """Enforce CHECK constraints on rows flowing into a write — inline in
+    the write pipeline, NOT a separate validation pass: each constraint
+    becomes a ``assert_true`` guard inside a filter, evaluated per row as
+    the scan→write stream runs (zero extra jobs, zero extra reads; a
+    violation fails the WRITE, so nothing is ever committed — staging +
+    atomic log commit make the failed write invisible). NULL-handling
+    matches Delta: a NULL constraint result counts as a violation
+    (use explicit IS NULL disjuncts to permit nulls)."""
+    for name, expr in sorted(table_constraints(properties).items()):
+        cond = F.coalesce(F.expr(expr), F.lit(False))
+        df = df.where(
+            F.coalesce(
+                F.assert_true(
+                    cond, F.lit(f"CHECK constraint {name} violated: {expr}")
+                ),
+                F.lit(True),
+            )
+        )
+    return df
+
+
 def _enforce_schema(df: DataFrame, schema) -> DataFrame:
     """Schema-on-write enforcement: project + cast to the table schema,
     failing fast on missing columns (ref record_batch_from_json schema
@@ -89,7 +122,7 @@ def stage_dataframe(
     if properties is None:
         properties = table.snapshot().properties
     absd, _rel = table.new_data_dir()
-    out = _enforce_schema(df, schema)
+    out = apply_constraints(_enforce_schema(df, schema), properties)
     pkeys = transforms.keys(partition_cols)
     for k, expr in transforms.derived_exprs(partition_cols, schema).items():
         out = out.withColumn(k, expr)

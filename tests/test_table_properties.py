@@ -110,3 +110,42 @@ def test_bloom_filter_property_adds_footer_bytes(spark, tmp_path):
     # the bloom bitset is real bytes in the file (pyarrow doesn't expose
     # the offset, so presence is asserted via the size delta)
     assert bloomed > plain + 512
+
+
+def test_check_constraints_enforced_on_write(spark, tmp_path):
+    from kafka_delta_ingest_spark.maintenance.merge import merge_into
+
+    t = Table.create(
+        str(tmp_path / "t"), TOKENS_SCHEMA, [],
+        properties={
+            "constraint.ntok-positive": "n_tok >= 1",
+            "constraint.tokens-present": "tokens IS NOT NULL",
+        },
+    )
+    good = tokens_df(spark, 50, max_tok=8)
+    write_dataframe(spark, t, good)  # min n_tok is 1 -> passes
+    rows_before = t.snapshot().num_records()
+
+    bad = good.limit(5).withColumn(
+        "n_tok", F.when(F.col("doc_id") == good.limit(1).collect()[0]["doc_id"],
+                        F.lit(0)).otherwise(F.col("n_tok"))
+    )
+    with pytest.raises(Exception, match="ntok-positive"):
+        write_dataframe(spark, t, bad)
+    # failed write committed nothing (staging + atomic log)
+    assert t.snapshot().num_records() == rows_before
+
+    # NULL constraint result counts as a violation (Delta semantics)
+    nullbad = good.limit(3).withColumn(
+        "n_tok", F.lit(None).cast("int")
+    )
+    with pytest.raises(Exception, match="ntok-positive"):
+        write_dataframe(spark, t, nullbad)
+
+    # MERGE inserts are constrained too
+    ins = good.limit(2).withColumn(
+        "doc_id", F.concat(F.lit("new-"), "doc_id")
+    ).withColumn("n_tok", F.lit(-1))
+    with pytest.raises(Exception, match="ntok-positive"):
+        merge_into(spark, t, ins, key="doc_id")
+    assert t.snapshot().num_records() == rows_before
