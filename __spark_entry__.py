@@ -626,6 +626,46 @@ def q_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _scan_summary(incremental_scan(spark, t, from_version=1))
 
 
+def q_cdc_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-aggregate maintenance under ARBITRARY DML
+    (pipelines/incremental.py refresh_aggregate_cdc): bootstrap, then a
+    CoW UPDATE-like MERGE replacing docs %7==0 into a new 'moved' group,
+    a MOR DELETE of n_tok <= 20, and an interleaved full OPTIMIZE — the
+    refresh folds the signed row-level change feed (inserts/postimages
+    add, deletes/preimages subtract), never rescanning the source. The
+    oracle aggregates the post-DML state from scratch, so a missed
+    preimage, a double-counted moved doc, or OPTIMIZE leakage all
+    hash-mismatch."""
+    from kafka_delta_ingest_spark.maintenance.dml import delete_where
+    from kafka_delta_ingest_spark.maintenance.merge import merge_into
+    from kafka_delta_ingest_spark.maintenance.optimize import optimize
+    from kafka_delta_ingest_spark.pipelines.incremental import (
+        refresh_aggregate_cdc,
+    )
+    from kafka_delta_ingest_spark.table.format import Table
+
+    dest = _tmp_root("cdcagg_dst")
+    if os.path.exists(dest):
+        shutil.rmtree(dest)
+    t = _build_tokens_table(spark, sf_dir, _tmp_root("cdcagg_src"))
+    refresh_aggregate_cdc(spark, t, dest)
+    assert refresh_aggregate_cdc(spark, t, dest)["noop"]
+
+    did = F.col("doc_id").cast("long")
+    moved = (
+        tokens_from_documents(spark, sf_dir)
+        .where(did % 7 == 0)
+        .withColumn("source", F.lit("moved"))
+        .withColumn("tokens", F.transform("tokens", lambda x: x + F.lit(2)))
+    )
+    merge_into(spark, t, moved, key="doc_id")
+    delete_where(spark, t, [("n_tok", "<=", 20)], mode="merge_on_read")
+    optimize(spark, t, dims=["n_tok", "doc_id"], curve="zorder",
+             target_file_bytes=8 * 1024 * 1024)
+    refresh_aggregate_cdc(spark, t, dest)
+    return Table(dest).snapshot().scan(spark)
+
+
 def q_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-once incremental materialized-aggregate maintenance (the
     reference's consume-offsets-as-app-txns loop over table versions,
@@ -1810,6 +1850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wap_publish_scan": q_wap_publish_scan,
         "incremental_scan": q_incremental_scan,
         "incremental_agg_refresh": q_incremental_agg_refresh,
+        "cdc_agg_refresh": q_cdc_agg_refresh,
         "ledger_resume_scan": q_ledger_resume_scan,
         "manifest_stats": q_manifest_stats,
         "metadata_agg_scan": q_metadata_agg_scan,
@@ -2754,6 +2795,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_docs,
                    CAST(SUM(CAST(n_tok AS BIGINT)) AS BIGINT) AS n_tokens
             FROM ({_TOKENS_SQL})
+            GROUP BY source
+        """,
+        "cdc_agg_refresh": f"""
+            WITH s AS ({_TOKENS_SQL}),
+            post AS (
+                SELECT doc_id, n_tok,
+                       CASE WHEN CAST(doc_id AS BIGINT) % 7 = 0
+                            THEN 'moved' ELSE source END AS source
+                FROM s
+            )
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CAST(n_tok AS BIGINT)) AS BIGINT) AS n_tokens
+            FROM post WHERE n_tok > 20
             GROUP BY source
         """,
         "ledger_resume_scan": scan_sql,

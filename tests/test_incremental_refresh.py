@@ -80,3 +80,59 @@ def test_row_level_change_breaks_incrementality_full_refresh_recovers(
     )
     refresh_aggregate(spark, src, dest)
     assert _got(spark, dest) == _expected(spark, src)
+
+
+def test_cdc_refresh_survives_arbitrary_dml(spark, tmp_path):
+    """refresh_aggregate_cdc stays incremental across UPDATE-like MERGE,
+    MOR DELETE, appends, and a full OPTIMIZE — the signed change-feed
+    fold equals a from-scratch aggregate after every step."""
+    from kafka_delta_ingest_spark.maintenance.merge import merge_into
+    from kafka_delta_ingest_spark.maintenance.optimize import optimize
+    from kafka_delta_ingest_spark.pipelines.incremental import (
+        _partial,
+        refresh_aggregate_cdc,
+    )
+
+    src = Table.create(str(tmp_path / "src"), TOKENS_SCHEMA, ["source"])
+    write_dataframe(spark, src, tokens_df(spark, 300, max_tok=16).repartition(4))
+    dest_root = str(tmp_path / "agg")
+
+    def check():
+        got = {
+            r["source"]: (r["n_docs"], r["n_tokens"])
+            for r in Table(dest_root).snapshot().scan(spark).collect()
+        }
+        exp = {
+            r["source"]: (r["n_docs"], r["n_tokens"])
+            for r in _partial(src.snapshot().scan(spark), "source").collect()
+        }
+        assert got == exp
+
+    m0 = refresh_aggregate_cdc(spark, src, dest_root)  # bootstrap
+    assert not m0["noop"]
+    check()
+    # replay no-ops
+    assert refresh_aggregate_cdc(spark, src, dest_root)["noop"]
+
+    # MOR delete + group-moving MERGE (docs replaced with different n_tok
+    # AND a different source: signed rows land on both groups)
+    delete_where(spark, src, [("n_tok", "<=", 2)], mode="merge_on_read")
+    batch = (
+        tokens_df(spark, 20, max_tok=16, seed=9)
+        .withColumn("source", F.lit("moved"))
+    )
+    merge_into(spark, src, batch, key="doc_id")
+    refresh_aggregate_cdc(spark, src, dest_root)
+    check()
+
+    # appends + pure maintenance: OPTIMIZE must contribute nothing
+    write_dataframe(
+        spark, src,
+        tokens_df(spark, 50, max_tok=16, seed=5).withColumn(
+            "doc_id", F.concat(F.lit("n-"), "doc_id")
+        ),
+    )
+    optimize(spark, src, dims=["n_tok", "doc_id"], curve="zorder",
+             target_file_bytes=8 * 1024 * 1024)
+    refresh_aggregate_cdc(spark, src, dest_root)
+    check()
