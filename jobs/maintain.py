@@ -31,6 +31,7 @@ def main():
             "rewrite-deletes", "upsert", "plan", "auto",
             "branch", "drop-branch", "tag", "delete-tag", "publish", "refs",
             "evolve-partitioning", "set-properties", "partitions", "changes",
+            "describe",
         ],
     )
     p.add_argument(
@@ -270,6 +271,24 @@ def main():
         cols = transforms.split_spec(args.partition_cols)
         v = table.evolve_partitioning(cols)
         out = {"version": v, "partition_cols": cols}
+    elif args.op == "describe":
+        snap = table.snapshot()
+        out = {
+            "version": snap.version,
+            "schema": [
+                {"name": f.name, "type": f.dataType.simpleString(),
+                 "nullable": f.nullable}
+                for f in snap.schema.fields
+            ],
+            "partition_spec": snap.partition_cols,
+            "properties": snap.properties,
+            "files": len(snap.files),
+            "delete_files": len(snap.delete_entries),
+            "rows": snap.num_live_records(),
+            "bytes": snap.total_bytes(),
+            "branches": table.list_branches(),
+            "tags": table.list_tags(),
+        }
     elif args.op == "partitions":
         from kafka_delta_ingest_spark.table.inspect import partitions_df
 
