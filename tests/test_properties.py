@@ -121,3 +121,58 @@ def test_probe_cells_match_numpy_argsort(dim, k, n_probe, seed):
         sims.append((-float(qv @ c / (np.linalg.norm(qv) * np.linalg.norm(c))), cid))
     want = [cid for _, cid in sorted(sims)][:n_probe]
     assert got == want
+
+
+@given(st.text(min_size=1, max_size=60), st.integers(4, 16))
+@settings(max_examples=300, deadline=None)
+def test_string_stat_truncation_bounds_hold(s, lim):
+    """Truncated bounds stay VALID bounds for every value they covered:
+    min' <= v and max' >= v (strictly greater whenever truncation actually
+    shortened the bound)."""
+    from pyspark.sql import types as T
+
+    from kafka_delta_ingest_spark.table.stats import truncate_string_stats
+
+    schema = T.StructType([T.StructField("text", T.StringType())])
+    stats = {"min": {"text": s}, "max": {"text": s}, "null_count": {}}
+    out = truncate_string_stats(stats, schema, limit=lim)
+    lo, hi = out["min"]["text"], out["max"]["text"]
+    assert lo <= s
+    assert hi >= s
+    if len(s) > lim and len(hi) <= lim:
+        assert hi > s  # incremented prefix is a STRICT upper bound
+
+
+@given(
+    st.lists(st.text(min_size=1, max_size=12), min_size=1, max_size=30),
+    st.integers(2, 16),
+)
+@settings(max_examples=200, deadline=None)
+def test_bucket_transform_pruning_never_loses_the_match(doc_ids, n):
+    """Hidden-partitioning prune through bucket(N,doc_id): for every value,
+    the file recording its bucket is kept by an equality conjunct mapped
+    through the transform (conservative: may keep others, never loses)."""
+    from kafka_delta_ingest_spark.table import transforms
+
+    spec = [f"bucket({n},doc_id)"]
+    key = transforms.key(spec[0])
+    files = [
+        FileEntry(
+            path=f"data/b/f{i}.parquet",
+            size=1,
+            num_records=1,
+            partition_values={key: str(transforms.py_value(spec[0], v))},
+            stats={},
+        )
+        for i, v in enumerate(doc_ids)
+    ]
+    for i, v in enumerate(doc_ids):
+        kept = {f.path for f in prune_files(files, [("doc_id", "=", v)],
+                                            schema=None, spec=spec)}
+        assert files[i].path in kept
+        # and pruning actually happens when buckets differ
+        want = str(transforms.py_value(spec[0], v))
+        for j, w in enumerate(doc_ids):
+            got_b = str(transforms.py_value(spec[0], w))
+            if got_b != want:
+                assert files[j].path not in kept
