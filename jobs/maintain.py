@@ -31,8 +31,13 @@ def main():
             "rewrite-deletes", "upsert", "plan", "auto",
             "branch", "drop-branch", "tag", "delete-tag", "publish", "refs",
             "evolve-partitioning", "set-properties", "partitions", "changes",
-            "describe",
+            "describe", "optimize-partitions",
         ],
+    )
+    p.add_argument(
+        "--max-partitions", type=int, default=None,
+        help="for --op optimize-partitions: bound the sweep (most "
+        "fragmented first); rerun to continue",
     )
     p.add_argument(
         "--from-version", type=int, default=None,
@@ -271,6 +276,16 @@ def main():
         cols = transforms.split_spec(args.partition_cols)
         v = table.evolve_partitioning(cols)
         out = {"version": v, "partition_cols": cols}
+    elif args.op == "optimize-partitions":
+        from kafka_delta_ingest_spark.maintenance.orchestrate import (
+            optimize_partitions,
+        )
+
+        out = optimize_partitions(
+            spark, table, dims=args.dims.split(","),
+            target_file_bytes=args.target_file_bytes,
+            max_partitions=args.max_partitions, job_id=args.job_id,
+        )
     elif args.op == "describe":
         snap = table.snapshot()
         out = {
