@@ -175,3 +175,30 @@ def test_plan_never_loses_files_with_stray_stats(spark, tmp_path):
     t.commit(Transaction(operation="append", adds=adds))
     kept = _parity(spark, t, [("n_tok", ">=", 1)])
     assert adds[0].path in kept
+
+
+def test_scan_planned_mixed_specs(spark, tmp_path):
+    """scan_planned groups survivors by each file's RECORDED spec, so a
+    table mid-partition-evolution (old files source-in-path, new files
+    bucket-keyed) reads correctly through the distributed planner."""
+    from kafka_delta_ingest_spark.plans.distributed_planning import (
+        scan_planned,
+    )
+    from kafka_delta_ingest_spark.table.writer import write_dataframe as wdf
+
+    t = Table.create(str(tmp_path / "t"), TOKENS_SCHEMA, ["source"])
+    a = tokens_df(spark, 100, max_tok=8)
+    wdf(spark, t, a)
+    t.evolve_partitioning(["bucket(4,doc_id)"])
+    b = tokens_df(spark, 100, max_tok=8, seed=77).withColumn(
+        "doc_id", F.concat(F.lit("x"), "doc_id")
+    )
+    wdf(spark, t, b)
+    snap = t.snapshot()
+    assert {frozenset(f.partition_values) for f in snap.files} == {
+        frozenset({"source"}), frozenset({"doc_id_bucket_4"})
+    }
+    exp = {(r["doc_id"], r["source"]) for r in snap.scan(spark).collect()}
+    got = {(r["doc_id"], r["source"])
+           for r in scan_planned(spark, t, []).collect()}
+    assert got == exp and len(got) == 200

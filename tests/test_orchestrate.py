@@ -69,3 +69,26 @@ def test_sweep_respects_max_partitions(spark, tmp_path):
     )
     assert m["partitions_optimized"] == 1
     assert len(fragmented_partitions(spark, t, TARGET, min_files=4)) == n_frag - 1
+
+
+def test_sweep_on_hidden_partitioned_table(spark, tmp_path):
+    """The sweep's scope conjuncts are on recorded partition KEYS —
+    including transform-derived ones (doc_id_bucket_N) — so hidden-
+    partitioned tables sweep per bucket."""
+    t = Table.create(str(tmp_path / "t"), TOKENS_SCHEMA, ["bucket(3,doc_id)"])
+    df = tokens_df(spark, 300, max_tok=8)
+    for i in range(5):
+        write_dataframe(spark, t, df.where(
+            F.substring("doc_id", 5, 12).cast("long") % 5 == i))
+    before = _rows(t.snapshot().scan(spark))
+    frag = fragmented_partitions(spark, t, TARGET, min_files=4)
+    assert frag and all(
+        set(c["partition"]) == {"doc_id_bucket_3"} for c in frag
+    )
+    m = optimize_partitions(
+        spark, t, dims=["n_tok", "doc_id"], target_file_bytes=TARGET,
+        min_files=4,
+    )
+    assert m["partitions_optimized"] == len(frag)
+    assert _rows(t.snapshot().scan(spark)) == before
+    assert not fragmented_partitions(spark, t, TARGET, min_files=4)
