@@ -1779,6 +1779,23 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized training windows (operators/packing.py pack_tokens):
+    the derived corpus concatenates in doc_id order with an EOS token
+    per document and chunks into 512-token windows — each document
+    splits row-locally into window-aligned segments (no per-token
+    explode), ONE hash shuffle groups segments by window, array_sort
+    reassembles. The oracle rebuilds every window from the global token
+    stream (cumsum offsets + per-position window assignment), so a
+    misplaced segment, a broken boundary split, or an out-of-order
+    flatten all hash-mismatch."""
+    from kafka_delta_ingest_spark.operators.packing import pack_tokens
+
+    return pack_tokens(
+        tokens_from_documents(spark, sf_dir), budget=512, eos=0
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing: documents in doc_id order are
     virtually concatenated and cut into 512-token context windows; each
@@ -1909,6 +1926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "span_dedup": q_span_dedup,
         "pack_sequences": q_pack_sequences,
+        "pack_tokens": q_pack_tokens,
         "pack_docs_bfd": q_pack_docs_bfd,
         "unigram_freq": q_unigram_freq,
         "bigram_lm": q_bigram_lm,
@@ -3377,6 +3395,52 @@ def oracle_sql() -> dict[str, str]:
         """,
         "span_dedup": _SPAN_DEDUP_SQL.format(norm=_NORM_SQL, k=8),
         "pack_sequences": _PACK_SEQUENCES_SQL.format(tokcnt=_TOKCNT_SQL, b=512),
+        # packed windows rebuilt from the global token stream: pack each
+        # (gpos, tok) into one BIGINT (tok < 50021 + eos 0 fit 16 bits) so
+        # the unnest stays scalar; window = gpos // 512, reassembly =
+        # list(tok ORDER BY gpos); contributors counted per spanned window
+        "pack_tokens": f"""
+            WITH t AS ({_TOKENS_SQL}),
+            d AS (SELECT doc_id, list_append(tokens, 0) AS arr FROM t),
+            o AS (
+                SELECT doc_id, arr,
+                       CAST(COALESCE(SUM(len(arr)) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS BIGINT) AS start
+                FROM d
+            ),
+            p AS (
+                SELECT unnest(list_transform(
+                    range(1, len(arr) + 1),
+                    i -> (start + i - 1) * 65536 + arr[i]
+                )) AS pk
+                FROM o
+            ),
+            w AS (
+                SELECT CAST((pk // 65536) // 512 AS BIGINT) AS seq_id,
+                       CAST(pk % 65536 AS INTEGER) AS tok,
+                       pk // 65536 AS gpos
+                FROM p
+            ),
+            wins AS (
+                SELECT seq_id, list(tok ORDER BY gpos) AS tokens,
+                       CAST(COUNT(*) AS BIGINT) AS n_tok
+                FROM w GROUP BY seq_id
+            ),
+            nd AS (
+                SELECT unnest(range(start // 512,
+                                    (start + len(arr) - 1) // 512 + 1))
+                           AS seq_id
+                FROM o WHERE len(arr) > 0
+            ),
+            ndc AS (
+                SELECT seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs
+                FROM nd GROUP BY seq_id
+            )
+            SELECT wins.seq_id, wins.tokens, wins.n_tok, ndc.n_docs
+            FROM wins JOIN ndc USING (seq_id)
+        """,
         # unigram LM scoring: per-word double division (IEEE-identical),
         # DECIMAL(18,6) per row, exact order-free sum, final mean as one
         # deterministic double division — no ROUND(SUM(double)) anywhere.

@@ -286,3 +286,116 @@ def length_buckets(
         )
         .withColumn("trunc_tokens", F.col("sum_tokens") - F.col("kept_tokens"))
     )
+
+
+def pack_tokens(
+    df: DataFrame,
+    budget: int = 2048,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    eos: int | None = None,
+    pad: int | None = None,
+    order_col: str | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """Materialize the packed training windows themselves — the export
+    step after ``pack_sequences``'s offset plan: the corpus concatenates
+    in deterministic ``order_col`` order (optionally with an ``eos``
+    token after each document) and chunks into ``budget``-token windows.
+
+    Scale shape: each document splits ROW-LOCALLY into its
+    window-aligned segments (a doc spanning k windows emits k slices via
+    sequence+transform — pure Catalyst, no per-token explode), then ONE
+    hash shuffle groups segments by window id and an array_sort-by-offset
+    flatten reassembles each window in order. Token arrays cross the
+    wire exactly once. ``pad`` right-pads the final short window.
+
+    Returns ``(seq_id, tokens, n_tok, n_docs)`` where ``n_tok`` is the
+    unpadded token count and ``n_docs`` the number of documents
+    contributing to the window."""
+    b = int(budget)
+    if b <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    arr = F.col(tokens_col).cast("array<int>")
+    if eos is not None:
+        arr = F.concat(arr, F.array(F.lit(int(eos)).cast("int")))
+    work = df.select(F.col(id_col), arr.alias("_arr")).withColumn(
+        "_w", F.size("_arr").cast("long")
+    )
+    offs = pack_sequences(
+        work, id_col=id_col, weight_col="_w", budget=b,
+        order_col=order_col, materialize=materialize,
+    ).select(id_col, "start_off")
+    j = work.where(F.col("_w") > 0).join(offs, id_col)
+
+    # segment expansion: one row per (doc, window) pair the doc touches;
+    # each segment carries its in-window offset so reassembly is a sort
+    segs = (
+        j.select(
+            F.col("start_off"),
+            F.col("_w"),
+            F.col("_arr"),
+            F.explode(
+                F.sequence(
+                    F.expr(f"start_off DIV {b}"),
+                    F.expr(f"(start_off + _w - 1) DIV {b}"),
+                )
+            ).alias("_k"),
+        )
+        .select(
+            F.col("_k").alias("seq_id"),
+            F.greatest(
+                F.col("_k") * b - F.col("start_off"), F.lit(0).cast("long")
+            ).alias("_loc"),
+            (
+                F.least(F.col("_w"), (F.col("_k") + 1) * b - F.col("start_off"))
+                - F.greatest(
+                    F.col("_k") * b - F.col("start_off"),
+                    F.lit(0).cast("long"),
+                )
+            ).alias("_take"),
+            (
+                F.greatest(
+                    F.col("start_off") - F.col("_k") * b, F.lit(0).cast("long")
+                )
+            ).cast("int").alias("off"),
+            "_arr",
+        )
+        .select(
+            "seq_id",
+            "off",
+            F.slice(
+                F.col("_arr"), (F.col("_loc") + 1).cast("int"),
+                F.col("_take").cast("int"),
+            ).alias("seg"),
+        )
+    )
+    wins = segs.groupBy("seq_id").agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("off", "seg"))),
+                lambda s: s["seg"],
+            )
+        ).alias("tokens"),
+        F.count("*").alias("n_docs"),
+    )
+    out = wins.select(
+        "seq_id",
+        "tokens",
+        F.size("tokens").cast("long").alias("n_tok"),
+        "n_docs",
+    )
+    if pad is not None:
+        out = out.withColumn(
+            "tokens",
+            F.when(
+                F.size("tokens") < b,
+                F.concat(
+                    "tokens",
+                    F.array_repeat(
+                        F.lit(int(pad)).cast("int"), b - F.size("tokens")
+                    ),
+                ),
+            ).otherwise(F.col("tokens")),
+        )
+    return out.select("seq_id", "tokens", "n_tok", "n_docs")

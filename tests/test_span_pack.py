@@ -231,3 +231,56 @@ def test_pack_docs_bfd_invariants(spark):
         df.repartition(17), budget=512, docs_per_bucket=1000, salt="t"
     ).collect()
     assert {tuple(r) for r in again} == {tuple(r) for r in out}
+
+
+def test_pack_tokens_materializes_exact_windows(spark):
+    from kafka_delta_ingest_spark.datagen import tokens_df
+    from kafka_delta_ingest_spark.operators.packing import pack_tokens
+
+    rows = [
+        ("a", [1, 2, 3]),
+        ("b", [4, 5, 6, 7, 8]),
+        ("c", [9]),
+        ("d", []),          # empty doc contributes nothing
+        ("e", [10, 11]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    # stream in doc_id order: 1 2 3 | 4 5 6 7 8 | 9 | 10 11  (11 tokens)
+    got = {r["seq_id"]: (r["tokens"], r["n_tok"], r["n_docs"])
+           for r in pack_tokens(df, budget=4).collect()}
+    assert got == {
+        0: ([1, 2, 3, 4], 4, 2),
+        1: ([5, 6, 7, 8], 4, 1),
+        # 'd' is empty and (without eos) occupies zero tokens -> it is
+        # not a contributing doc; n_docs counts contributors only
+        2: ([9, 10, 11], 3, 2),
+    }
+
+    # eos: stream 1 2 3 E | 4 5 6 7 | 8 E 9 E | E 10 11 E — an empty doc
+    # now occupies its EOS and counts as a contributor
+    got2 = {r["seq_id"]: (r["tokens"], r["n_tok"], r["n_docs"])
+            for r in pack_tokens(df, budget=4, eos=0).collect()}
+    assert got2 == {
+        0: ([1, 2, 3, 0], 4, 1),
+        1: ([4, 5, 6, 7], 4, 1),
+        2: ([8, 0, 9, 0], 4, 2),
+        3: ([0, 10, 11, 0], 4, 2),
+    }
+
+    # pad: budget 5 leaves a short final window -> right-padded, n_tok
+    # stays the pre-pad count
+    got3 = {r["seq_id"]: (r["tokens"], r["n_tok"], r["n_docs"])
+            for r in pack_tokens(df, budget=5, eos=0, pad=-1).collect()}
+    assert got3[3] == ([0, -1, -1, -1, -1], 1, 1)  # trailing EOS + padding
+
+    # global reassembly invariant at a bigger scale: concatenating all
+    # windows in seq order equals the concatenated corpus in doc order
+    big = tokens_df(spark, 200, max_tok=17)
+    wins = pack_tokens(big, budget=64).collect()
+    stream = []
+    for r in sorted(wins, key=lambda r: r["seq_id"]):
+        stream.extend(r["tokens"])
+    exp = []
+    for r in sorted(big.collect(), key=lambda r: r["doc_id"]):
+        exp.extend(r["tokens"])
+    assert stream == exp
