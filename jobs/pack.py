@@ -31,6 +31,17 @@ def main() -> None:
     p.add_argument("--weight-col", default="n_tok")
     p.add_argument("--text-col", default="text")
     p.add_argument("--budget", type=int, default=2048)
+    p.add_argument(
+        "--materialize", action="store_true",
+        help="emit the packed WINDOWS themselves (seq_id, tokens, n_tok, "
+        "n_docs) via pack_tokens instead of per-document assignments; "
+        "--input must carry a tokens array column",
+    )
+    p.add_argument("--tokens-col", default="tokens")
+    p.add_argument("--eos", type=int, default=None,
+                   help="EOS token id appended per document (materialize)")
+    p.add_argument("--pad", type=int, default=None,
+                   help="pad token id for the final short window (materialize)")
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -41,6 +52,27 @@ def main() -> None:
 
     spark = SparkSession.builder.getOrCreate()
     docs = spark.read.parquet(args.input)
+    if args.materialize:
+        from kafka_delta_ingest_spark.operators.packing import pack_tokens
+
+        wins = pack_tokens(
+            docs, budget=args.budget, id_col=args.id_col,
+            tokens_col=args.tokens_col, eos=args.eos, pad=args.pad,
+        )
+        wins.write.mode("overwrite").parquet(args.output)
+        stats = spark.read.parquet(args.output).agg(
+            F.count(F.lit(1)).alias("windows"),
+            F.sum("n_tok").alias("tokens"),
+        ).collect()[0]
+        print(json.dumps({
+            "windows": int(stats["windows"]),
+            "tokens": int(stats["tokens"]),
+            "budget": args.budget,
+            "fill": round(
+                int(stats["tokens"]) / (int(stats["windows"]) * args.budget), 4
+            ),
+        }))
+        return
     if args.weight_col not in docs.columns:
         docs = docs.select(
             F.col(args.id_col), token_count(args.text_col).alias(args.weight_col)
