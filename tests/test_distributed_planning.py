@@ -202,3 +202,26 @@ def test_scan_planned_mixed_specs(spark, tmp_path):
     got = {(r["doc_id"], r["source"])
            for r in scan_planned(spark, t, []).collect()}
     assert got == exp and len(got) == 200
+
+
+def test_prune_parity_temporal_transform(spark, tmp_path):
+    """day(ts) hidden partitioning: equality AND range conjuncts on the
+    source column map through the transform identically on both paths."""
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("v", T.LongType()),
+    ])
+    t = Table.create(str(tmp_path / "t"), schema, ["day(ts)"])
+    rows = [
+        (f"d{i}", dt.datetime(2024, 3, 1 + i % 5, 6 + i % 12), i)
+        for i in range(80)
+    ]
+    write_dataframe(spark, t, spark.createDataFrame(rows, schema))
+    for conj in (
+        [("ts", "=", dt.datetime(2024, 3, 2, 9))],
+        [("ts", ">=", dt.datetime(2024, 3, 4))],
+        [("ts", "<", dt.datetime(2024, 3, 2))],
+    ):
+        kept = _parity(spark, t, conj)
+        assert 0 < len(kept) < len(t.snapshot().files)
