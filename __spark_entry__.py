@@ -1670,6 +1670,37 @@ def q_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_groups(pairs)
 
 
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware held-out split (operators/sampling.py
+    leakage_safe_split): membership hashes each doc's near-dup GROUP
+    representative (connected-component min id; singletons represent
+    themselves), so a duplicate cluster moves into train or holdout as
+    one unit — the leakage failure of naive doc-hash splits is
+    impossible by construction (asserted in-query: every group is
+    entirely on one side). Pairs come from the exact n-gram-Jaccard
+    pipeline and membership uses the md5 family, so the oracle replays
+    BOTH the group closure and the membership hash exactly."""
+    from kafka_delta_ingest_spark.operators.dedup import ngram_jaccard_pairs
+    from kafka_delta_ingest_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.8)
+    out = leakage_safe_split(
+        d.select("doc_id", "source"), pairs, rate=0.2, salt="r3h",
+        family="md5",
+    )
+    mixed = (
+        out.groupBy("split_key")
+        .agg(F.countDistinct("in_holdout").alias("sides"))
+        .where(F.col("sides") > 1)
+        .count()
+    )
+    assert mixed == 0  # no group straddles the split
+    return out.select("doc_id", "source", "split_key", "in_holdout")
+
+
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs, md5 hash family: grams hash to md5 and vote
     with the 60-bit hex prefix, so DuckDB replays signature assembly,
@@ -1918,6 +1949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_dedup": q_ingest_dedup,
         "minhash_near_dups_fast": q_minhash_near_dups_fast,
         "near_dup_groups": q_near_dup_groups,
+        "leakage_safe_split": q_leakage_safe_split,
         "simhash_near_dups": q_simhash_near_dups,
         "simhash_near_dups_fast": q_simhash_near_dups_fast,
         "ngram_jaccard": q_ngram_jaccard,
@@ -3574,6 +3606,43 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT n AS doc_id, LEAST(n, MIN(m)) AS group_id
             FROM reach GROUP BY n
+        """,
+        # dedup-aware split: group closure (same recursive CTE) + md5
+        # membership on the group representative
+        "leakage_safe_split": f"""
+            WITH RECURSIVE pairs AS MATERIALIZED (
+              SELECT id_a, id_b FROM ({_NGRAM_JACCARD_SQL.format(
+                  norm=_NORM_SQL, nm1=2, max_df=200, threshold=0.8)}) t
+            ),
+            edges AS MATERIALIZED (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs
+            ),
+            reach(n, m) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT reach.n, e.b FROM reach JOIN edges e ON reach.m = e.a
+            ),
+            g AS (
+              SELECT n AS doc_id, LEAST(n, MIN(m)) AS group_id
+              FROM reach GROUP BY n
+            ),
+            keyed AS (
+              SELECT d.doc_id, d.source,
+                     CAST(COALESCE(g.group_id, d.doc_id) AS VARCHAR)
+                         AS split_key
+              FROM documents d LEFT JOIN g USING (doc_id)
+            ),
+            h AS (
+              SELECT doc_id, source, split_key,
+                     md5('r3h|' || split_key) AS hx
+              FROM keyed
+            )
+            SELECT doc_id, source, split_key,
+                   (CAST({_nibble_long_sql("hx")} AS DOUBLE) / 4294967296.0
+                    < 0.2) AS in_holdout
+            FROM h
         """,
         "embedding_near_dups_exact": """
             SELECT id_a, id_b, ROUND(cos, 5) AS cos_r FROM (

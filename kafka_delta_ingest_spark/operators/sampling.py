@@ -348,3 +348,44 @@ def domain_cap(
         .where(F.col("_dc_rank") <= cap_expr)
         .drop("_dc_rank")
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    rate: float,
+    id_col: str = "doc_id",
+    pair_a: str = "id_a",
+    pair_b: str = "id_b",
+    salt: str = "split",
+    family: str = "xxhash64",
+) -> DataFrame:
+    """Held-out split that near-duplicate GROUPS never straddle.
+
+    The classic leakage failure of doc-hash splits: a near-duplicate of
+    a held-out document hashes independently and lands in train, so the
+    eval set is contaminated by construction. Here membership is a hash
+    of the document's GROUP representative — the connected-component min
+    id from ``near_dup_groups`` over the verified near-dup pairs;
+    singleton docs represent themselves — so an entire duplicate cluster
+    moves as one unit. Deterministic (same salt ⇒ same split on any
+    cluster), one broadcast-scale join (the group table is pairs-sized,
+    tiny next to the corpus at web scale).
+
+    Returns the docs columns + ``split_key`` (the representative, as a
+    string) + ``in_holdout`` boolean (fraction < rate)."""
+    from kafka_delta_ingest_spark.operators.dedup import near_dup_groups
+
+    groups = near_dup_groups(pairs, pair_a, pair_b).select(
+        F.col("doc_id").alias(id_col), F.col("group_id")
+    )
+    out = docs.join(groups, id_col, "left").withColumn(
+        "split_key",
+        F.coalesce(F.col("group_id").cast("string"),
+                   F.col(id_col).cast("string")),
+    ).drop("group_id")
+    return out.withColumn(
+        "in_holdout",
+        hash_fraction([F.col("split_key")], salt=salt, family=family)
+        < F.lit(float(rate)),
+    )

@@ -769,3 +769,25 @@ def test_bpe_apply_reproduces_training_end_state(spark):
         "b": [102, 100],        # [1,2,3,1,2] -> [100,3,100] -> [102,100]
         "c": [101, 101],        # [1,1,1,1] -> greedy (1,1) twice
     }
+
+
+def test_leakage_safe_split_groups_never_straddle(spark, docs):
+    from kafka_delta_ingest_spark.operators.dedup import minhash_near_dups
+    from kafka_delta_ingest_spark.operators.sampling import leakage_safe_split
+
+    pairs = minhash_near_dups(docs, "doc_id", "text", jaccard_threshold=0.5)
+    out = leakage_safe_split(
+        docs.select("doc_id", "source"), pairs, rate=0.5, salt="t"
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # docs 1, 2, 3 are one near-dup cluster: same key, same side
+    keys = {by_id[i]["split_key"] for i in (1, 2, 3)}
+    sides = {by_id[i]["in_holdout"] for i in (1, 2, 3)}
+    assert len(keys) == 1 and len(sides) == 1
+    # singletons represent themselves
+    assert by_id[6]["split_key"] == "6"
+    # deterministic: rerun gives the identical split
+    again = {r["doc_id"]: r["in_holdout"] for r in leakage_safe_split(
+        docs.select("doc_id", "source"), pairs, rate=0.5, salt="t"
+    ).collect()}
+    assert again == {r["doc_id"]: r["in_holdout"] for r in out}
