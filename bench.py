@@ -57,9 +57,17 @@ def build_bench_table(spark, root: str):
 
         shutil.copytree(src, root)
         return Table(root)
+    # KDI_BENCH_COMPRESSION exercises the round-3 table property on the
+    # bench workload (write.parquet.compression — zstd trades CPU for
+    # bytes, which matters when the host's shared memory bandwidth, not
+    # CPU, is the scaling ceiling)
+    props = None
+    comp = os.environ.get("KDI_BENCH_COMPRESSION")
+    if comp:
+        props = {"write.parquet.compression": comp}
     return make_small_file_table(
         spark, root, n_docs=N_DOCS, n_files=N_SMALL_FILES, seed=42,
-        partition_by_source=True, max_tok=MAX_TOK,
+        partition_by_source=True, max_tok=MAX_TOK, properties=props,
     )
 
 

@@ -79,6 +79,7 @@ def make_small_file_table(
     seed: int = 42,
     partition_by_source: bool = True,
     max_tok: int = 256,
+    properties: dict | None = None,
 ):
     """Create a tokens Table seeded with *many small files* — the
     compaction workload (a fragmented ingest, i.e. what the reference's
@@ -88,8 +89,11 @@ def make_small_file_table(
     from kafka_delta_ingest_spark.table.writer import stage_dataframe
 
     pcols = ["source"] if partition_by_source else []
-    table = Table.create(root, TOKENS_SCHEMA, pcols)
+    table = Table.create(root, TOKENS_SCHEMA, pcols, properties=properties)
     df = tokens_df(spark, n_docs, seed=seed, max_tok=max_tok).repartition(n_files)
-    _, adds = stage_dataframe(spark, table, df, pcols, TOKENS_SCHEMA)
+    _, adds = stage_dataframe(
+        spark, table, df, pcols, TOKENS_SCHEMA,
+        properties=table.snapshot().properties,
+    )
     table.commit(Transaction(operation="append", adds=adds))
     return table
