@@ -31,7 +31,7 @@ def main():
             "rewrite-deletes", "upsert", "plan", "auto",
             "branch", "drop-branch", "tag", "delete-tag", "publish", "refs",
             "evolve-partitioning", "set-properties", "partitions", "changes",
-            "describe", "optimize-partitions",
+            "describe", "optimize-partitions", "plan-files",
         ],
     )
     p.add_argument(
@@ -276,6 +276,20 @@ def main():
         cols = transforms.split_spec(args.partition_cols)
         v = table.evolve_partitioning(cols)
         out = {"version": v, "partition_cols": cols}
+    elif args.op == "plan-files":
+        # distributed scan planning: executors prune the checkpoint
+        # manifest; only survivors are collected (plans/distributed_planning)
+        from kafka_delta_ingest_spark.plans.distributed_planning import (
+            plan_scan_paths,
+        )
+
+        paths = plan_scan_paths(spark, table, scope or [])
+        out = {
+            "files_matching": len(paths),
+            "files_total": len(table.snapshot().files),
+            "paths": paths[:50],
+            "truncated": len(paths) > 50,
+        }
     elif args.op == "optimize-partitions":
         from kafka_delta_ingest_spark.maintenance.orchestrate import (
             optimize_partitions,
