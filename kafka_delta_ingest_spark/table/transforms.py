@@ -195,6 +195,10 @@ def derived_conjuncts(
                 continue
             if op in ("=", "=="):
                 extra.append((key(e), "=", str(py_value(e, lit))))
+            elif op == "in":
+                extra.append(
+                    (key(e), "in", [str(py_value(e, v)) for v in lit])
+                )
             elif kind in TIME_KINDS and op in (">", ">=", "<", "<="):
                 # floor transform: both bounds become inclusive on the key
                 relaxed = {">": ">=", "<": "<="}.get(op, op)

@@ -272,3 +272,26 @@ def test_evolve_to_bucket_spec_mixed_scan(spark, tmp_path):
         frozenset({"doc_id_bucket_4"})
     }
     assert _rows(snap2.scan(spark)) == {**before, **_rows(add)}
+
+
+def test_in_conjunct_maps_through_bucket(spark, tmp_path):
+    t = Table.create(str(tmp_path / "t"), TOKENS_SCHEMA, ["bucket(8,doc_id)"])
+    df = tokens_df(spark, 200, max_tok=4).repartition(4)
+    write_dataframe(spark, t, df)
+    snap = t.snapshot()
+    ids = sorted(_rows(df))[:3]
+    want = {str(transforms.py_value("bucket(8,doc_id)", v)) for v in ids}
+    from kafka_delta_ingest_spark.plans.pruning import prune_files
+
+    kept = prune_files(snap.files, [("doc_id", "in", ids)], snap.schema,
+                       spec=snap.partition_cols)
+    got = {f.partition_values["doc_id_bucket_8"] for f in kept}
+    assert got == want and len(kept) < len(snap.files)
+    # distributed path agrees file-for-file
+    from kafka_delta_ingest_spark.plans.distributed_planning import (
+        plan_scan_paths,
+    )
+
+    assert set(plan_scan_paths(spark, t, [("doc_id", "in", ids)])) == {
+        f.path for f in kept
+    }
