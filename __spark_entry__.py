@@ -1670,6 +1670,20 @@ def q_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_groups(pairs)
 
 
+def q_near_dup_group_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster census (group_size -> n_groups) over the n-gram
+    Jaccard near-dup graph — the dedup run's first diagnostic. Oracle
+    replays the pair pipeline + recursive closure + double aggregation."""
+    from kafka_delta_ingest_spark.operators.dedup import (
+        near_dup_group_sizes,
+        ngram_jaccard_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.8)
+    return near_dup_group_sizes(pairs)
+
+
 def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-aware held-out split (operators/sampling.py
     leakage_safe_split): membership hashes each doc's near-dup GROUP
@@ -1950,6 +1964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups_fast": q_minhash_near_dups_fast,
         "near_dup_groups": q_near_dup_groups,
         "leakage_safe_split": q_leakage_safe_split,
+        "near_dup_group_sizes": q_near_dup_group_sizes,
         "simhash_near_dups": q_simhash_near_dups,
         "simhash_near_dups_fast": q_simhash_near_dups_fast,
         "ngram_jaccard": q_ngram_jaccard,
@@ -3606,6 +3621,32 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT n AS doc_id, LEAST(n, MIN(m)) AS group_id
             FROM reach GROUP BY n
+        """,
+        "near_dup_group_sizes": f"""
+            WITH RECURSIVE pairs AS MATERIALIZED (
+              SELECT id_a, id_b FROM ({_NGRAM_JACCARD_SQL.format(
+                  norm=_NORM_SQL, nm1=2, max_df=200, threshold=0.8)}) t
+            ),
+            edges AS MATERIALIZED (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs
+            ),
+            reach(n, m) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT reach.n, e.b FROM reach JOIN edges e ON reach.m = e.a
+            ),
+            g AS (
+              SELECT n AS doc_id, LEAST(n, MIN(m)) AS group_id
+              FROM reach GROUP BY n
+            ),
+            sizes AS (
+              SELECT group_id, CAST(COUNT(*) AS BIGINT) AS group_size
+              FROM g GROUP BY group_id
+            )
+            SELECT group_size, CAST(COUNT(*) AS BIGINT) AS n_groups
+            FROM sizes GROUP BY group_size
         """,
         # dedup-aware split: group closure (same recursive CTE) + md5
         # membership on the group representative

@@ -972,3 +972,21 @@ def span_dedup(
     if not materialize:
         return out
     return _finalize(out)
+
+
+def near_dup_group_sizes(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """Duplicate-cluster census: (group_size, n_groups) over the
+    connected components of the near-dup pair graph — the first
+    diagnostic every dedup run reports (a fat tail of huge clusters
+    means boilerplate/templates; many 2-clusters means true near-dups).
+    Runs on the groups table (pairs-sized), never the corpus."""
+    g = near_dup_groups(pairs, id_a, id_b)
+    return (
+        g.groupBy("group_id")
+        .agg(F.count("*").alias("group_size"))
+        .groupBy("group_size")
+        .agg(F.count("*").alias("n_groups"))
+        .orderBy("group_size")
+    )
