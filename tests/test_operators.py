@@ -791,3 +791,16 @@ def test_leakage_safe_split_groups_never_straddle(spark, docs):
         docs.select("doc_id", "source"), pairs, rate=0.5, salt="t"
     ).collect()}
     assert again == {r["doc_id"]: r["in_holdout"] for r in out}
+
+
+def test_near_dup_group_sizes(spark, docs):
+    from kafka_delta_ingest_spark.operators.dedup import (
+        minhash_near_dups,
+        near_dup_group_sizes,
+    )
+
+    pairs = minhash_near_dups(docs, "doc_id", "text", jaccard_threshold=0.5)
+    dist = {r["group_size"]: r["n_groups"]
+            for r in near_dup_group_sizes(pairs).collect()}
+    # docs 1,2,3 form one 3-cluster; no other pairs
+    assert dist == {3: 1}
