@@ -159,6 +159,53 @@ def deserialize_confluent_avro(
     return out.drop("_magic", "_sid", "_body")
 
 
+def deserialize_confluent_json(
+    df: DataFrame, resolver=None, bytes_col: str = "bytes"
+) -> DataFrame:
+    """JSON-via-schema-registry wire format — the reference's
+    ``JsonDeserializer::from_schema_registry``
+    (/root/reference/src/serialization.rs:244-293, delegating to the
+    public schema_registry_converter EasyJsonDecoder): each message is
+    the Confluent frame (magic 0x00 + 4-byte big-endian schema id) around
+    a UTF-8 **JSON** body, not Avro.
+
+    Unlike the Avro variant the body needs no schema to decode, so the
+    hot path is pure Catalyst: frame split + utf-8 cast, zero Python.
+    ``resolver(schema_id) -> schema JSON`` (e.g. a
+    :class:`SchemaRegistryClient`) is consulted once per DISTINCT live id
+    — rows whose id does not resolve get a null ``value`` (→ DLQ),
+    matching the Avro variant's dead-letter stance; pass ``resolver=None``
+    to skip registry involvement entirely (frame-strip only). Bad magic →
+    null ``value`` → DLQ."""
+    parts = confluent_wire_parts(bytes_col)
+    with_parts = (
+        df.withColumn("_magic", parts["magic"])
+        .withColumn("_sid", parts["schema_id"])
+        .withColumn("_body", parts["body"])
+    )
+    ok = F.col("_magic") == 0
+    if resolver is not None:
+        ids = [
+            r["_sid"]
+            for r in with_parts.select("_sid").where(ok).distinct().collect()
+        ]
+        resolved = []
+        for i in ids:
+            try:
+                resolver(int(i))
+                resolved.append(int(i))
+            except Exception:  # noqa: BLE001 — unresolvable id → rows DLQ
+                pass
+        ok = ok & F.col("_sid").isin(resolved) if resolved else F.lit(False)
+    out = with_parts.withColumn(
+        "value",
+        F.when(ok, F.col("_body").cast("string")).otherwise(
+            F.lit(None).cast("string")
+        ),
+    )
+    return out.drop("_magic", "_sid", "_body")
+
+
 def confluent_wire_parts(bytes_col: str = "bytes") -> dict[str, Column]:
     """Parse the Confluent schema-registry wire format: magic byte 0x00,
     4-byte big-endian schema id, then the Avro body

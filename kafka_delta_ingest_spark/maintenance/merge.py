@@ -125,7 +125,8 @@ def _touched_files(spark: SparkSession, snap, source: DataFrame, key: str) -> li
         for row in manifest
         if (row[1] is None or row[2] is None) and all(v is None for v in row[3:])
     ]
-    ranged = [r for r in manifest if r[0] not in set(no_stats)]
+    ns = set(no_stats)
+    ranged = [r for r in manifest if r[0] not in ns]
     if not ranged:
         return sorted(set(no_stats))
     pv_names = [f"pv{i}" for i in range(len(pentries))]

@@ -49,11 +49,87 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def real_decode(payload: bytes, kind: str) -> np.ndarray:
-    """Real decoder — requires PIL / soundfile / av, not present here."""
+    """Real decoder. Uncompressed formats that need no external libraries
+    — BMP (24/32-bit, BITMAPINFOHEADER) and PCM WAV — are decoded here in
+    pure Python/numpy, so the mapInPandas plumbing is exercised on real
+    media bytes even in this container. Compressed formats (PNG/JPEG/MP3/
+    MP4...) require PIL / soundfile / av, not present here."""
+    if payload is not None and len(payload) >= 12:
+        b = bytes(payload)
+        if b[:2] == b"BM":
+            return decode_bmp(b).reshape(-1).astype(np.float32)
+        if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+            samples, _rate = decode_wav(b)
+            return samples.astype(np.float32)
     raise NotImplementedError(
-        "media decoding requires image/audio libraries not present in this "
-        "environment; use fake_decode or plug a codec in extract_features"
+        "media decoding beyond uncompressed BMP/WAV requires image/audio "
+        "libraries not present in this environment; use fake_decode or "
+        "plug a codec in extract_features"
     )
+
+
+def decode_bmp(b: bytes) -> np.ndarray:
+    """Uncompressed 24/32-bit BMP → (height, width, 3) uint8 RGB array.
+    Pure stdlib+numpy: 14-byte file header ('BM', data offset at byte 10),
+    BITMAPINFOHEADER (width/height/bpp), BI_RGB only; rows are stored
+    bottom-up, 4-byte aligned, in BGR order."""
+    import struct
+
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP: missing 'BM' magic")
+    (data_off,) = struct.unpack_from("<I", b, 10)
+    (hdr_size, width, height, _planes, bpp, compression) = struct.unpack_from(
+        "<IiihHI", b, 14
+    )
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    if compression != 0:
+        raise ValueError(f"only BI_RGB (uncompressed) supported, got {compression}")
+    if bpp not in (24, 32):
+        raise ValueError(f"only 24/32-bit BMP supported, got {bpp}")
+    bottom_up = height > 0
+    height = abs(height)
+    bypp = bpp // 8
+    stride = (width * bypp + 3) & ~3
+    rows = []
+    for r in range(height):
+        off = data_off + r * stride
+        row = np.frombuffer(b, dtype=np.uint8, count=width * bypp, offset=off)
+        rows.append(row.reshape(width, bypp)[:, :3][:, ::-1])  # BGR -> RGB
+    px = np.stack(rows[::-1] if bottom_up else rows)
+    return px
+
+
+def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV → (float32 samples in [-1, 1] interleaved, sample_rate).
+    Walks RIFF chunks (fmt / data may be preceded by LIST etc.); 8-bit
+    unsigned and 16-bit signed PCM supported."""
+    import struct
+
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a WAV: missing RIFF/WAVE magic")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        (sz,) = struct.unpack_from("<I", b, pos + 4)
+        body = b[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, _channels, sample_rate, _brate, _balign, bits = fmt
+    if audio_format != 1:
+        raise ValueError(f"only PCM WAV supported, got format {audio_format}")
+    if bits == 16:
+        samples = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+    elif bits == 8:
+        samples = (np.frombuffer(data, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise ValueError(f"only 8/16-bit PCM supported, got {bits}")
+    return samples, int(sample_rate)
 
 
 def fake_decode(payload: bytes, kind: str, n_features: int = 8) -> np.ndarray:

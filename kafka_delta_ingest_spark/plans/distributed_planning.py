@@ -39,6 +39,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from kafka_delta_ingest_spark.plans.pruning import lit_str as _lit_str
 from kafka_delta_ingest_spark.table.format import (
     HIVE_DEFAULT_PARTITION,
     Table,
@@ -100,7 +101,13 @@ def manifest_df(
                 int(a["num_records"]),
                 json.dumps(a.get("partition_values", {})),
                 json.dumps(a.get("stats", {})),
-                int(a.get("seq") or i),
+                # stamp the commit version only when the Add carries no
+                # seq at all — an explicit seq (incl. 0, e.g. files from a
+                # pre-seq checkpoint re-added by rollback) must survive
+                # verbatim, exactly as Table.snapshot's replay keeps it,
+                # or equality-delete applicability (file.seq < delete.seq)
+                # diverges between the two planners
+                int(a["seq"]) if a.get("seq") is not None else i,
             )
     if removed:
         mdf = mdf.where(~F.col("path").isin(sorted(removed)))
@@ -109,12 +116,6 @@ def manifest_df(
             spark.createDataFrame(sorted(adds.values()), _MANIFEST_DDL)
         )
     return mdf
-
-
-def _lit_str(v: Any) -> str:
-    if isinstance(v, bool):
-        return "true" if v else "false"
-    return str(v)
 
 
 def _keep_condition(
@@ -169,7 +170,6 @@ def _keep_condition(
     for lc in lit_cols:
         any_lit_null = any_lit_null | lc.isNull()
 
-    has_pv = pv.isNotNull() & (pv != F.lit(HIVE_DEFAULT_PARTITION))
     if op in ("=", "=="):
         pv_cond = pv == F.lit(_lit_str(lit))
     elif op == "in":
@@ -184,7 +184,14 @@ def _keep_condition(
     stats_cond = F.when(
         lo_t.isNull() | hi_t.isNull() | any_lit_null, F.lit(True)
     ).otherwise(rng(lo_t, hi_t))
-    return F.when(has_pv, pv_cond).otherwise(stats_cond)
+    # mirror plans.pruning._may_match exactly: no recorded value ⇒ fall to
+    # stats; __HIVE_DEFAULT_PARTITION__ (all rows NULL in the column) ⇒
+    # prune — NULL fails every comparison conjunct
+    return (
+        F.when(pv.isNull(), stats_cond)
+        .when(pv == F.lit(HIVE_DEFAULT_PARTITION), F.lit(False))
+        .otherwise(pv_cond)
+    )
 
 
 def prune_manifest(

@@ -19,10 +19,24 @@ from typing import Any, Iterable
 
 from pyspark.sql import types as T
 
-from kafka_delta_ingest_spark.table.format import FileEntry
+from kafka_delta_ingest_spark.table.format import (
+    HIVE_DEFAULT_PARTITION,
+    FileEntry,
+)
 
 # predicate conjunct: (column, op, literal); op in =, <, <=, >, >=, in
 _OPS = {"=", "==", "<", "<=", ">", ">=", "in"}
+
+
+def lit_str(v: Any) -> str:
+    """Render a predicate literal the way Spark renders the value in a
+    partition directory path (booleans are lowercase JVM-side; Python's
+    str(True) is 'True'). ONE helper shared by the driver planner here and
+    the distributed planner (plans/distributed_planning.py) so both prune
+    the identical file set."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
 
 
 def _canon(v: Any, dt: T.DataType | None) -> Any:
@@ -75,10 +89,14 @@ def _may_match(
 ) -> bool:
     if col in f.partition_values:
         pv = f.partition_values[col]
+        if pv is None or pv == HIVE_DEFAULT_PARTITION:
+            # every row of the file is NULL in this column — no comparison
+            # conjunct can match (NULL fails =, in, and every range op)
+            return False
         if op in ("=", "=="):
-            return pv == str(lit)
+            return pv == lit_str(lit)
         if op == "in":
-            return pv in {str(x) for x in lit}
+            return pv in {lit_str(x) for x in lit}
         # range ops on partition values: compare typed when possible
         cpv, clit = _canon(pv, dt), _canon(lit, dt)
         if cpv is None or clit is None:
@@ -162,10 +180,12 @@ def _must_match(
     nulls in the column can't fully match either."""
     if col in f.partition_values:
         pv = f.partition_values[col]
+        if pv is None or pv == HIVE_DEFAULT_PARTITION:
+            return False  # all rows NULL ⇒ no row provably matches
         if op in ("=", "=="):
-            return pv == str(lit)
+            return pv == lit_str(lit)
         if op == "in":
-            return pv in {str(x) for x in lit}
+            return pv in {lit_str(x) for x in lit}
         cpv, clit = _canon(pv, dt), _canon(lit, dt)
         if cpv is None or clit is None:
             return False

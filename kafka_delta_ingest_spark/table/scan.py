@@ -61,8 +61,14 @@ def read_files(
         if f.name not in pset:
             continue
         seg = F.regexp_extract(F.input_file_name(), re.escape(f.name) + "=([^/]+)", 1)
-        # protect literal '+' before url_decode (form-decoding maps + to space)
+        # TWO escape layers sit between us and the value: the directory
+        # name itself is Hive-escaped by partitionBy (':' -> %3A,
+        # '%' -> %25; measured), and input_file_name() returns a URI that
+        # re-encodes the remaining specials (space -> %20, '%' -> %25).
+        # Decode both, protecting literal '+' before each form-decode
+        # (url_decode would turn it into a space).
         raw = F.url_decode(F.regexp_replace(seg, r"\+", "%2B"))
+        raw = F.url_decode(F.regexp_replace(raw, r"\+", "%2B"))
         val = (
             F.when(raw == HIVE_DEFAULT_PARTITION, F.lit(None))
             .when(raw == "", F.lit(None))

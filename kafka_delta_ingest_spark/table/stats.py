@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from typing import Any
 
 from pyspark.sql import SparkSession
@@ -173,13 +174,31 @@ def file_stats_df(df, schema: T.StructType, partition_cols: list[str]):
     return df.groupBy(F.input_file_name().alias("_file")).agg(*aggs)
 
 
+_HIVE_ESC_RE = re.compile(r"%([0-9A-Fa-f]{2})")
+
+
+def _unescape_hive(v: str) -> str:
+    """Invert Spark/Hive partition-path escaping (%XX hex escapes for
+    ':', '%', '=', '/' etc. — ExternalCatalogUtils.escapePathName). The
+    recorded partition_values must be the LOGICAL value: pruning and
+    MERGE's touched-file election compare them against
+    str(py_value(...))/transform output, so an escaped recorded value
+    ('a%3Ab' for 'a:b') would wrongly prune files that contain matching
+    rows."""
+    return _HIVE_ESC_RE.sub(lambda m: chr(int(m.group(1), 16)), v)
+
+
 def _partition_values_from_path(rel_path: str, partition_cols: list[str]) -> dict[str, str]:
     vals: dict[str, str] = {}
     for seg in rel_path.split(os.sep):
         if "=" in seg:
             k, _, v = seg.partition("=")
             if k in partition_cols:
-                vals[k] = v  # Spark already writes __HIVE_DEFAULT_PARTITION__ for null
+                # Spark already writes __HIVE_DEFAULT_PARTITION__ for null;
+                # other values arrive Hive-escaped from partitionBy
+                vals[k] = (
+                    v if v == HIVE_DEFAULT_PARTITION else _unescape_hive(v)
+                )
     for k in partition_cols:
         vals.setdefault(k, HIVE_DEFAULT_PARTITION)
     return vals

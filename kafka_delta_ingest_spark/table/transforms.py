@@ -230,3 +230,19 @@ def validate_spec(spec: list[str], schema: T.StructType) -> None:
             raise ValueError(
                 f"truncate unsupported for {dt.simpleString()} ({e})"
             )
+        # bucket() hashes the value's STRING rendering, which must agree
+        # between the JVM write side (crc32(cast(col as string))) and the
+        # driver prune side (zlib.crc32(str(v))). Only string and
+        # integral renderings are identical in both worlds — boolean
+        # ('true' vs 'True'), float/double ('1.5E16' vs '1.5e+16'),
+        # decimal and timestamp all diverge, which would make
+        # derived_conjuncts prune files that DO contain matching rows
+        # (silent lost rows / MERGE missing touched files).
+        if kind == "bucket" and not isinstance(
+            dt, (T.StringType, *_INTEGRAL)
+        ):
+            raise ValueError(
+                f"bucket unsupported for {dt.simpleString()} ({e}): the "
+                "JVM and driver string renderings of this type differ, "
+                "so pruning would be unsound"
+            )

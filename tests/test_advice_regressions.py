@@ -186,3 +186,158 @@ def test_pruning_nan_stat_bound_keeps_file():
     for op in ("=", "<", "<=", ">", ">="):
         assert prune_files([f], [("x", op, 1.5)], schema) == [f]
     assert prune_files([f], [("x", "in", [1.5, 2.5])], schema) == [f]
+
+
+# ---------------------------------------------------------------------------
+# round-4 ADVICE regressions
+# ---------------------------------------------------------------------------
+
+
+def test_bucket_transform_rejects_unsound_source_types():
+    """bucket() hashes the value's string rendering; boolean ('true' vs
+    'True'), double ('1.5E16' vs '1.5e+16'), decimal and timestamp render
+    differently JVM-side vs driver-side, so pruning on them would silently
+    drop files containing matching rows. validate_spec must reject them
+    (round-4 ADVICE, table/transforms.py)."""
+    from kafka_delta_ingest_spark.table import transforms
+
+    schema = T.StructType([
+        T.StructField("s", T.StringType()),
+        T.StructField("i", T.LongType()),
+        T.StructField("b", T.BooleanType()),
+        T.StructField("d", T.DoubleType()),
+        T.StructField("dec", T.DecimalType(10, 2)),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    transforms.validate_spec(["bucket(8,s)"], schema)
+    transforms.validate_spec(["bucket(8,i)"], schema)
+    for bad in ("b", "d", "dec", "ts"):
+        with pytest.raises(ValueError, match="bucket unsupported"):
+            transforms.validate_spec([f"bucket(8,{bad})"], schema)
+
+
+def test_partition_values_with_escapable_chars(spark, tmp_path):
+    """Partition values containing ':' and '%' (Hive-escaped to %3A/%25 in
+    the directory name, then URI-encoded again by input_file_name): the
+    manifest must record the LOGICAL value, the scan must reconstruct it,
+    and pruning/distributed-planning must keep the right files (round-4
+    ADVICE, table/stats.py + table/scan.py)."""
+    from kafka_delta_ingest_spark.plans.distributed_planning import (
+        plan_scan_paths,
+    )
+    from kafka_delta_ingest_spark.plans.pruning import prune_files
+    from kafka_delta_ingest_spark.table.writer import write_dataframe
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("k", T.StringType()),
+    ])
+    t = Table.create(str(tmp_path / "t"), schema, ["k"])
+    vals = ["a:b c", "p%25q", "100%", "plain", None]
+    df = spark.createDataFrame(
+        [(f"d{i}{j}", v) for i, v in enumerate(vals) for j in range(3)],
+        schema,
+    )
+    write_dataframe(spark, t, df)
+    snap = t.snapshot()
+    # 1. manifest records the logical (unescaped) value
+    recorded = {f.partition_values["k"] for f in snap.files}
+    assert recorded == {"a:b c", "p%25q", "100%", "plain",
+                        "__HIVE_DEFAULT_PARTITION__"}
+    # 2. scan reconstructs through both escape layers
+    got = {(r["doc_id"], r["k"]) for r in snap.scan(spark).collect()}
+    assert got == {(f"d{i}{j}", v) for i, v in enumerate(vals)
+                   for j in range(3)}
+    # 3. driver pruning on an escapable value keeps exactly its file(s)
+    for v in ("a:b c", "p%25q", "100%"):
+        kept = prune_files(snap.files, [("k", "=", v)], schema, spec=["k"])
+        assert kept and all(f.partition_values["k"] == v for f in kept)
+        # 4. distributed planner returns the identical file set
+        assert set(plan_scan_paths(spark, t, [("k", "=", v)])) == {
+            f.path for f in kept
+        }
+
+
+def test_prune_parity_boolean_and_null_partitions(spark, tmp_path):
+    """Boolean partition values ('true' on disk, str(True)='True' in
+    Python) and __HIVE_DEFAULT_PARTITION__ (all-NULL file) must prune
+    identically on the driver and distributed paths — and correctly:
+    flag=True keeps exactly the true-file, and the NULL file is pruned by
+    every comparison conjunct (round-4 ADVICE, plans/pruning.py +
+    plans/distributed_planning.py)."""
+    from kafka_delta_ingest_spark.plans.distributed_planning import (
+        plan_scan_paths,
+    )
+    from kafka_delta_ingest_spark.plans.pruning import prune_files
+    from kafka_delta_ingest_spark.table.writer import write_dataframe
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("flag", T.BooleanType()),
+        T.StructField("v", T.LongType()),
+    ])
+    t = Table.create(str(tmp_path / "t"), schema, ["flag"])
+    df = spark.createDataFrame(
+        [(f"d{i}", [True, False, None][i % 3], i) for i in range(30)],
+        schema,
+    )
+    write_dataframe(spark, t, df)
+    snap = t.snapshot()
+    assert {f.partition_values["flag"] for f in snap.files} == {
+        "true", "false", "__HIVE_DEFAULT_PARTITION__"
+    }
+    for conj in (
+        [("flag", "=", True)],
+        [("flag", "=", False)],
+        [("flag", "in", [True])],
+    ):
+        driver = {f.path for f in prune_files(snap.files, conj, schema,
+                                              spec=["flag"])}
+        dist = set(plan_scan_paths(spark, t, conj))
+        assert dist == driver, (conj, dist ^ driver)
+        want = "true" if (conj[0][2] is True or conj[0][2] == [True]) \
+            else "false"
+        by_pv = {f.path for f in snap.files
+                 if f.partition_values["flag"] == want}
+        assert driver == by_pv  # matching file kept, NULL file pruned
+    # scan returns the NULL rows themselves fine (pruning only applies
+    # when a conjunct names the column)
+    assert snap.scan(spark).where(F.col("flag").isNull()).count() == 10
+
+
+def test_manifest_df_preserves_explicit_seq_zero(spark, tmp_path):
+    """A log-tail Add carrying an explicit seq=0 (e.g. a pre-seq
+    checkpoint file re-added by rollback) must keep seq 0 in manifest_df,
+    not be stamped with the commit version — otherwise equality-delete
+    applicability (file.seq < delete.seq) diverges from Table.snapshot
+    (round-4 ADVICE, plans/distributed_planning.py)."""
+    from kafka_delta_ingest_spark.datagen import TOKENS_SCHEMA, tokens_df
+    from kafka_delta_ingest_spark.plans.distributed_planning import (
+        manifest_df,
+    )
+    from kafka_delta_ingest_spark.table.writer import stage_dataframe
+
+    t = Table.create(str(tmp_path / "t"), TOKENS_SCHEMA, [])
+    # cross the checkpoint boundary so the tail path is exercised
+    for i in range(11):
+        _, adds = stage_dataframe(
+            spark, t, tokens_df(spark, 10, max_tok=4, seed=i), [],
+            TOKENS_SCHEMA,
+        )
+        t.commit(Transaction(operation="append", adds=adds))
+    # tail commit: one add with explicit seq=0, one with seq=None
+    _, adds = stage_dataframe(
+        spark, t, tokens_df(spark, 10, max_tok=4, seed=99), [],
+        TOKENS_SCHEMA,
+    )
+    assert len(adds) >= 1
+    adds[0].seq = 0
+    v = t.commit(Transaction(operation="append", adds=adds))
+    snap = t.snapshot()
+    driver_seq = {f.path: int(f.seq or 0) for f in snap.files}
+    dist_seq = {r["path"]: r["seq"]
+                for r in manifest_df(spark, t).collect()}
+    assert dist_seq == driver_seq
+    assert dist_seq[adds[0].path] == 0
+    if len(adds) > 1:
+        assert dist_seq[adds[1].path] == v

@@ -136,6 +136,47 @@ def test_confluent_avro_end_to_end(spark):
     assert parsed.count(None) == 2  # unknown id + bad magic → DLQ
 
 
+def test_confluent_json_end_to_end(spark):
+    """JSON-via-schema-registry wire format (ref JsonDeserializer::
+    from_schema_registry, serialization.rs:244-293): framed UTF-8 JSON
+    body, registry id consulted per distinct id, bad magic / unknown id →
+    null value → DLQ — mirroring the registry cases of the reference's
+    tests/deserialization_tests.rs."""
+    from kafka_delta_ingest_spark.ingest.formats import (
+        deserialize_confluent_json,
+    )
+
+    body = json.dumps({"id": 1, "name": "alice"}).encode()
+    good = b"\x00" + (7).to_bytes(4, "big") + body
+    unknown_id = b"\x00" + (9).to_bytes(4, "big") + body
+    bad_magic = b"\x01" + (7).to_bytes(4, "big") + body
+    df = spark.createDataFrame(
+        [(good,), (unknown_id,), (bad_magic,)], "bytes binary"
+    )
+    resolver = {7: json.dumps({"type": "object"})}.__getitem__
+    vals = [
+        r["value"] for r in deserialize_confluent_json(df, resolver).collect()
+    ]
+    parsed = [json.loads(v) if v else None for v in vals]
+    assert {"id": 1, "name": "alice"} in parsed
+    assert parsed.count(None) == 2  # unknown id + bad magic → DLQ
+    # resolver-less mode: frame strip only, bad magic still dead-letters
+    vals2 = [r["value"] for r in deserialize_confluent_json(df).collect()]
+    assert [v is not None for v in vals2].count(True) == 2
+    # the registry client itself plugs in as the resolver
+    from kafka_delta_ingest_spark.ingest.formats import SchemaRegistryClient
+
+    client = SchemaRegistryClient(
+        "http://registry.example:8081",
+        opener=lambda url, headers: json.dumps(
+            {"schema": json.dumps({"type": "object"})}
+        ).encode(),
+    )
+    out = deserialize_confluent_json(spark.createDataFrame(
+        [(good,)], "bytes binary"), client).collect()
+    assert json.loads(out[0]["value"]) == {"id": 1, "name": "alice"}
+
+
 def test_schema_registry_client_transport_and_cache():
     """Full REST client against a fake transport: URL shape, auth header,
     envelope parse, memoization, and rejection paths — everything but the

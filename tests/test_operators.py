@@ -338,6 +338,66 @@ def test_multimodal_plumbing(spark):
         real_decode(b"xx", "image")
 
 
+def test_multimodal_real_bmp_wav_decode(spark):
+    """real_decode on REAL media bytes — the checked-in 90-byte BMP and
+    76-byte PCM WAV fixtures decode through the same Arrow-batched
+    extract_features path as the fake codec (compressed formats still
+    raise: no PIL/soundfile in this container, by design)."""
+    import os
+
+    from kafka_delta_ingest_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_bmp,
+        decode_wav,
+        extract_features,
+        real_decode,
+    )
+
+    fixtures = os.path.join(os.path.dirname(__file__), "fixtures")
+    bmp = open(os.path.join(fixtures, "tiny.bmp"), "rb").read()
+    wav = open(os.path.join(fixtures, "tiny.wav"), "rb").read()
+
+    # exact pixel decode: 4x3 RGB, generator formula r=10y+x g=100+x b=200-10y
+    px = decode_bmp(bmp)
+    assert px.shape == (3, 4, 3)
+    for y in range(3):
+        for x in range(4):
+            assert tuple(px[y, x]) == (10 * y + x, 100 + x, 200 - 10 * y)
+    # exact sample decode: 16-step ramp at 8 kHz
+    samples, rate = decode_wav(wav)
+    assert rate == 8000 and len(samples) == 16
+    assert abs(samples[0] - (-8000 / 32768.0)) < 1e-6
+    assert abs(samples[15] - (7000 / 32768.0)) < 1e-6
+
+    media = spark.createDataFrame(
+        [
+            ("bmp-1", "image", bmp, (4, 3, None, None, "image/bmp")),
+            ("wav-1", "audio", wav, (None, None, 8000, None, "audio/wav")),
+        ],
+        MEDIA_SCHEMA,
+    )
+
+    def codec(payload, kind, n_features=8):
+        import numpy as _np
+
+        arr = real_decode(payload, kind)
+        chunks = _np.array_split(arr, n_features)
+        return _np.array([float(c.mean()) for c in chunks], dtype=_np.float32)
+
+    rows = {r["media_id"]: r for r in
+            extract_features(media.repartition(2), decode=codec).collect()}
+    assert rows["bmp-1"]["n_bytes"] == len(bmp)
+    assert rows["wav-1"]["n_bytes"] == len(wav)
+    # features are real decoded-content statistics, not byte statistics
+    flat = px.reshape(-1).astype("float32")
+    import numpy as np
+
+    exp0 = float(np.array_split(flat, 8)[0].mean())
+    assert abs(rows["bmp-1"]["features"][0] - exp0) < 1e-4
+    exp_wav0 = float(np.array_split(samples, 8)[0].mean())
+    assert abs(rows["wav-1"]["features"][0] - exp_wav0) < 1e-6
+
+
 def test_hash_sampling(spark):
     from kafka_delta_ingest_spark.operators.sampling import (
         hash_sample,
