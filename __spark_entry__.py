@@ -1485,13 +1485,12 @@ def q_token_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE merge training, 6 rounds over the derived corpus:
-    per round one pair-count job + a pure-Catalyst greedy fold
-    substitution (operators/text.py bpe_merges). Iterative multi-job
-    algorithm — rows-only driver check (no SQL oracle: the merge loop's
-    substitution isn't SQL-expressible); correctness is pinned by the
-    hand-verified pytest (overlapping-count semantics, greedy
-    non-overlapping substitution, deterministic tie-breaks) and by
-    determinism of every round."""
+    per round one pair-count job + an Arrow-batched greedy substitution
+    (operators/text.py bpe_merges). Full value-level oracle since round
+    4: the 6 rounds are UNROLLED in SQL (_bpe_merges_oracle_sql — census,
+    argmax with the (cnt desc, pair asc) tie-break, and greedy
+    non-overlapping substitution via bracket-string replace), so the
+    driver hash-checks the whole merge table, not just row counts."""
     from kafka_delta_ingest_spark.operators.text import bpe_merges
 
     return bpe_merges(
@@ -1868,11 +1867,13 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pack_docs_bfd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document-preserving packing (best-fit-decreasing, never splits a
     doc — the truncation-free alternative to concat-and-chunk): whole
-    docs into 512-token bins inside deterministic hash buckets. The
-    in-bucket BFD loop is an iterative algorithm with multiset state —
-    not SQL-expressible, so this entry takes the driver's rows-only
-    check; the bin invariants (exact fills, budget bound, 11/9-OPT
-    quality, partitioning-invariance) are pytest-asserted."""
+    docs into 512-token bins inside deterministic hash buckets. Full
+    value-level oracle since round 4: the in-bucket BFD loop replays as
+    a DuckDB RECURSIVE CTE carrying the open-bin residual list
+    (_pack_docs_bfd_oracle_sql), so bin assignments and fills are
+    hash-checked, not just row counts; the bin invariants (exact fills,
+    budget bound, 11/9-OPT quality, partitioning-invariance) remain
+    pytest-asserted."""
     from kafka_delta_ingest_spark.operators.packing import pack_docs_bfd
     from kafka_delta_ingest_spark.operators.text import token_count
 
@@ -2737,6 +2738,129 @@ _PACK_SEQUENCES_SQL = """
                 END AS BIGINT) AS n_seqs
     FROM c
 """
+
+
+def _bpe_merges_oracle_sql(
+    n_merges: int = 6, new_id_start: int = 1_000_000
+) -> str:
+    """Unrolled-round BPE training oracle: each round's adjacent-pair
+    census, (cnt desc, packed-pair asc) argmax election, and greedy
+    corpus-wide substitution replayed in DuckDB — the same
+    one-CTE-chain-per-iteration trick as the Lloyd unroll in
+    _ivf_trained_oracle_sql. Substitution renders each doc's tokens as a
+    bracket-delimited string and uses SQL replace(), which scans
+    left-to-right non-overlapping and resumes AFTER each replacement
+    (verified: replace('[7][7][7]','[7][7]','[9]') = '[9][7]') — exactly
+    the pandas fold in operators/text.bpe_merges; the new id never equals
+    the pair's left token, so a replacement can't re-match its own
+    output. Early stop parity: a round with top cnt < 2 substitutes
+    nothing, so every later census is identical and also < 2 — emitted
+    rows are gated per-round on cnt >= 2, matching the loop's break."""
+    from kafka_delta_ingest_spark.sources.testdata import (
+        TOKENS_FROM_DOCUMENTS_SQL as _TFD,
+    )
+
+    ctes = [
+        f"t AS ({_TFD})",
+        "s0 AS (SELECT '[' || array_to_string(tokens, '][') || ']' AS s "
+        "FROM t)",
+    ]
+    selects = []
+    for k in range(n_merges):
+        nid = new_id_start + k
+        ctes.append(f"""p{k} AS (
+          SELECT CAST(pair // 4294967296 AS INTEGER) AS l,
+                 CAST(pair % 4294967296 AS INTEGER) AS r, cnt
+          FROM (
+            SELECT pair, COUNT(*) AS cnt FROM (
+              SELECT unnest(list_transform(range(1, len(w)),
+                     i -> CAST(w[i] AS BIGINT) * 4294967296
+                          + CAST(w[i + 1] AS BIGINT))) AS pair
+              FROM (SELECT list_transform(
+                             string_split(trim(s, '[]'), ']['),
+                             x -> CAST(x AS BIGINT)) AS w FROM s{k})
+            ) GROUP BY pair
+          ) ORDER BY cnt DESC, pair LIMIT 1
+        )""")
+        ctes.append(f"""s{k + 1} AS (
+          SELECT CASE WHEN p{k}.cnt >= 2 THEN
+                   replace(s, '[' || p{k}.l || '][' || p{k}.r || ']',
+                           '[{nid}]')
+                 ELSE s END AS s
+          FROM s{k}, p{k}
+        )""")
+        selects.append(
+            f'SELECT CAST({k} AS INTEGER) AS rank, l AS "left", '
+            f'r AS "right", CAST({nid} AS INTEGER) AS new_id, cnt '
+            f"FROM p{k} WHERE cnt >= 2"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + "\nUNION ALL ".join(selects)
+    )
+
+
+def _pack_docs_bfd_oracle_sql(budget: int = 512) -> str:
+    """Best-fit-decreasing packing oracle: the in-bucket BFD loop of
+    operators/packing.pack_docs_bfd replayed as a DuckDB recursive CTE
+    that walks documents in (weight desc, doc_id asc) order carrying the
+    open-bin residual list as a STRUCT(r,b)[] accumulator. Best fit =
+    min (residual, bin_id) among residuals >= w (struct list_sort orders
+    exactly that way); docs with w >= budget open a dedicated bin that
+    never re-enters the residual list; a filled bin (residual 0) is
+    dropped, all mirroring the bisect loop line-for-line. bin_fill is
+    recovered afterwards as the per-bin weight sum. Valid while the
+    corpus stays under docs_per_bucket (one bucket — true for every sf
+    this oracle runs at: bucket count is 2^ceil(log2(n/100k)) >= 1)."""
+    return f"""
+        WITH RECURSIVE docs AS (
+          SELECT doc_id, w, ROW_NUMBER() OVER (ORDER BY w DESC, doc_id)
+                   AS rn
+          FROM (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                       CAST({_TOKCNT_SQL} AS BIGINT) AS w
+                FROM documents)
+        ),
+        steps AS (
+          SELECT CAST(0 AS BIGINT) AS rn, CAST(NULL AS VARCHAR) AS doc_id,
+                 CAST(NULL AS BIGINT) AS w, CAST(NULL AS BIGINT) AS bin_id,
+                 CAST([] AS STRUCT(r BIGINT, b BIGINT)[]) AS residuals,
+                 CAST(0 AS BIGINT) AS n_bins
+          UNION ALL
+          SELECT d.rn, d.doc_id, d.w,
+                 CASE WHEN d.w >= {budget} OR len(fit.cand) = 0
+                      THEN s.n_bins ELSE fit.cand[1].b END,
+                 CASE
+                   WHEN d.w >= {budget} THEN s.residuals
+                   WHEN len(fit.cand) = 0 THEN
+                     list_append(s.residuals,
+                                 {{'r': {budget} - d.w, 'b': s.n_bins}})
+                   WHEN fit.cand[1].r - d.w > 0 THEN
+                     list_append(
+                       list_filter(s.residuals,
+                                   x -> x.b != fit.cand[1].b),
+                       {{'r': fit.cand[1].r - d.w, 'b': fit.cand[1].b}})
+                   ELSE list_filter(s.residuals,
+                                    x -> x.b != fit.cand[1].b)
+                 END,
+                 CASE WHEN d.w >= {budget} OR len(fit.cand) = 0
+                      THEN s.n_bins + 1 ELSE s.n_bins END
+          FROM steps s
+          JOIN docs d ON d.rn = s.rn + 1
+          CROSS JOIN LATERAL (
+            SELECT list_sort(list_filter(s.residuals,
+                                         x -> x.r >= d.w)) AS cand
+          ) fit
+        ),
+        assign AS (
+          SELECT doc_id, w, bin_id FROM steps WHERE rn > 0
+        ),
+        fills AS (
+          SELECT bin_id, SUM(w) AS bin_fill FROM assign GROUP BY bin_id
+        )
+        SELECT a.doc_id, a.w AS n_tok, CAST(0 AS INTEGER) AS bucket,
+               a.bin_id, f.bin_fill, a.w > {budget} AS oversize
+        FROM assign a JOIN fills f USING (bin_id)
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3725,6 +3849,12 @@ def oracle_sql() -> dict[str, str]:
         "semdedup_prune": _semdedup_oracle_sql(
             n_centroids=16, iters=2, threshold=0.35
         ),
+        # BPE training: 6 rounds unrolled (census + argmax + greedy
+        # substitution via bracket-string replace), round-4 verdict item 5
+        "bpe_merges": _bpe_merges_oracle_sql(n_merges=6),
+        # BFD packing: the sequential best-fit loop as a recursive CTE
+        # over (weight desc, id) with a residual-list accumulator
+        "pack_docs_bfd": _pack_docs_bfd_oracle_sql(budget=512),
         # remaining rows-only (each with a reason):
         # - minhash_near_dups_fast / simhash_near_dups_fast: xxhash64 has no
         #   DuckDB equivalent; pytest asserts pair-set equality with the
