@@ -54,6 +54,17 @@ def main():
     p.add_argument("--trigger-seconds", type=int, default=10,
                    help="allowed_latency analogue (ref src/lib.rs:309)")
     p.add_argument("--gzip", action="store_true", help="payloads are gzip JSON")
+    fmt = p.add_mutually_exclusive_group()
+    fmt.add_argument("--json", nargs="?", const="", default=None,
+                     metavar="SCHEMA_SOURCE",
+                     help="JSON format; optional schema registry endpoint "
+                          "(ref main.rs:437-441: registry URL, local path, "
+                          "or empty)")
+    fmt.add_argument("--avro", nargs="?", const="", default=None,
+                     metavar="SCHEMA_SOURCE",
+                     help="Avro format; '' = container files w/ embedded "
+                          "schema, path = schema file, http(s) URL = "
+                          "Confluent registry (ref main.rs:442-446)")
     p.add_argument("--once", action="store_true",
                    help="bounded run: process what exists and exit "
                         "(end_at_last_offsets analogue, ref src/lib.rs:526-592)")
@@ -87,17 +98,33 @@ def main():
     if not args.source and not args.topic:
         p.error("one of --source or --topic is required")
 
+    # (format, schema source) -> deserializer, exactly the reference's
+    # factory keying (serialization.rs:21-53); default plain JSON
+    from kafka_delta_ingest_spark.ingest.formats import make_deserializer
+
+    in_fmt = "avro" if args.avro is not None else "json"
+    schema_source = args.avro if args.avro is not None else (args.json or None)
+    deser, payload = make_deserializer(
+        in_fmt, schema_source or None, gzip_payloads=args.gzip
+    )
+
     if args.topic:
         from kafka_delta_ingest_spark.sources.kafka import kafka_batch, kafka_stream
 
         ksettings = dict(s.partition("=")[::2] for s in args.kafka_setting)
         seek = pipe.stored_offsets()  # resume from table txn offsets
         if args.once:
-            df = kafka_batch(spark, args.topic, args.kafka, ksettings, seek)
+            df = kafka_batch(spark, args.topic, args.kafka, ksettings, seek,
+                             payload=payload)
+            if payload == "binary":
+                df = deser(df).drop("bytes")
             out = pipe.ingest_batch(spark, df)
             print(json.dumps(out))
             return
-        stream = kafka_stream(spark, args.topic, args.kafka, ksettings, seek)
+        stream = kafka_stream(spark, args.topic, args.kafka, ksettings, seek,
+                              payload=payload)
+        if payload == "binary":
+            stream = deser(stream).drop("bytes")
         q = start_stream_ingest(
             spark, stream, pipe,
             checkpoint_dir=args.checkpoint or os.path.join(args.table, "_stream_ckpt"),

@@ -283,6 +283,73 @@ class SchemaRegistryClient:
         return self._cache[sid]
 
 
+def make_deserializer(
+    fmt: str = "json",
+    schema_source: str | None = None,
+    gzip_payloads: bool = False,
+    resolver=None,
+):
+    """The MessageDeserializer factory — mirror of the reference's
+    ``try_build`` (/root/reference/src/serialization.rs:21-53), keyed by
+    (format, schema source) exactly like its CLI (``--json SRC`` /
+    ``--avro SRC``, main.rs:437-448):
+
+    - ``("json", None|file)`` → plain (optionally gzip) JSON; a file
+      source is ignored for JSON, as in the reference (:34).
+    - ``("json", "http(s)://…")`` → Confluent-framed JSON via schema
+      registry (:28-33 → JsonDeserializer::from_schema_registry).
+    - ``("avro", None)`` → Object Container Files, embedded schema (:37).
+    - ``("avro", "http(s)://…")`` → Confluent wire + registry (:38-43).
+    - ``("avro", <path>)`` → provided-schema datums from a schema file
+      (:44-49).
+
+    Returns ``(apply, payload)``: ``apply(df, bytes_col)`` adds the
+    ``value`` JSON-string column; ``payload`` is the envelope kind the
+    Kafka source should produce ("string" when the bytes are already
+    utf-8 JSON, "binary" otherwise). ``resolver`` overrides the registry
+    client (tests / air-gapped runs)."""
+    is_registry = bool(schema_source) and schema_source.startswith(
+        ("http://", "https://")
+    )
+    if fmt == "json":
+        if is_registry:
+            res = resolver or SchemaRegistryClient(schema_source)
+            return (
+                lambda df, bytes_col="bytes": deserialize_confluent_json(
+                    df, res, bytes_col
+                ),
+                "binary",
+            )
+        if gzip_payloads:
+            return deserialize_gzip_json, "binary"
+        return deserialize_json, "string"
+    if fmt == "avro":
+        if is_registry:
+            res = resolver or SchemaRegistryClient(schema_source)
+            return (
+                lambda df, bytes_col="bytes": deserialize_confluent_avro(
+                    df, res, bytes_col
+                ),
+                "binary",
+            )
+        if schema_source:
+            with open(schema_source, encoding="utf-8") as fh:
+                schema_json = fh.read()
+            return (
+                lambda df, bytes_col="bytes": deserialize_avro(
+                    df, schema_json, bytes_col, wire="datum"
+                ),
+                "binary",
+            )
+        return (
+            lambda df, bytes_col="bytes": deserialize_avro(
+                df, None, bytes_col, wire="container"
+            ),
+            "binary",
+        )
+    raise ValueError(f"unsupported format: {fmt!r} (json|avro)")
+
+
 def lookup_registry_schema(schema_id: int) -> str:  # pragma: no cover
     """Convenience: resolve via ``$SCHEMA_REGISTRY_ENDPOINT``. Library code
     should construct :class:`SchemaRegistryClient` (injectable transport)

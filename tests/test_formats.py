@@ -177,6 +177,67 @@ def test_confluent_json_end_to_end(spark):
     assert json.loads(out[0]["value"]) == {"id": 1, "name": "alice"}
 
 
+def test_make_deserializer_factory(spark, tmp_path):
+    """(format, schema source) -> deserializer keying mirrors the
+    reference factory (serialization.rs:21-53): plain/gzip JSON,
+    registry JSON, container Avro, schema-file Avro, registry Avro —
+    each round-trips one message through the returned transform."""
+    import gzip as _gzip
+
+    from kafka_delta_ingest_spark.ingest import avro_decode as av
+    from kafka_delta_ingest_spark.ingest.formats import make_deserializer
+
+    rec = {"id": 42, "name": "zed"}
+
+    def run(deser_payload, raw: bytes):
+        deser, payload = deser_payload
+        col = "bytes" if payload == "binary" else "value"
+        df = spark.createDataFrame([(raw,)], f"{col} binary")
+        if payload == "string":
+            df = df.select(F.col(col).cast("string").alias(col))
+            out = deser(df, col).collect() if col == "bytes" else deser(
+                df, "value").collect()
+        else:
+            out = deser(df).collect()
+        return json.loads(out[0]["value"])
+
+    # plain JSON (string payload — no transform beyond cast)
+    d, payload = make_deserializer("json")
+    assert payload == "string"
+    # gzip JSON
+    d, payload = make_deserializer("json", gzip_payloads=True)
+    assert payload == "binary"
+    assert run((d, payload), _gzip.compress(json.dumps(rec).encode())) == rec
+    # registry JSON (framed)
+    resolver = {7: json.dumps({"type": "object"})}.__getitem__
+    d, payload = make_deserializer(
+        "json", "http://reg:8081", resolver=resolver
+    )
+    framed = b"\x00" + (7).to_bytes(4, "big") + json.dumps(rec).encode()
+    assert run((d, payload), framed) == rec
+    # container Avro (embedded schema)
+    from kafka_delta_ingest_spark.ingest.avro_decode import encode_container
+
+    body = encode_container([_AVRO_RECS[0]], _AVRO_SCHEMA)
+    d, payload = make_deserializer("avro")
+    assert run((d, payload), body) == _AVRO_RECS[0]
+    # schema-file Avro datums
+    sf = tmp_path / "schema.avsc"
+    sf.write_text(json.dumps(_AVRO_SCHEMA))
+    datum = av._encode_datum(_AVRO_RECS[1], _AVRO_SCHEMA)
+    d, payload = make_deserializer("avro", str(sf))
+    assert run((d, payload), datum) == _AVRO_RECS[1]
+    # registry Avro (Confluent wire)
+    d, payload = make_deserializer(
+        "avro", "http://reg:8081",
+        resolver={7: json.dumps(_AVRO_SCHEMA)}.__getitem__,
+    )
+    wired = b"\x00" + (7).to_bytes(4, "big") + datum
+    assert run((d, payload), wired) == _AVRO_RECS[1]
+    with pytest.raises(ValueError):
+        make_deserializer("protobuf")
+
+
 def test_schema_registry_client_transport_and_cache():
     """Full REST client against a fake transport: URL shape, auth header,
     envelope parse, memoization, and rejection paths — everything but the
