@@ -117,6 +117,90 @@ def word_gram_rows(
     )
 
 
+def token_gram_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    n: int = 8,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """One row per token-id ``n``-gram OCCURRENCE: (id_col, _pos, _h).
+
+    The token-array analogue of ``word_gram_rows``: grams are built from
+    the tokenized sequences themselves (the representation the model
+    actually trains on), each gram keyed by the space-joined decimal ids
+    so both hash families — and the DuckDB oracle, which joins on the raw
+    gram text — see the identical key. Like the word version, a document
+    shorter than ``n`` contributes its full (short) sequence as one gram,
+    so short docs are still checkable."""
+    arr = F.col(tokens_col).cast("array<int>")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(arr) - F.lit(n - 1), F.lit(1)))
+    return df.select(
+        F.col(id_col), arr.alias("_t"), F.posexplode(idx).alias("_pos", "_i")
+    ).select(
+        F.col(id_col),
+        F.col("_pos"),
+        _gram_hash(
+            F.array_join(
+                F.slice(F.col("_t"), F.col("_i"), F.lit(n)).cast(
+                    "array<string>"
+                ),
+                " ",
+            ),
+            hash_family,
+        ).alias("_h"),
+    )
+
+
+def decontaminate_tokens(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    n: int = 8,
+    min_overlap: int = 1,
+    hash_family: str = "xxhash64",
+    materialize: bool = True,
+) -> DataFrame:
+    """Token-level benchmark decontamination: flag training documents
+    sharing any token-id ``n``-gram with an evaluation set. Word-level
+    overlap (``decontaminate``) misses contamination that survives
+    reformatting but tokenizes identically (and vice versa); pipelines
+    that store pre-tokenized sequences — this engine's input shape —
+    decontaminate on the ids directly (the 13-gram token checks of
+    GPT-3/PaLM-era reports). Same scale shape as ``decontaminate``:
+    eval grams distinct'd + broadcast, train gram rows never shuffle,
+    one map-side-combined per-doc count.
+
+    Returns one row per TRAINING doc: ``(id_col, n_grams, n_hits,
+    contaminated)`` with ``n_grams`` = distinct gram count, ``n_hits`` =
+    grams also present anywhere in eval, ``contaminated`` =
+    ``n_hits >= min_overlap``."""
+    tg = (
+        token_gram_rows(train, id_col, tokens_col, n, hash_family)
+        .select(F.col(id_col), F.col("_h").alias("_g"))
+        .distinct()
+    )
+    eg = (
+        token_gram_rows(eval_df, id_col, tokens_col, n, hash_family)
+        .select(F.col("_h").alias("_g"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    out = (
+        tg.join(F.broadcast(eg), "_g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("_hit").alias("n_hits"),
+        )
+        .withColumn("contaminated", F.col("n_hits") >= F.lit(min_overlap))
+    )
+    if not materialize:
+        return out
+    return _finalize(out)
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",

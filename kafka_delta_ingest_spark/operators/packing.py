@@ -35,7 +35,7 @@ global window cumsum — verifies end-to-end.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -239,6 +239,80 @@ def pack_docs_bfd(
     return slim.groupBy("bucket").applyInPandas(_bfd, schema=out_schema)
 
 
+def fim_transform(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    rate: float = 0.5,
+    pre_tok: int = -1,
+    suf_tok: int = -2,
+    mid_tok: int = -3,
+    salt: str = "",
+    family: str = "xxhash64",
+) -> DataFrame:
+    """Fill-in-the-middle transformation of token sequences (Bavarian et
+    al. 2022, "Efficient Training of Language Models to Fill in the
+    Middle" — public paper): a deterministic ``rate`` fraction of
+    documents is rewritten from ``prefix ⧺ middle ⧺ suffix`` into PSM
+    order ``[PRE] prefix [SUF] suffix [MID] middle`` so the model learns
+    infilling; the rest pass through causal (paper's recommended joint
+    training). Sentinel ids default to negatives so they can never
+    collide with a real vocab id.
+
+    Everything is a pure row-local Catalyst expression — selection and
+    the two cut points are key-hash-deterministic (same doc ⇒ same
+    transform across runs, partitionings, and retries, like every
+    sampling decision in this engine), the rewrite is slice+concat on
+    the token array. No shuffle, no UDF; at 10^12 sequences this is a
+    map-only pass fused into whatever scan feeds it.
+
+    Returns ``(id_col, fim: boolean, tokens, n_tok)`` where ``tokens``
+    is the (possibly rewritten) array and ``n_tok`` its length
+    (original + 3 sentinels when rewritten).
+    """
+    from kafka_delta_ingest_spark.operators.sampling import (
+        hash_fraction,
+        shard_hash_long,
+    )
+
+    arr = F.col(tokens_col).cast("array<int>")
+    n = F.size(arr)
+    sel = hash_fraction([id_col], salt=salt + "|fim-sel", family=family) < F.lit(
+        float(rate)
+    )
+    # two independent cut points in [0, n] (inclusive); lo <= hi
+    c1 = F.pmod(
+        shard_hash_long([id_col], salt=salt + "|fim-c1", family=family),
+        (n + 1).cast("long"),
+    )
+    c2 = F.pmod(
+        shard_hash_long([id_col], salt=salt + "|fim-c2", family=family),
+        (n + 1).cast("long"),
+    )
+    lo = F.least(c1, c2).cast("int")
+    hi = F.greatest(c1, c2).cast("int")
+
+    def _tok(v: int) -> Column:
+        return F.array(F.lit(int(v)).cast("int"))
+
+    rewritten = F.concat(
+        _tok(pre_tok),
+        F.slice(arr, 1, lo),
+        _tok(suf_tok),
+        F.slice(arr, hi + 1, n - hi),
+        _tok(mid_tok),
+        F.slice(arr, lo + 1, hi - lo),
+    )
+    fim = sel & (n > 0)
+    out_tokens = F.when(fim, rewritten).otherwise(arr)
+    return df.select(
+        F.col(id_col),
+        fim.alias("fim"),
+        out_tokens.alias("tokens"),
+        F.size(out_tokens).cast("long").alias("n_tok"),
+    )
+
+
 def length_buckets(
     df,
     length_col: str,
@@ -297,6 +371,7 @@ def pack_tokens(
     pad: int | None = None,
     order_col: str | None = None,
     materialize: bool = True,
+    doc_mask: bool = False,
 ) -> DataFrame:
     """Materialize the packed training windows themselves — the export
     step after ``pack_sequences``'s offset plan: the corpus concatenates
@@ -310,9 +385,18 @@ def pack_tokens(
     flatten reassembles each window in order. Token arrays cross the
     wire exactly once. ``pad`` right-pads the final short window.
 
-    Returns ``(seq_id, tokens, n_tok, n_docs)`` where ``n_tok`` is the
-    unpadded token count and ``n_docs`` the number of documents
-    contributing to the window."""
+    ``doc_mask=True`` additionally emits a ``doc_mask`` column: one int
+    per token giving the 0-based index (in stream order) of the document
+    that token came from *within its window* — the boundary vector packed
+    block-diagonal attention / per-document loss masking needs at train
+    time (cross-document attention is masked by ``mask[i] != mask[j]``).
+    Padding positions get ``-1``. The mask is derived from the same
+    sorted segment array the token flatten uses (the segment's rank in
+    the window IS the document index), so it costs no extra shuffle.
+
+    Returns ``(seq_id, tokens[, doc_mask], n_tok, n_docs)`` where
+    ``n_tok`` is the unpadded token count and ``n_docs`` the number of
+    documents contributing to the window."""
     b = int(budget)
     if b <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
@@ -370,18 +454,30 @@ def pack_tokens(
             ).alias("seg"),
         )
     )
-    wins = segs.groupBy("seq_id").agg(
-        F.flatten(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("off", "seg"))),
-                lambda s: s["seg"],
-            )
-        ).alias("tokens"),
+    sorted_segs = F.array_sort(F.collect_list(F.struct("off", "seg")))
+    aggs = [
+        F.flatten(F.transform(sorted_segs, lambda s: s["seg"])).alias("tokens"),
         F.count("*").alias("n_docs"),
-    )
+    ]
+    if doc_mask:
+        # segment rank in the window == within-window document index:
+        # offsets are distinct per (window, doc), and the same array_sort
+        # that orders the token flatten orders the mask flatten.
+        aggs.insert(
+            1,
+            F.flatten(
+                F.transform(
+                    sorted_segs,
+                    lambda s, i: F.array_repeat(
+                        i.cast("int"), F.size(s["seg"])
+                    ),
+                )
+            ).alias("doc_mask"),
+        )
+    wins = segs.groupBy("seq_id").agg(*aggs)
+    cols = ["seq_id", "tokens"] + (["doc_mask"] if doc_mask else [])
     out = wins.select(
-        "seq_id",
-        "tokens",
+        *cols,
         F.size("tokens").cast("long").alias("n_tok"),
         "n_docs",
     )
@@ -398,4 +494,17 @@ def pack_tokens(
                 ),
             ).otherwise(F.col("tokens")),
         )
-    return out.select("seq_id", "tokens", "n_tok", "n_docs")
+        if doc_mask:
+            out = out.withColumn(
+                "doc_mask",
+                F.when(
+                    F.size("doc_mask") < b,
+                    F.concat(
+                        "doc_mask",
+                        F.array_repeat(
+                            F.lit(-1).cast("int"), b - F.size("doc_mask")
+                        ),
+                    ),
+                ).otherwise(F.col("doc_mask")),
+            )
+    return out.select(*cols, "n_tok", "n_docs")

@@ -19,7 +19,7 @@ predicate pushdown unaffected (the filter composes with pushed scans).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 TWO_32 = float(1 << 32)
@@ -229,6 +229,48 @@ def dsir_weights(
             F.col("n_feats"),
             F.col("_s").cast("double").alias("dsir_weight"),
         )
+    )
+
+
+def sample_exact_k(
+    df: DataFrame,
+    k: int,
+    key_cols: list[str],
+    by: str | None = None,
+    salt: str = "",
+    family: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic exact-count sampling without replacement: the ``k``
+    rows with the smallest key-hash (uniform, so a uniform simple random
+    sample — but reproducible across runs, partitionings, and retries,
+    unlike reservoir sampling). Rate-based ``hash_sample`` gives a
+    binomial count; audits, eval-set carving, and per-source quotas need
+    EXACTLY k.
+
+    ``by=None``: global top-k by hash — Spark compiles ``orderBy(h)
+    .limit(k)`` to TakeOrderedAndProject (per-partition heap of k, then a
+    driver merge of partition heads: no global sort, no single-task
+    window; k rows of driver memory is the only ceiling).
+
+    ``by=<col>``: exactly k per group, via a ``row_number`` window hash-
+    partitioned on the group key — ONE shuffle, each group's heap local
+    to its task. This is ``domain_cap`` with a uniform hash as the rank
+    key.
+
+    Ties are impossible in practice (the hash is effectively unique per
+    key), but the ordering appends the key columns so the result is
+    total-ordered and engine-independent even on collisions."""
+    if k < 0:
+        raise ValueError(f"k must be non-negative, got {k}")
+    h = shard_hash_long(key_cols, salt=salt, family=family)
+    order = [h.asc()] + [F.col(c).asc() for c in key_cols]
+    if by is None:
+        return df.orderBy(*order).limit(int(k))
+    w = Window.partitionBy(by).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= F.lit(int(k)))
+        .drop("_rn")
     )
 
 
