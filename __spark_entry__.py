@@ -1883,6 +1883,65 @@ def q_pack_docs_bfd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_docs_bfd(toks, budget=512, docs_per_bucket=100_000, salt="r3")
 
 
+def q_pack_tokens_masked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed windows WITH per-token document-index masks (+ right
+    padding): the block-diagonal-attention export. The mask is derived
+    from the same sorted segment array as the token flatten (segment
+    rank in window == within-window doc index, padding = -1), so the
+    oracle — which rebuilds every window from the global token stream
+    and ranks contributing docs by their start offset — catches any
+    misalignment between tokens and mask."""
+    from kafka_delta_ingest_spark.operators.packing import pack_tokens
+
+    return pack_tokens(
+        tokens_from_documents(spark, sf_dir),
+        budget=512,
+        eos=0,
+        pad=0,
+        doc_mask=True,
+    )
+
+
+def q_fim_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle transform (Bavarian et al. 2022) over the
+    derived token corpus: a deterministic 50% of docs rewrite to PSM
+    order [PRE] prefix [SUF] suffix [MID] middle with hash-chosen cut
+    points; md5 family so DuckDB replays selection and cuts exactly."""
+    from kafka_delta_ingest_spark.operators.packing import fim_transform
+
+    return fim_transform(
+        tokens_from_documents(spark, sf_dir),
+        rate=0.5,
+        salt="r4",
+        family="md5",
+    )
+
+
+def q_decontam_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-id 8-gram decontamination: the eval set is a planted slice
+    (tokens[6:] of every 17th doc), so contamination truth includes the
+    planted sources plus any accidental id-gram collisions — the oracle
+    recomputes both sides from raw gram text."""
+    from kafka_delta_ingest_spark.operators.dedup import decontaminate_tokens
+
+    toks = tokens_from_documents(spark, sf_dir)
+    ev = toks.where(F.expr("CAST(doc_id AS INT) % 17 = 0")).select(
+        "doc_id", F.expr("slice(tokens, 6, size(tokens))").alias("tokens")
+    )
+    return decontaminate_tokens(toks, ev, n=8, hash_family="md5")
+
+
+def q_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-25-docs-per-source deterministic sample (hash-rank
+    row_number inside each source partition, md5 family)."""
+    from kafka_delta_ingest_spark.operators.sampling import sample_exact_k
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return sample_exact_k(
+        d, 25, ["doc_id"], by="source", salt="r4", family="md5"
+    )
+
+
 # ------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1946,6 +2005,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "domain_caps": q_domain_caps,
         "shuffle_shards": q_shuffle_shards,
+        # -- new in round 4 (never driver-checked) --
+        "pack_tokens_masked": q_pack_tokens_masked,
+        "fim_tokens": q_fim_tokens,
+        "decontam_tokens": q_decontam_tokens,
+        "sample_exact_k": q_sample_exact_k,
         # -- red in r2/r3, fixed this round (scaled-integer value_sum) --
         "event_sessions": q_event_sessions,
         # -- keystones (north-rule B1-B6 + ingest A4-A20), green r1-r3 --
@@ -1960,11 +2024,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ledger_resume_scan": q_ledger_resume_scan,
         "ingest_e2e": q_ingest_e2e,
         "offset_dedupe": q_offset_dedupe,
+        # ---- entry 51+ (green in earlier driver rounds or continuously
+        # re-checked by tools/check_oracles.py; local gate only) ----
         "dead_letters": q_dead_letters,
         "scalar_functions": q_scalar_functions,
         "pricing_summary": q_pricing_summary,
         "salted_join": q_salted_join,
-        # ---- entry 51+ (green in CORRECTNESS_r03; local gate only) ----
         "time_travel_scan": q_time_travel_scan,
         "delete_scan": q_delete_scan,
         "delete_mor_scan": q_delete_mor_scan,
@@ -3630,6 +3695,148 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT wins.seq_id, wins.tokens, wins.n_tok, ndc.n_docs
             FROM wins JOIN ndc USING (seq_id)
+        """,
+        # masked+padded packed windows: same global-stream rebuild, plus
+        # each position carries its doc's global start offset so the
+        # within-window doc index = dense_rank of start — any tokens/mask
+        # misalignment or bad padding hash-mismatches
+        "pack_tokens_masked": f"""
+            WITH t AS ({_TOKENS_SQL}),
+            d AS (SELECT doc_id, list_append(tokens, 0) AS arr FROM t),
+            o AS (
+                SELECT doc_id, arr,
+                       CAST(COALESCE(SUM(len(arr)) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS BIGINT) AS start
+                FROM d
+            ),
+            p AS (
+                SELECT start,
+                       unnest(list_transform(
+                           range(1, len(arr) + 1),
+                           i -> (start + i - 1) * 65536 + arr[i]
+                       )) AS pk
+                FROM o
+            ),
+            w AS (
+                SELECT CAST((pk // 65536) // 512 AS BIGINT) AS seq_id,
+                       pk // 65536 AS gpos,
+                       CAST(pk % 65536 AS INTEGER) AS tok,
+                       start
+                FROM p
+            ),
+            m AS (
+                SELECT seq_id, gpos, tok,
+                       CAST(DENSE_RANK() OVER (
+                           PARTITION BY seq_id ORDER BY start
+                       ) - 1 AS INTEGER) AS didx
+                FROM w
+            ),
+            wins AS (
+                SELECT seq_id,
+                       list(tok ORDER BY gpos) AS tokens,
+                       list(didx ORDER BY gpos) AS doc_mask,
+                       CAST(COUNT(*) AS BIGINT) AS n_tok,
+                       CAST(MAX(didx) + 1 AS BIGINT) AS n_docs
+                FROM m GROUP BY seq_id
+            )
+            SELECT seq_id,
+                   CASE WHEN n_tok < 512 THEN list_concat(
+                       tokens,
+                       list_transform(range(512 - n_tok),
+                                      x -> CAST(0 AS INTEGER)))
+                   ELSE tokens END AS tokens,
+                   CASE WHEN n_tok < 512 THEN list_concat(
+                       doc_mask,
+                       list_transform(range(512 - n_tok),
+                                      x -> CAST(-1 AS INTEGER)))
+                   ELSE doc_mask END AS doc_mask,
+                   n_tok, n_docs
+            FROM wins
+        """,
+        # FIM: md5-family selection fraction and both cut points replay
+        # nibble-by-nibble; the PSM rewrite is pure list slicing
+        "fim_tokens": f"""
+            WITH t AS ({_TOKENS_SQL}),
+            h AS (
+                SELECT doc_id, tokens AS arr, len(tokens) AS n,
+                       {_nibble_frac_sql("md5('r4|fim-sel|' || doc_id)")}
+                           < 0.5 AS sel,
+                       {_nibble_long_sql("md5('r4|fim-c1|' || doc_id)")}
+                           % (len(tokens) + 1) AS c1,
+                       {_nibble_long_sql("md5('r4|fim-c2|' || doc_id)")}
+                           % (len(tokens) + 1) AS c2
+                FROM t
+            ),
+            x AS (
+                SELECT doc_id, arr, n, sel AND n > 0 AS fim,
+                       LEAST(c1, c2) AS lo, GREATEST(c1, c2) AS hi
+                FROM h
+            )
+            SELECT doc_id, fim,
+                   CASE WHEN fim THEN
+                       list_concat(list_concat(list_concat(list_concat(
+                           list_concat(
+                               [CAST(-1 AS INTEGER)],
+                               list_slice(arr, 1, lo)),
+                           [CAST(-2 AS INTEGER)]),
+                           list_slice(arr, hi + 1, n)),
+                           [CAST(-3 AS INTEGER)]),
+                           list_slice(arr, lo + 1, hi))
+                   ELSE arr END AS tokens,
+                   CAST(CASE WHEN fim THEN n + 3 ELSE n END AS BIGINT)
+                       AS n_tok
+            FROM x
+        """,
+        # token-id 8-gram decontamination: both gram sides rebuilt from
+        # raw decimal-joined gram text (the md5 gram hash is injective on
+        # it); eval = tokens[6:] of every 17th doc
+        "decontam_tokens": f"""
+            WITH t AS ({_TOKENS_SQL}),
+            ev AS (
+                SELECT doc_id,
+                       list_slice(tokens, 6, len(tokens)) AS tokens
+                FROM t WHERE CAST(doc_id AS INTEGER) % 17 = 0
+            ),
+            tg AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(
+                           list_slice(tokens, i,
+                                      least(i + 7, len(tokens))), ' ') AS g
+                FROM (SELECT doc_id, tokens,
+                             unnest(range(1, greatest(len(tokens) - 7, 1)
+                                             + 1)) AS i
+                      FROM t)
+            ),
+            eg AS (
+                SELECT DISTINCT
+                       array_to_string(
+                           list_slice(tokens, i,
+                                      least(i + 7, len(tokens))), ' ') AS g
+                FROM (SELECT tokens,
+                             unnest(range(1, greatest(len(tokens) - 7, 1)
+                                             + 1)) AS i
+                      FROM ev)
+            )
+            SELECT tg.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_grams,
+                   CAST(COUNT(eg.g) AS BIGINT) AS n_hits,
+                   COUNT(eg.g) >= 1 AS contaminated
+            FROM tg LEFT JOIN eg ON tg.g = eg.g
+            GROUP BY tg.doc_id
+        """,
+        # exact-k per group: hash-rank row_number inside each source
+        "sample_exact_k": f"""
+            WITH h AS (
+                SELECT doc_id, source,
+                       {_nibble_long_sql(
+                           "md5('r4|' || CAST(doc_id AS VARCHAR))")} AS hk
+                FROM documents
+            )
+            SELECT doc_id, source FROM h
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY source ORDER BY hk, doc_id) <= 25
         """,
         # unigram LM scoring: per-word double division (IEEE-identical),
         # DECIMAL(18,6) per row, exact order-free sum, final mean as one
