@@ -249,10 +249,12 @@ def merge_into(
         out = out.withColumn(k, e)
     from kafka_delta_ingest_spark.table.writer import (
         apply_constraints,
+        apply_sort_order,
         apply_write_options,
     )
 
-    out = apply_constraints(out, snap.properties)
+    out = apply_sort_order(apply_constraints(out, snap.properties),
+                           snap.properties, pkeys)
     w = apply_write_options(out.write.mode("overwrite"), snap.properties)
     if pkeys:
         w = w.partitionBy(*pkeys)
@@ -447,10 +449,12 @@ def _merge_clauses(
         out = out.withColumn(c, e)
     from kafka_delta_ingest_spark.table.writer import (
         apply_constraints,
+        apply_sort_order,
         apply_write_options,
     )
 
-    out = apply_constraints(out, snap.properties)
+    out = apply_sort_order(apply_constraints(out, snap.properties),
+                           snap.properties, pkeys)
     wtr = apply_write_options(out.write.mode("overwrite"), snap.properties)
     if pkeys:
         wtr = wtr.partitionBy(*pkeys)

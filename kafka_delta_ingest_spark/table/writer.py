@@ -55,6 +55,47 @@ def apply_write_options(writer, properties: dict | None):
     return writer
 
 
+def sort_order(properties: dict | None) -> list[tuple[str, bool]]:
+    """Parse the ``write.sort.order`` table property — Iceberg-style
+    write-time sort order: ``"col [ASC|DESC], col2 [ASC|DESC], ..."`` →
+    ``[(column, ascending)]``. Applies to every NEW-row write path
+    (append/ingest/MERGE/CoW DML, all of which stage through
+    ``stage_dataframe``); table-maintenance rewrites (compaction /
+    Z-order / OPTIMIZE) impose their own clustering order instead,
+    exactly as Iceberg's rewrite strategies supersede the write order."""
+    raw = str((properties or {}).get("write.sort.order", "") or "")
+    out: list[tuple[str, bool]] = []
+    for part in raw.split(","):
+        p = part.strip()
+        if not p:
+            continue
+        toks = p.split()
+        if len(toks) > 2 or (
+            len(toks) == 2 and toks[1].upper() not in ("ASC", "DESC")
+        ):
+            raise ValueError(f"bad write.sort.order term: {p!r}")
+        out.append((toks[0], len(toks) == 1 or toks[1].upper() == "ASC"))
+    return out
+
+
+def apply_sort_order(
+    df: DataFrame, properties: dict | None, pkeys: list[str]
+) -> DataFrame:
+    """Sort within write tasks by (partition keys, sort order): file
+    contents come out ordered (narrow per-file min/max ⇒ range pruning on
+    the sort columns without any maintenance pass), and prefixing the
+    partition keys satisfies the dynamic-partition writer's required
+    ordering so Spark does NOT insert a second sort on top — one
+    within-task sort total, no extra shuffle."""
+    order = sort_order(properties)
+    if not order:
+        return df
+    cols = [F.col(k) for k in pkeys] + [
+        F.col(c).asc() if asc else F.col(c).desc() for c, asc in order
+    ]
+    return df.sortWithinPartitions(*cols)
+
+
 def table_constraints(properties: dict | None) -> dict[str, str]:
     """``constraint.<name>`` table properties -> {name: boolean SQL expr}
     (Delta CHECK-constraint semantics: every written row must satisfy
@@ -126,6 +167,7 @@ def stage_dataframe(
     pkeys = transforms.keys(partition_cols)
     for k, expr in transforms.derived_exprs(partition_cols, schema).items():
         out = out.withColumn(k, expr)
+    out = apply_sort_order(out, properties, pkeys)
     w = apply_write_options(out.write.mode("overwrite"), properties)
     if pkeys:
         w = w.partitionBy(*pkeys)

@@ -149,3 +149,89 @@ def test_check_constraints_enforced_on_write(spark, tmp_path):
     with pytest.raises(Exception, match="ntok-positive"):
         merge_into(spark, t, ins, key="doc_id")
     assert t.snapshot().num_records() == rows_before
+
+
+def test_write_sort_order_orders_rows_within_files(spark, tmp_path):
+    """write.sort.order: every new-row write path emits files whose rows
+    are sorted by the declared order (parquet page-index/row-group
+    pruning within files on the sort column), with partition keys
+    prefixed so the dynamic-partition writer adds no second sort."""
+    from kafka_delta_ingest_spark.table.writer import sort_order
+
+    assert sort_order({"write.sort.order": "n_tok DESC, doc_id"}) == [
+        ("n_tok", False), ("doc_id", True),
+    ]
+    assert sort_order({}) == [] and sort_order(None) == []
+    with pytest.raises(ValueError):
+        sort_order({"write.sort.order": "n_tok SIDEWAYS"})
+
+    t = Table.create(
+        str(tmp_path / "t"), TOKENS_SCHEMA, ["source"],
+        properties={"write.sort.order": "n_tok ASC"},
+    )
+    write_dataframe(spark, t, tokens_df(spark, 400, max_tok=64))
+    snap = t.snapshot()
+    assert len(snap.files) > 1
+    checked = 0
+    for f in snap.files:
+        vals = [
+            r["n_tok"]
+            for r in spark.read.parquet(
+                os.path.join(t.root, f.path)
+            ).select("n_tok").collect()
+        ]
+        assert vals == sorted(vals), f"file {f.path} not sorted"
+        checked += len(vals)
+    assert checked == 400
+
+    # scan results are unaffected (order is physical, not logical)
+    tp = Table.create(str(tmp_path / "plain"), TOKENS_SCHEMA, ["source"])
+    write_dataframe(spark, tp, tokens_df(spark, 400, max_tok=64))
+
+    def rowset(table):
+        return {
+            (r["doc_id"], r["n_tok"], r["source"], tuple(r["tokens"]))
+            for r in table.snapshot().scan(spark).collect()
+        }
+
+    assert rowset(t) == rowset(tp)
+
+
+def test_write_sort_order_applies_to_merge_and_survives_compaction(
+    spark, tmp_path
+):
+    """MERGE's copy-on-write rewrite stages through the same writer, so
+    its output files obey the sort order too; compaction on the same
+    table succeeds and preserves content (maintenance imposes its own
+    clustering, superseding the write order — Iceberg semantics)."""
+    from kafka_delta_ingest_spark.maintenance.compact import compact
+    from kafka_delta_ingest_spark.maintenance.merge import merge_into
+
+    t = Table.create(
+        str(tmp_path / "t"), TOKENS_SCHEMA, [],
+        properties={"write.sort.order": "n_tok DESC"},
+    )
+    write_dataframe(spark, t, tokens_df(spark, 300, max_tok=64))
+    src = tokens_df(spark, 40, seed=99, max_tok=64).withColumn(
+        "doc_id", F.concat(F.lit("m-"), "doc_id")
+    )
+    merge_into(spark, t, src, key="doc_id")
+    for f in t.snapshot().files:
+        vals = [
+            r["n_tok"]
+            for r in spark.read.parquet(
+                os.path.join(t.root, f.path)
+            ).select("n_tok").collect()
+        ]
+        assert vals == sorted(vals, reverse=True), f"{f.path} not DESC-sorted"
+
+    before = {
+        (r["doc_id"], tuple(r["tokens"]))
+        for r in t.snapshot().scan(spark).collect()
+    }
+    compact(spark, t, target_file_bytes=64 * 1024 * 1024, job_id="c1")
+    after = {
+        (r["doc_id"], tuple(r["tokens"]))
+        for r in t.snapshot().scan(spark).collect()
+    }
+    assert before == after
