@@ -1942,6 +1942,73 @@ def q_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_table_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SOURCE over the table (sources/table_stream.py, PySpark
+    Python Data Source API): table versions are the stream offsets — the
+    reference's offset-checkpointed Kafka consumption (src/lib.rs:
+    1026-1046) pointed downstream. Builds the tokens table as TWO appends
+    (even doc_ids = v1, odd = v2), consumes it with a REAL readStream
+    query into a memory sink, and returns every row with its
+    commit_version — proving each row arrived exactly once from exactly
+    the micro-batch its commit maps to."""
+    import time as _time
+
+    from kafka_delta_ingest_spark.sources.table_stream import (
+        TableAppendsDataSource,
+    )
+    from kafka_delta_ingest_spark.table.format import Table
+    from kafka_delta_ingest_spark.table.writer import write_dataframe
+
+    root = _tmp_root("tstream")
+    if os.path.exists(root):
+        shutil.rmtree(root)
+    t = Table.create(root, TOKENS_SCHEMA, ["source"])
+    base = tokens_from_documents(spark, sf_dir)
+    write_dataframe(
+        spark, t, base.where(F.col("doc_id").cast("long") % 2 == 0)
+    )  # v1
+    write_dataframe(
+        spark, t, base.where(F.col("doc_id").cast("long") % 2 != 0)
+    )  # v2
+    expected = base.count()
+    try:
+        spark.dataSource.register(TableAppendsDataSource)
+    except Exception:  # noqa: BLE001 — already registered this session
+        pass
+    name = f"kdi_stream_scan_{os.getpid()}"
+    q = (
+        spark.readStream.format("kdi-table-appends")
+        .option("path", root)
+        .option("startingVersion", "earliest")
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        deadline = _time.time() + 300
+        while _time.time() < deadline:
+            exc = q.exception()
+            if exc is not None:
+                raise exc
+            if spark.table(name).count() >= expected:
+                break
+            _time.sleep(0.5)
+        else:
+            raise TimeoutError(f"stream drained {spark.table(name).count()}"
+                               f"/{expected} rows in 300 s")
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return spark.table(name).select(
+        "doc_id",
+        "n_tok",
+        "source",
+        _tok_checksum().alias("tok_sum"),
+        F.col("_commit_version").cast("long").alias("commit_version"),
+    )
+
+
 # ------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2010,6 +2077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fim_tokens": q_fim_tokens,
         "decontam_tokens": q_decontam_tokens,
         "sample_exact_k": q_sample_exact_k,
+        "table_stream_scan": q_table_stream_scan,
         # -- red in r2/r3, fixed this round (scaled-integer value_sum) --
         "event_sessions": q_event_sessions,
         # -- keystones (north-rule B1-B6 + ingest A4-A20), green r1-r3 --
@@ -3825,6 +3893,16 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(eg.g) >= 1 AS contaminated
             FROM tg LEFT JOIN eg ON tg.g = eg.g
             GROUP BY tg.doc_id
+        """,
+        # streaming consumption of the table: every appended row exactly
+        # once; commit_version = which append (even doc_ids committed as
+        # v1, odd as v2 — the same split the Spark side wrote)
+        "table_stream_scan": f"""
+            SELECT doc_id, n_tok, source,
+                   {_TOK_CHECKSUM_SQL} AS tok_sum,
+                   CAST(CASE WHEN CAST(doc_id AS BIGINT) % 2 = 0
+                             THEN 1 ELSE 2 END AS BIGINT) AS commit_version
+            FROM ({_TOKENS_SQL})
         """,
         # exact-k per group: hash-rank row_number inside each source
         "sample_exact_k": f"""
