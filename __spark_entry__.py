@@ -2009,6 +2009,80 @@ def q_table_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_table_stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table→table STREAMING pipeline: the source half replays the
+    upstream table's appends as micro-batches; the sink half
+    (sources/table_stream.py TableStreamWriter) lands each micro-batch
+    in the destination table as ONE atomic commit — parquet staged
+    straight from Arrow batches on executors, footer-derived per-file
+    stats, app-txn `{txnAppId: batchId}` exactly-once bookkeeping (the
+    reference's buffer-then-atomic-commit loop, doc/DESIGN.md, as a
+    first-class writeStream format). Returns the destination scan: the
+    proof is that streaming the table through BOTH halves reproduces it
+    byte-for-byte (token-array equality)."""
+    import time as _time
+
+    from kafka_delta_ingest_spark.sources.table_stream import (
+        TableAppendsDataSource,
+    )
+    from kafka_delta_ingest_spark.table.format import Table
+    from kafka_delta_ingest_spark.table.writer import write_dataframe
+
+    src_root = _tmp_root("tspipe_src")
+    dst_root = _tmp_root("tspipe_dst")
+    ckpt = _tmp_root("tspipe_ckpt")
+    for p in (src_root, dst_root, ckpt):
+        if os.path.exists(p):
+            shutil.rmtree(p)
+    a = Table.create(src_root, TOKENS_SCHEMA, ["source"])
+    base = tokens_from_documents(spark, sf_dir)
+    write_dataframe(
+        spark, a, base.where(F.col("doc_id").cast("long") % 2 == 0)
+    )  # v1
+    write_dataframe(
+        spark, a, base.where(F.col("doc_id").cast("long") % 2 != 0)
+    )  # v2
+    expected = base.count()
+    b = Table.create(dst_root, TOKENS_SCHEMA, ["source"])
+    try:
+        spark.dataSource.register(TableAppendsDataSource)
+    except Exception:  # noqa: BLE001 — already registered this session
+        pass
+    q = (
+        spark.readStream.format("kdi-table-appends")
+        .option("path", src_root)
+        .option("startingVersion", "earliest")
+        .load()
+        .select("doc_id", "tokens", "n_tok", "source")
+        .writeStream.format("kdi-table-appends")
+        .option("path", dst_root)
+        .option("txnAppId", "tspipe")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        deadline = _time.time() + 300
+        while _time.time() < deadline:
+            exc = q.exception()
+            if exc is not None:
+                raise exc
+            if (
+                Table(dst_root).latest_version() >= 1
+                and b.snapshot().num_records() >= expected
+            ):
+                break
+            _time.sleep(0.5)
+        else:
+            raise TimeoutError(
+                f"pipeline moved {b.snapshot().num_records()}/{expected} "
+                "rows in 300 s"
+            )
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return _scan_summary(b.snapshot().scan(spark))
+
+
 # ------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2078,6 +2152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_tokens": q_decontam_tokens,
         "sample_exact_k": q_sample_exact_k,
         "table_stream_scan": q_table_stream_scan,
+        "table_stream_pipeline": q_table_stream_pipeline,
         # -- red in r2/r3, fixed this round (scaled-integer value_sum) --
         "event_sessions": q_event_sessions,
         # -- keystones (north-rule B1-B6 + ingest A4-A20), green r1-r3 --
@@ -3904,6 +3979,9 @@ def oracle_sql() -> dict[str, str]:
                              THEN 1 ELSE 2 END AS BIGINT) AS commit_version
             FROM ({_TOKENS_SQL})
         """,
+        # table→table streaming pipeline: streaming the table through
+        # the source half AND the sink half reproduces it exactly
+        "table_stream_pipeline": _SCAN_SUMMARY_SQL,
         # exact-k per group: hash-rank row_number inside each source
         "sample_exact_k": f"""
             WITH h AS (

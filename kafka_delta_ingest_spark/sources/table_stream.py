@@ -49,13 +49,16 @@ Usage::
 from __future__ import annotations
 
 import os
+import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 
 from kafka_delta_ingest_spark.table.format import HIVE_DEFAULT_PARTITION, Table
@@ -171,6 +174,202 @@ class TableAppendsStreamReader(DataSourceStreamReader):
         yield from pa.Table.from_arrays(arrays, schema=target).to_batches()
 
 
+# --------------------------------------------------------------- sink
+
+# Spark's ExternalCatalogUtils.escapePathName special set — the inverse
+# of table/stats.py _unescape_hive, so recorded partition_values stay
+# LOGICAL values whichever write path produced the file
+_HIVE_SPECIALS = set('"#%\'*/:=?\\{[]^\x7f') | {chr(i) for i in range(32)}
+
+
+def _escape_hive(v: str) -> str:
+    return "".join(
+        f"%{ord(c):02X}" if c in _HIVE_SPECIALS else c for c in v
+    )
+
+
+def _partition_str(v) -> str | None:
+    """Render a partition value the way Spark's partitionBy renders it
+    into the path (so path-reconstructing scans agree byte-for-byte)."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
+@dataclass
+class StagedFilesMessage(WriterCommitMessage):
+    rel_paths: list = field(default_factory=list)
+    rows: int = 0
+
+
+class TableStreamWriter(DataSourceStreamArrowWriter):
+    """Streaming SINK: each micro-batch becomes ONE atomic table commit.
+
+    This is the reference's buffer-then-atomic-commit loop (doc/
+    DESIGN.md, src/lib.rs:931-1024) as a first-class ``writeStream``
+    format instead of a foreachBatch closure: executors stage parquet
+    files straight from Arrow batches (zero per-row Python, partition
+    split + write.sort.order applied in Arrow compute), the driver
+    assembles per-file min/max/null-count stats from the parquet FOOTERS
+    it just wrote (the reference's own stats strategy, src/writer.rs:
+    655-707) and commits adds + an app-txn ``{txnAppId: batchId}`` in
+    one CAS. A crash-replayed micro-batch hits the refuse-to-regress
+    txn guard (ConflictingOffsetsError, src/offsets.rs:60-99) and is
+    dropped with its staged files — exactly-once without reading the
+    table. Empty batches never commit (the reference's never-empty-
+    commit rule).
+
+    Constraints: table CHECK constraints (``constraint.*`` properties)
+    are SQL expressions and cannot run on this sink's Spark-free
+    executor path — the writer refuses such tables at planning time
+    (use the foreachBatch ingest pipeline, which enforces them).
+    Partition specs with hidden-partitioning transforms are likewise
+    planning-time rejected (transform exprs are Catalyst-side).
+    """
+
+    def __init__(
+        self,
+        root: str,
+        schema: T.StructType,
+        pkeys: list[str],
+        properties: dict,
+        txn_app_id: str,
+    ):
+        from kafka_delta_ingest_spark.table.writer import sort_order
+
+        self.root = root
+        self.schema = schema
+        self.pkeys = pkeys
+        self.compression = str(
+            properties.get("write.parquet.compression", "snappy")
+        )
+        self.order = sort_order(properties)
+        self.txn_app_id = txn_app_id
+        self.staging_rel = os.path.join("data", uuid.uuid4().hex)
+
+    # ---- executor-side: stage one parquet file per (task, partition) --
+    def write(self, iterator):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        batches = [b for b in iterator if b.num_rows]
+        if not batches:
+            return StagedFilesMessage()
+        tbl = pa.Table.from_batches(batches)
+        groups: list[tuple[dict, "pa.Table"]] = []
+        if self.pkeys:
+            keys = tbl.group_by(self.pkeys).aggregate([]).to_pylist()
+            for kv in keys:
+                mask = None
+                for k, v in kv.items():
+                    m = (
+                        pc.is_null(tbl[k])
+                        if v is None
+                        else pc.equal(tbl[k], pa.scalar(v, tbl[k].type))
+                    )
+                    mask = m if mask is None else pc.and_(mask, m)
+                groups.append((kv, tbl.filter(mask).drop(self.pkeys)))
+        else:
+            groups.append(({}, tbl))
+        rels, rows = [], 0
+        for kv, sub in groups:
+            if self.order:
+                sub = sub.take(
+                    pc.sort_indices(
+                        sub,
+                        sort_keys=[
+                            (c, "ascending" if asc else "descending")
+                            for c, asc in self.order
+                        ],
+                    )
+                )
+            segs = [
+                f"{k}={_escape_hive(s) if (s := _partition_str(kv[k])) is not None else HIVE_DEFAULT_PARTITION}"
+                for k in self.pkeys
+            ]
+            rel = os.path.join(
+                self.staging_rel, *segs, f"part-{uuid.uuid4().hex}.parquet"
+            )
+            absp = os.path.join(self.root, rel)
+            os.makedirs(os.path.dirname(absp), exist_ok=True)
+            pq.write_table(sub, absp, compression=self.compression)
+            rels.append(rel)
+            rows += sub.num_rows
+        return StagedFilesMessage(rel_paths=rels, rows=rows)
+
+    # ---- driver-side: one atomic commit per micro-batch ---------------
+    def _entries(self, rels: list[str]):
+        from concurrent.futures import ThreadPoolExecutor
+
+        from kafka_delta_ingest_spark.table.footer_stats import _one_file
+        from kafka_delta_ingest_spark.table.stats import stat_leaves
+
+        pset = set(self.pkeys)
+        leaf_types = {
+            n: (dt, mm)
+            for (n, dt, mm) in stat_leaves(self.schema)
+            if n.split(".", 1)[0] not in pset
+        }
+        with ThreadPoolExecutor(max_workers=min(32, len(rels))) as ex:
+            out = list(
+                ex.map(
+                    lambda r: _one_file(
+                        os.path.join(self.root, r),
+                        self.root,
+                        leaf_types,
+                        self.pkeys,
+                    ),
+                    rels,
+                )
+            )
+        out.sort(key=lambda e: e.path)
+        return out
+
+    def _drop_staged(self, rels: list[str]) -> None:
+        for r in rels:
+            try:
+                os.remove(os.path.join(self.root, r))
+            except OSError:
+                pass
+
+    def commit(self, messages, batchId: int) -> None:
+        from kafka_delta_ingest_spark.table.format import (
+            ConflictingOffsetsError,
+            Transaction,
+        )
+
+        rels = [p for m in messages if m is not None for p in m.rel_paths]
+        if not rels:
+            return  # never commit an empty version (ref src/lib.rs:1127)
+        t = Table(self.root)
+        try:
+            t.commit(
+                Transaction(
+                    operation="stream_append",
+                    adds=self._entries(rels),
+                    data_change=True,
+                    app_txns={self.txn_app_id: int(batchId)},
+                    metadata={
+                        "batch_id": int(batchId),
+                        "txn_app_id": self.txn_app_id,
+                    },
+                ),
+                expected_schema=self.schema,
+            )
+        except ConflictingOffsetsError:
+            # crash-replayed micro-batch: already committed once —
+            # drop the duplicate staging (exactly-once)
+            self._drop_staged(rels)
+
+    def abort(self, messages, batchId: int) -> None:
+        self._drop_staged(
+            [p for m in messages if m is not None for p in m.rel_paths]
+        )
+
+
 class TableAppendsDataSource(DataSource):
     """``spark.readStream.format("kdi-table-appends")`` — see module doc."""
 
@@ -198,3 +397,43 @@ class TableAppendsDataSource(DataSource):
             or "latest"
         ).lower()
         return r
+
+    def streamWriter(self, schema: T.StructType, overwrite: bool):
+        from kafka_delta_ingest_spark.table import transforms
+
+        root = os.path.abspath(self.options["path"])
+        if overwrite:
+            raise ValueError("kdi-table-appends sink is append-only")
+        snap = Table(root).snapshot()
+        # planning-time schema enforcement: the stream's schema must BE
+        # the table schema (coercion belongs upstream in the plan)
+        want = [(f.name, f.dataType) for f in snap.schema.fields]
+        got = [(f.name, f.dataType) for f in schema.fields]
+        if want != got:
+            raise ValueError(
+                f"stream schema {got} != table schema {want} — align the "
+                "plan before writeStream (select/cast in the query)"
+            )
+        if any(k in c for c in snap.partition_cols for k in "()"):
+            raise ValueError(
+                "hidden-partitioning transforms need Catalyst exprs; the "
+                "arrow sink supports identity partition columns — use "
+                "streaming ingest (foreachBatch) for transformed specs"
+            )
+        if any(k.startswith("constraint.") for k in snap.properties):
+            raise ValueError(
+                "table has CHECK constraints (SQL exprs) which the "
+                "Spark-free arrow sink cannot enforce — use the "
+                "foreachBatch ingest pipeline for constrained tables"
+            )
+        return TableStreamWriter(
+            root,
+            snap.schema,
+            transforms.keys(snap.partition_cols),
+            dict(snap.properties),
+            str(
+                self.options.get("txnappid")
+                or self.options.get("txnAppId")
+                or "kdi-stream-sink"
+            ),
+        )

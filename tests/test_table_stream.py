@@ -204,3 +204,170 @@ def test_stream_latest_skips_history(spark, tmp_path):
     rows = spark.sql("select * from sink_l").collect()
     assert len(rows) == 20
     assert {r["_commit_version"] for r in rows} == {2}
+
+
+# ----------------------------------------------------------------- sink
+
+
+def test_stream_sink_table_to_table_pipeline(spark, tmp_path):
+    """Source half + sink half composed: a table→table streaming
+    pipeline. Each micro-batch lands in the destination as ONE atomic
+    commit (buffer-then-commit, the reference's core loop); partition
+    layout, write.sort.order, and app-txn batch bookkeeping all applied
+    by the Spark-free arrow sink path."""
+    import pyarrow.parquet as pq
+
+    src_root, dst_root = str(tmp_path / "src"), str(tmp_path / "dst")
+    a = Table.create(src_root, TOKENS_SCHEMA, ["source"])
+    write_dataframe(spark, a, tokens_df(spark, 80, max_tok=16))  # v1
+    b = Table.create(
+        dst_root, TOKENS_SCHEMA, ["source"],
+        properties={"write.sort.order": "n_tok ASC"},
+    )
+
+    _register(spark)
+    q = (
+        spark.readStream.format("kdi-table-appends")
+        .option("path", src_root)
+        .option("startingVersion", "earliest")
+        .load()
+        .select("doc_id", "tokens", "n_tok", "source")  # drop _commit_version
+        .writeStream.format("kdi-table-appends")
+        .option("path", dst_root)
+        .option("txnAppId", "pipe-a-to-b")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+
+    def await_dst(n, timeout=180):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            if q.exception() is not None:
+                raise AssertionError(f"query failed: {q.exception()}")
+            if Table(dst_root).latest_version() >= 1:
+                if b.snapshot().num_records() >= n:
+                    return
+            time.sleep(0.5)
+        raise AssertionError(f"timed out waiting for {n} rows in dst")
+
+    try:
+        await_dst(80)
+        write_dataframe(
+            spark,
+            a,
+            tokens_df(spark, 20, seed=5, max_tok=16).withColumn(
+                "doc_id", F.concat(F.lit("x-"), "doc_id")
+            ),
+        )  # v2 on the source
+        await_dst(100)
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    snap = b.snapshot()
+    assert _rowset(snap.scan(spark)) == _rowset(a.snapshot().scan(spark))
+    # partition layout is real (hive paths per source value)
+    assert all("source=" in f.path for f in snap.files)
+    # write.sort.order applied inside every sink-written file
+    for f in snap.files:
+        vals = pq.read_table(
+            os.path.join(b.root, f.path), columns=["n_tok"]
+        )["n_tok"].to_pylist()
+        assert vals == sorted(vals), f"{f.path} not ASC-sorted"
+    # app-txn bookkeeping: the destination records the source batch ids
+    assert "pipe-a-to-b" in snap.app_txns
+
+
+def test_stream_sink_replayed_batch_drops_duplicates(spark, tmp_path):
+    """Crash-replay of a committed micro-batch: the app-txn
+    refuse-to-regress guard rejects the second commit and the duplicate
+    staged files are dropped — exactly-once without reading the table."""
+    import pyarrow as pa
+
+    from kafka_delta_ingest_spark.sources.table_stream import (
+        TableStreamWriter,
+    )
+
+    root = str(tmp_path / "t")
+    t = Table.create(root, TOKENS_SCHEMA, [])
+    w = TableStreamWriter(root, TOKENS_SCHEMA, [], {}, "job-1")
+
+    def batch(ids):
+        return pa.RecordBatch.from_pydict(
+            {
+                "doc_id": [str(i) for i in ids],
+                "tokens": [[i, i + 1] for i in ids],
+                "n_tok": [2] * len(ids),
+                "source": ["web"] * len(ids),
+            },
+            schema=pa.schema(
+                [
+                    ("doc_id", pa.string()),
+                    ("tokens", pa.list_(pa.int32())),
+                    ("n_tok", pa.int32()),
+                    ("source", pa.string()),
+                ]
+            ),
+        )
+
+    m1 = w.write(iter([batch([1, 2, 3])]))
+    w.commit([m1], batchId=0)
+    assert t.snapshot().num_records() == 3
+
+    # replay of batch 0 (same content re-staged by a restarted task)
+    m1b = w.write(iter([batch([1, 2, 3])]))
+    w.commit([m1b], batchId=0)
+    assert t.latest_version() == 1  # no new commit
+    assert t.snapshot().num_records() == 3
+    for r in m1b.rel_paths:  # duplicate staging removed from disk
+        assert not os.path.exists(os.path.join(root, r))
+
+    # the NEXT batch commits normally
+    m2 = w.write(iter([batch([4])]))
+    w.commit([m2], batchId=1)
+    assert t.snapshot().num_records() == 4
+    assert t.snapshot().app_txns["job-1"] == 1
+
+    # abort drops staged files
+    m3 = w.write(iter([batch([9])]))
+    w.abort([m3], batchId=2)
+    assert all(
+        not os.path.exists(os.path.join(root, r)) for r in m3.rel_paths
+    )
+    assert t.snapshot().num_records() == 4
+
+
+def test_stream_sink_planning_rejections(spark, tmp_path):
+    """Schema drift, transformed partition specs, and CHECK-constrained
+    tables are rejected at PLANNING time, before any task runs."""
+    from kafka_delta_ingest_spark.sources.table_stream import (
+        TableAppendsDataSource,
+    )
+
+    root = str(tmp_path / "t")
+    Table.create(root, TOKENS_SCHEMA, [])
+    ds = TableAppendsDataSource({"path": root})
+    import pyspark.sql.types as T
+
+    bad = T.StructType([T.StructField("doc_id", T.StringType())])
+    with pytest.raises(ValueError, match="stream schema"):
+        ds.streamWriter(bad, overwrite=False)
+    with pytest.raises(ValueError, match="append-only"):
+        ds.streamWriter(TOKENS_SCHEMA, overwrite=True)
+
+    root2 = str(tmp_path / "t2")
+    Table.create(
+        root2, TOKENS_SCHEMA, [],
+        properties={"constraint.pos": "n_tok > 0"},
+    )
+    with pytest.raises(ValueError, match="CHECK constraints"):
+        TableAppendsDataSource({"path": root2}).streamWriter(
+            TOKENS_SCHEMA, overwrite=False
+        )
+
+    root3 = str(tmp_path / "t3")
+    Table.create(root3, TOKENS_SCHEMA, ["bucket(4,doc_id)"])
+    with pytest.raises(ValueError, match="identity partition"):
+        TableAppendsDataSource({"path": root3}).streamWriter(
+            TOKENS_SCHEMA, overwrite=False
+        )
