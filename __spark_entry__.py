@@ -2083,6 +2083,84 @@ def q_table_stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _scan_summary(b.snapshot().scan(spark))
 
 
+def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal-column plumbing end-to-end (operators/multimodal.py):
+    documents become opaque ``binary`` media rows — payload =
+    md5(doc_id:text), 16 bytes the oracle can reconstruct hex-pair by
+    hex-pair — then the REAL Arrow ``mapInPandas`` operators run:
+    ``resize_images`` (image payloads → 4×2 nearest-neighbor re-index =
+    even-indexed bytes), ``extract_features`` (byte-chunk means; over the
+    8-byte resized images each feature is one byte, over 16-byte
+    audio/video each is a 2-byte mean — ×2 is integral either way), and
+    ``sample_frames`` (videos split into meta.n_frames=4 chunks, every
+    2nd kept → frames 0 and 2). All checksums are integer-exact, so the
+    DuckDB oracle replays the whole pipeline byte-for-byte — the codecs
+    are the documented deterministic stand-ins (no image/audio libs
+    here); the Spark-side shape (schemas, Arrow batching, 1→N frame
+    expansion, no shuffle until the final join) is the real thing."""
+    from kafka_delta_ingest_spark.operators.multimodal import (
+        extract_features,
+        resize_images,
+        sample_frames,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.unhex(
+        F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.col("text")))
+    )
+    b0 = F.conv(F.substring(F.hex(F.col("payload")), 1, 2), 16, 10).cast("int")
+    kind = (
+        F.when(b0 % 3 == 0, F.lit("image"))
+        .when(b0 % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+    )
+    media = (
+        d.select(
+            F.col("doc_id").cast("string").alias("media_id"),
+            payload.alias("payload"),
+        )
+        .withColumn("kind", kind)
+        .withColumn(
+            "meta",
+            F.struct(
+                F.when(F.col("kind") == "image", F.lit(64))
+                .cast("int").alias("width"),
+                F.when(F.col("kind") == "image", F.lit(64))
+                .cast("int").alias("height"),
+                F.when(F.col("kind") == "audio", F.lit(16000))
+                .cast("int").alias("sample_rate"),
+                F.when(F.col("kind") == "video", F.lit(4))
+                .cast("int").alias("n_frames"),
+                F.concat(F.col("kind"), F.lit("/raw")).alias("mime"),
+            ),
+        )
+        .select("media_id", "kind", "payload", "meta")
+    )
+    resized = resize_images(media, 4, 2)
+    feats = extract_features(resized)
+    feat2 = feats.select(
+        "media_id",
+        "kind",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.aggregate(
+            "features", F.lit(0.0), lambda a, x: a + x.cast("double") * 2
+        ).cast("long").alias("feat2_sum"),
+    )
+    frames = sample_frames(resized, every_n=2)
+    fr = frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.conv(F.hex("payload"), 16, 10).cast("long")).alias("v"),
+    )
+    return feat2.join(fr, "media_id", "left").select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "feat2_sum",
+        F.coalesce("k", F.lit(0)).cast("long").alias("frames_kept"),
+        F.coalesce("v", F.lit(0)).cast("long").alias("frame_val_sum"),
+    )
+
+
 # ------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2153,6 +2231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_exact_k": q_sample_exact_k,
         "table_stream_scan": q_table_stream_scan,
         "table_stream_pipeline": q_table_stream_pipeline,
+        "multimodal_pipeline": q_multimodal_pipeline,
         # -- red in r2/r3, fixed this round (scaled-integer value_sum) --
         "event_sessions": q_event_sessions,
         # -- keystones (north-rule B1-B6 + ingest A4-A20), green r1-r3 --
@@ -3982,6 +4061,54 @@ def oracle_sql() -> dict[str, str]:
         # table→table streaming pipeline: streaming the table through
         # the source half AND the sink half reproduces it exactly
         "table_stream_pipeline": _SCAN_SUMMARY_SQL,
+        # multimodal plumbing replay: payload = md5(doc_id:text) (16
+        # bytes), kind = byte0 % 3; resize(4x2) keeps even-indexed bytes
+        # (arange(8)*16//8), features = byte-chunk means so feat2_sum =
+        # 2*sum(even bytes) for images / sum(all 16) for audio+video;
+        # videos split into 4 4-byte frames, every 2nd kept (0 and 2),
+        # each valued as its big-endian 32-bit integer (hex → conv)
+        "multimodal_pipeline": """
+            WITH m AS (
+                SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                       md5(CAST(doc_id AS VARCHAR) || ':' || text) AS h
+                FROM documents
+            ),
+            b AS (
+                SELECT media_id, j,
+                       (strpos('0123456789abcdef', substr(h, 2*j+1, 1))-1)*16
+                     + (strpos('0123456789abcdef', substr(h, 2*j+2, 1))-1)
+                         AS bv
+                FROM m, (SELECT unnest(range(16)) AS j) js
+            ),
+            agg AS (
+                SELECT media_id,
+                       MAX(CASE WHEN j = 0 THEN bv END) % 3 AS kindno,
+                       SUM(CASE WHEN j % 2 = 0 THEN bv ELSE 0 END)
+                           AS even_sum,
+                       SUM(bv) AS all_sum,
+                       SUM(CASE WHEN j IN (0,1,2,3,8,9,10,11)
+                                THEN bv * (CASE j % 4
+                                           WHEN 0 THEN 16777216
+                                           WHEN 1 THEN 65536
+                                           WHEN 2 THEN 256
+                                           ELSE 1 END)
+                                ELSE 0 END) AS fval
+                FROM b GROUP BY media_id
+            )
+            SELECT media_id,
+                   CASE kindno WHEN 0 THEN 'image'
+                               WHEN 1 THEN 'audio'
+                               ELSE 'video' END AS kind,
+                   CAST(CASE WHEN kindno = 0 THEN 8 ELSE 16 END AS BIGINT)
+                       AS n_bytes,
+                   CAST(CASE WHEN kindno = 0 THEN 2 * even_sum
+                             ELSE all_sum END AS BIGINT) AS feat2_sum,
+                   CAST(CASE WHEN kindno = 2 THEN 2 ELSE 0 END AS BIGINT)
+                       AS frames_kept,
+                   CAST(CASE WHEN kindno = 2 THEN fval ELSE 0 END AS BIGINT)
+                       AS frame_val_sum
+            FROM agg
+        """,
         # exact-k per group: hash-rank row_number inside each source
         "sample_exact_k": f"""
             WITH h AS (

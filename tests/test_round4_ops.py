@@ -212,3 +212,59 @@ def test_sample_exact_k_global_plan_is_take_ordered(spark):
     plan = sample_exact_k(df, 5, ["doc_id"])
     physical = plan._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in physical
+
+
+def test_multimodal_pipeline_query_hand_verified(spark, tmp_path):
+    """The driver-contract multimodal query's checksums, recomputed with
+    hashlib + plain Python on a 3-doc corpus (one of each media kind by
+    construction of the payload's first byte)."""
+    import hashlib
+
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    rows = []
+    want_kinds = {0: None, 1: None, 2: None}
+    i = 0
+    while not all(v is not None for v in want_kinds.values()):
+        text = f"doc text {i}"
+        digest = hashlib.md5(f"{i}:{text}".encode()).digest()
+        k = digest[0] % 3
+        if want_kinds[k] is None:
+            want_kinds[k] = (i, text, digest)
+            rows.append((i, text, "en", "web", len(text)))
+        i += 1
+    sf = str(tmp_path / "sf")
+    (tmp_path / "sf").mkdir()
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(str(tmp_path / "sf" / "documents.parquet"))
+    out = {
+        r["media_id"]: r.asDict()
+        for r in entrymod.q_multimodal_pipeline(spark, sf).collect()
+    }
+    assert len(out) == 3
+    for k, (doc_id, _text, d) in want_kinds.items():
+        got = out[str(doc_id)]
+        kind = ["image", "audio", "video"][k]
+        assert got["kind"] == kind
+        if kind == "image":
+            # resize(4x2): nearest-neighbor keeps even-indexed bytes;
+            # features over 8 bytes = the bytes themselves
+            assert got["n_bytes"] == 8
+            assert got["feat2_sum"] == 2 * sum(d[j] for j in range(0, 16, 2))
+            assert got["frames_kept"] == 0 and got["frame_val_sum"] == 0
+        else:
+            # features over 16 bytes = 2-byte means; x2 = sum of all bytes
+            assert got["n_bytes"] == 16
+            assert got["feat2_sum"] == sum(d)
+        if kind == "video":
+            # 4 frames of 4 bytes, every 2nd kept -> frames 0 and 2,
+            # each valued as its big-endian 32-bit integer
+            assert got["frames_kept"] == 2
+            assert got["frame_val_sum"] == int.from_bytes(
+                d[0:4], "big"
+            ) + int.from_bytes(d[8:12], "big")
+        if kind == "audio":
+            assert got["frames_kept"] == 0 and got["frame_val_sum"] == 0
