@@ -2161,6 +2161,84 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-word sketch per language (operators/
+    sketches.py, Flajolet 2007): at 10^12 rows COUNT(DISTINCT) is a full
+    shuffle of every distinct value, the sketch is m=256 one-byte
+    registers per group built in ONE map-side-combined aggregation and
+    mergeable by plain MAX. Exactness discipline: rank = integer
+    ``53 - length(bin(w))`` (no log2 boundary risk), harmonic sum kept as
+    an exact order-free integer, estimate = ONE IEEE division of a shared
+    literal numerator — so the estimate double is bit-identical across
+    engines and the driver hash-checks it alongside the exact distinct
+    count, the zero-register count, and a register-content checksum."""
+    from kafka_delta_ingest_spark.operators.sketches import hll_distinct
+    from kafka_delta_ingest_spark.operators.text import normalize_text
+
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "lang",
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("word"),
+    )
+    sk = hll_distinct(words, ["word"], ["lang"], p=8, family="md5")
+    exact = words.groupBy("lang").agg(
+        F.countDistinct("word").alias("exact_distinct")
+    )
+    return sk.join(exact, "lang").select(
+        "lang",
+        "exact_distinct",
+        "hll_estimate",
+        "zero_registers",
+        "register_sum",
+        "register_checksum",
+    )
+
+
+def q_python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch Python Data Source over the table (sources/table_batch.py):
+    ``spark.read.format("kdi-table")`` — the pinned-snapshot delete-aware
+    scan exposed through Spark's standard reader API so SQL-only tooling
+    consumes the table with no engine imports. Stage 'full' reads the
+    whole table through the executor-side Arrow path WITH a live
+    merge-on-read position delete applied per task; stage 'pruned' adds a
+    ``.option("where", "source = 'src1'")`` — conjuncts in the load's
+    OPTIONS (immutable under plan reuse, unlike pushFilters state, which
+    Spark 4.1's cached Python scan leaks across plan branches — measured,
+    documented in the module) that prune planned file tasks via manifest
+    min/max + partition values AND filter row-level in the Arrow read.
+    The in-query assert proves files were pruned. Oracle replays the
+    derived table, the delete predicate, and the filter."""
+    from kafka_delta_ingest_spark.maintenance.dml import delete_where
+    from kafka_delta_ingest_spark.sources import table_batch
+
+    t = _build_tokens_table(spark, sf_dir, _tmp_root("pyds"))
+    m = delete_where(
+        spark, t, [("source", "=", "src2"), ("n_tok", ">", 300)],
+        mode="merge_on_read",
+    )
+    assert m["rows_deleted"] > 0 and m.get("files_rewritten", 1) == 0
+
+    table_batch.register(spark)
+    full = _scan_summary(
+        spark.read.format("kdi-table").option("path", t.root).load()
+    ).withColumn("stage", F.lit("full"))
+
+    # planning-path witness: the where conjuncts prune file tasks
+    snap = t.snapshot()
+    rdr = table_batch.KdiTableBatchReader(
+        t.root, snap.schema, None, conjuncts=[("source", "=", "src1")]
+    )
+    assert 0 < len(rdr.partitions()) < len(snap.files)
+
+    pruned = _scan_summary(
+        spark.read.format("kdi-table")
+        .option("path", t.root)
+        .option("where", "source = 'src1'")
+        .load()
+    ).withColumn("stage", F.lit("pruned"))
+    return full.unionByName(pruned)
+
+
 # ------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2179,75 +2257,23 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate checks only the
-    # FIRST 50 dict entries per round (CORRECTNESS_r03 stopped at entry
-    # 50 of 84, leaving the whole minhash/span-dedup/packing/BPE/IVF
-    # family without a driver row). Round 4 therefore leads with the 34
-    # queries that have never had a driver CORRECTNESS row, plus the
-    # re-fixed event_sessions, then 15 keystone rows (one per north-rule
-    # op / ingest path) already proven green in r1-r3, then everything
-    # else (all green in CORRECTNESS_r03 and continuously re-checked by
+    # FIRST 50 dict entries per round. Round 3 covered the historical
+    # first 50; round 4 led with the 42 LLM-pipeline queries that had
+    # never had a driver row (plus keystones) — so across r3+r4 every
+    # query has at least one green driver CORRECTNESS row. Round 5's
+    # window leads with (a) the two round-5 additions (hll_distinct,
+    # python_datasource_scan), then (b) the 41 queries whose last driver
+    # row is from r3 (two rounds stale — refreshed here), then (c)
+    # north-rule keystones to fill the 50. Everything past 50 is
+    # double-green from r3+r4 and continuously re-checked by
     # tools/check_oracles.py, which replays the identical comparison
-    # over all entries). Rotation history lives in COVERAGE.md.
+    # over ALL entries every round. Rotation history: COVERAGE.md.
     return {
-        # -- never driver-checked before round 4: LLM-pipeline family --
-        "minhash_near_dups": q_minhash_near_dups,
-        "minhash_near_dups_fast": q_minhash_near_dups_fast,
-        "ingest_dedup": q_ingest_dedup,
-        "near_dup_groups": q_near_dup_groups,
-        "near_dup_group_sizes": q_near_dup_group_sizes,
-        "leakage_safe_split": q_leakage_safe_split,
-        "simhash_near_dups": q_simhash_near_dups,
-        "simhash_near_dups_fast": q_simhash_near_dups_fast,
-        "ngram_jaccard": q_ngram_jaccard,
-        "winnow_fingerprints": q_winnow_fingerprints,
-        "span_dedup": q_span_dedup,
-        "embedding_near_dups": q_embedding_near_dups,
-        "embedding_near_dups_exact": q_embedding_near_dups_exact,
-        "ann_topk": q_ann_topk,
-        "ann_lsh_selfhit": q_ann_lsh_selfhit,
-        "ivf_topk": q_ivf_topk,
-        "ivf_topk_trained": q_ivf_topk_trained,
-        "semdedup_prune": q_semdedup_prune,
-        "pack_sequences": q_pack_sequences,
-        "pack_tokens": q_pack_tokens,
-        "pack_docs_bfd": q_pack_docs_bfd,
-        "length_buckets": q_length_buckets,
-        "length_percentiles": q_length_percentiles,
-        "token_histogram": q_token_histogram,
-        "token_pair_counts": q_token_pair_counts,
-        "bpe_merges": q_bpe_merges,
-        "unigram_freq": q_unigram_freq,
-        "bigram_lm": q_bigram_lm,
-        "ccnet_buckets": q_ccnet_buckets,
-        "dsir_weights": q_dsir_weights,
-        "repetition_scores": q_repetition_scores,
-        "stratified_sample": q_stratified_sample,
-        "domain_caps": q_domain_caps,
-        "shuffle_shards": q_shuffle_shards,
-        # -- new in round 4 (never driver-checked) --
-        "pack_tokens_masked": q_pack_tokens_masked,
-        "fim_tokens": q_fim_tokens,
-        "decontam_tokens": q_decontam_tokens,
-        "sample_exact_k": q_sample_exact_k,
-        "table_stream_scan": q_table_stream_scan,
-        "table_stream_pipeline": q_table_stream_pipeline,
-        "multimodal_pipeline": q_multimodal_pipeline,
-        # -- red in r2/r3, fixed this round (scaled-integer value_sum) --
-        "event_sessions": q_event_sessions,
-        # -- keystones (north-rule B1-B6 + ingest A4-A20), green r1-r3 --
-        "compact_scan": q_compact_scan,
-        "zorder_scan": q_zorder_scan,
-        "optimize_scan": q_optimize_scan,
-        "hilbert_scan": q_hilbert_scan,
-        "merge_upsert": q_merge_upsert,
-        "cdc_upsert_scan": q_cdc_upsert_scan,
-        "expire_gc_scan": q_expire_gc_scan,
-        "manifest_stats": q_manifest_stats,
+        "hll_distinct": q_hll_distinct,
+        "python_datasource_scan": q_python_datasource_scan,
         "ledger_resume_scan": q_ledger_resume_scan,
         "ingest_e2e": q_ingest_e2e,
         "offset_dedupe": q_offset_dedupe,
-        # ---- entry 51+ (green in earlier driver rounds or continuously
-        # re-checked by tools/check_oracles.py; local gate only) ----
         "dead_letters": q_dead_letters,
         "scalar_functions": q_scalar_functions,
         "pricing_summary": q_pricing_summary,
@@ -2286,6 +2312,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
+        "compact_scan": q_compact_scan,
+        "zorder_scan": q_zorder_scan,
+        "optimize_scan": q_optimize_scan,
+        "hilbert_scan": q_hilbert_scan,
+        "merge_upsert": q_merge_upsert,
+        "expire_gc_scan": q_expire_gc_scan,
+        "manifest_stats": q_manifest_stats,
+        "minhash_near_dups": q_minhash_near_dups,
+        "minhash_near_dups_fast": q_minhash_near_dups_fast,
+        "ingest_dedup": q_ingest_dedup,
+        "near_dup_groups": q_near_dup_groups,
+        "near_dup_group_sizes": q_near_dup_group_sizes,
+        "leakage_safe_split": q_leakage_safe_split,
+        "simhash_near_dups": q_simhash_near_dups,
+        "simhash_near_dups_fast": q_simhash_near_dups_fast,
+        "ngram_jaccard": q_ngram_jaccard,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "span_dedup": q_span_dedup,
+        "embedding_near_dups": q_embedding_near_dups,
+        "embedding_near_dups_exact": q_embedding_near_dups_exact,
+        "ann_topk": q_ann_topk,
+        "ann_lsh_selfhit": q_ann_lsh_selfhit,
+        "ivf_topk": q_ivf_topk,
+        "ivf_topk_trained": q_ivf_topk_trained,
+        "semdedup_prune": q_semdedup_prune,
+        "pack_sequences": q_pack_sequences,
+        "pack_tokens": q_pack_tokens,
+        "pack_docs_bfd": q_pack_docs_bfd,
+        "length_buckets": q_length_buckets,
+        "length_percentiles": q_length_percentiles,
+        "token_histogram": q_token_histogram,
+        "token_pair_counts": q_token_pair_counts,
+        "bpe_merges": q_bpe_merges,
+        "unigram_freq": q_unigram_freq,
+        "bigram_lm": q_bigram_lm,
+        "ccnet_buckets": q_ccnet_buckets,
+        "dsir_weights": q_dsir_weights,
+        "repetition_scores": q_repetition_scores,
+        "stratified_sample": q_stratified_sample,
+        "domain_caps": q_domain_caps,
+        "shuffle_shards": q_shuffle_shards,
+        "pack_tokens_masked": q_pack_tokens_masked,
+        "fim_tokens": q_fim_tokens,
+        "decontam_tokens": q_decontam_tokens,
+        "sample_exact_k": q_sample_exact_k,
+        "table_stream_scan": q_table_stream_scan,
+        "table_stream_pipeline": q_table_stream_pipeline,
+        "multimodal_pipeline": q_multimodal_pipeline,
+        "event_sessions": q_event_sessions,
+        "cdc_upsert_scan": q_cdc_upsert_scan,
     }
 
 
@@ -2779,6 +2855,22 @@ def _nibble_long_sql(hx: str) -> str:
             f"(strpos('0123456789abcdef', substr({hx}, {1 + j}, 1)) - 1)"
             f" * {16 ** (7 - j)}"
             for j in range(8)
+        )
+        + " AS BIGINT)"
+    )
+
+
+def _nibble15_long_sql(hx: str) -> str:
+    """DuckDB replay of Spark's ``conv(substring(<md5 hex>, 1, 15), 16,
+    10)::long``: positional nibble sum of the first 15 hex chars — a
+    nonnegative 60-bit long, the shared hash domain of the md5 operator
+    families (minhash/winnow/HLL)."""
+    return (
+        "CAST("
+        + " + ".join(
+            f"(strpos('0123456789abcdef', substr({hx}, {1 + j}, 1)) - 1)"
+            f" * {16 ** (14 - j)}"
+            for j in range(15)
         )
         + " AS BIGINT)"
     )
@@ -4345,6 +4437,66 @@ def oracle_sql() -> dict[str, str]:
         # BFD packing: the sequential best-fit loop as a recursive CTE
         # over (weight desc, id) with a residual-list accumulator
         "pack_docs_bfd": _pack_docs_bfd_oracle_sql(budget=512),
+        # HLL distinct-word sketch per lang: full register replay — same
+        # 60-bit md5 hash, same integer rank (53 - length(bin(w))), exact
+        # integer harmonic sum, ONE shared-literal division for the
+        # estimate (correctly-rounded IEEE => bit-identical doubles)
+        "hll_distinct": f"""
+            WITH words AS (
+              SELECT lang, unnest(string_split({_NORM_SQL}, ' ')) AS word
+              FROM documents
+            ),
+            dw AS (SELECT DISTINCT lang, word FROM words),
+            h AS (
+              SELECT lang,
+                     {_nibble15_long_sql("md5('hll|' || word)")} AS h
+              FROM dw
+            ),
+            br AS (
+              SELECT lang, h % 256 AS bucket,
+                     CASE WHEN (h >> 8) = 0 THEN 53
+                          ELSE 53 - length(bin(h >> 8)) END AS rho
+              FROM h
+            ),
+            regs AS (
+              SELECT lang, bucket, MAX(rho) AS rho FROM br
+              GROUP BY lang, bucket
+            ),
+            agg AS (
+              SELECT lang,
+                     SUM(1::BIGINT << (53 - rho)) AS ps,
+                     COUNT(*) AS present,
+                     SUM((bucket + 1) * rho) AS ck
+              FROM regs GROUP BY lang
+            ),
+            ex AS (
+              SELECT lang, CAST(COUNT(DISTINCT word) AS BIGINT)
+                       AS exact_distinct
+              FROM words GROUP BY lang
+            )
+            SELECT a.lang, ex.exact_distinct,
+                   4.2399330249068963e+20
+                     / CAST(ps + (256 - present) * 9007199254740992 AS DOUBLE)
+                     AS hll_estimate,
+                   CAST(256 - present AS INTEGER) AS zero_registers,
+                   CAST(ps + (256 - present) * 9007199254740992 AS BIGINT)
+                     AS register_sum,
+                   CAST(ck AS BIGINT) AS register_checksum
+            FROM agg a JOIN ex USING (lang)
+        """,
+        # batch Python Data Source scan: same derived table, the MOR
+        # delete predicate removed, the pushed filter replayed for the
+        # pruned stage
+        "python_datasource_scan": f"""
+            WITH survivors AS (
+                SELECT * FROM ({scan_sql})
+                WHERE NOT (source = 'src2' AND n_tok > 300)
+            )
+            SELECT *, 'full' AS stage FROM survivors
+            UNION ALL
+            SELECT *, 'pruned' AS stage FROM survivors
+            WHERE source = 'src1'
+        """,
         # remaining rows-only (each with a reason):
         # - minhash_near_dups_fast / simhash_near_dups_fast: xxhash64 has no
         #   DuckDB equivalent; pytest asserts pair-set equality with the

@@ -42,6 +42,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # Python Data Source filter pushdown (sources/table_batch.py):
+        # dynamic SQL conf, off by default in Spark 4.1 — the kdi-table
+        # format needs it to receive pushFilters for manifest pruning
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         # local mode: driver heap IS executor memory; 32 concurrent sorters

@@ -1,0 +1,340 @@
+"""Batch Python Data Source over the table format: ``spark.read.format(
+"kdi-table")`` with manifest-driven file pruning via ``pushFilters``.
+
+The engine's native read path is ``Table(root).snapshot().scan(spark)``
+(table/format.py) — this module exposes the SAME pinned-snapshot,
+delete-aware scan through Spark's standard reader API, so any tool that
+only speaks ``spark.read.format(...).option(...).load()`` (SQL notebooks,
+schedulers, third-party frameworks) consumes the table without importing
+this package on the driver. PySpark 4's Python Data Source API supplies
+the two hooks the table format maps onto exactly:
+
+- **file pruning** via ``.option("where", "source = 'src1' AND n_tok
+  >= 2")``: simple AND-ed comparisons become the engine's ``(col, op,
+  literal)`` conjuncts and prune planned file tasks against manifest
+  min/max + recorded partition values — including mapping through
+  hidden-partitioning transforms (plans/pruning.py prune_files, the
+  data-skipping analogue of the stats the reference writes per file,
+  /root/reference/src/writer.rs:655-707). The same conjuncts are ALSO
+  applied row-level in the Arrow read, so the option is semantically a
+  WHERE clause. Pruning state lives in the load's OPTIONS — safe under
+  any DataFrame/view reuse.
+- ``pushFilters`` auto-pruning exists behind ``.option("pushdown",
+  "true")`` — opt-in because Spark 4.1 caches the planned Python scan
+  inside the relation object: after ONE filtered query over a shared
+  DataFrame/temp view, the cached (pruned!) scan is REUSED by later
+  differently-filtered queries, silently dropping rows (measured: a
+  full COUNT(*) on a view returned the filtered count after a filtered
+  query ran first). A pushdown-enabled load must therefore be used by
+  exactly one query plan. The explicit ``where`` option is the
+  recommended pruning path.
+- ``partitions()`` (planning, driver): one :class:`InputPartition` per
+  surviving data file — a 1000-executor cluster fans out file-per-task
+  with zero shuffle. Each partition carries its own recorded
+  ``partition_values`` (mixed-spec tables scan correctly) plus the
+  merge-on-read delete files that cover it, planned from manifest
+  metadata only (position deletes by covered path; equality deletes by
+  the Iceberg sequence rule ``delete.seq > file.seq`` AND key-range
+  intersection — DeleteEntry.applies_to).
+- ``read(partition)`` (executors): pyarrow reads the parquet file and
+  yields Arrow RecordBatches (zero per-row Python on uncovered files —
+  at 10^12 rows that is almost every file). Covered files take the
+  documented slow path: position deletes mask by in-file row index
+  (identical to the ``_metadata.row_index`` anchor the Catalyst scan
+  uses), equality deletes anti-join null-safe key tuples.
+
+Time travel: ``.option("versionAsOf", N)`` pins any retained version.
+
+Usage::
+
+    spark.dataSource.register(KdiTableDataSource)
+    df = (spark.read.format("kdi-table")
+          .option("path", root)
+          .option("where", "source = 'src1'")   # manifest file pruning
+          .load())
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+
+from kafka_delta_ingest_spark.sources.table_stream import _typed_py
+from kafka_delta_ingest_spark.table.format import Table
+
+_FILTER_OPS = {
+    EqualTo: "=",
+    GreaterThan: ">",
+    GreaterThanOrEqual: ">=",
+    LessThan: "<",
+    LessThanOrEqual: "<=",
+    In: "in",
+}
+
+
+@dataclass
+class ScanFilePartition(InputPartition):
+    """One live data file = one Spark task (plus its covering deletes)."""
+
+    path: str  # absolute
+    rel_path: str  # table-relative (position-delete join key)
+    partition_values: dict[str, str] = field(default_factory=dict)
+    # absolute paths of position-delete parquets covering this file
+    pos_delete_paths: list = field(default_factory=list)
+    # [(absolute path, [key col, ...])] equality deletes applicable to
+    # this file (seq + key-range election already done at planning)
+    eq_deletes: list = field(default_factory=list)
+
+
+def to_conjuncts(filters: list[Filter]) -> list[tuple]:
+    """Translate pushed-down Spark filters to engine pruning conjuncts.
+
+    Only simple comparisons on top-level columns translate; everything
+    else is ignored for pruning (and re-applied by Spark regardless)."""
+    out: list[tuple] = []
+    for f in filters:
+        op = _FILTER_OPS.get(type(f))
+        if op is None or len(f.attribute) != 1:
+            continue
+        v = list(f.value) if op == "in" else f.value
+        out.append((f.attribute[0], op, v))
+    return out
+
+
+_WHERE_RE = re.compile(
+    r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*(=|==|<=|>=|<|>)\s*"
+    r"('(?:[^']|'')*'|-?\d+(?:\.\d+)?)\s*$"
+)
+
+
+def parse_where(where: str) -> list[tuple]:
+    """Parse the ``where`` option: simple comparisons joined by AND.
+
+    ``col op literal`` with op in = == < <= > >= and literal a
+    single-quoted string ('' escapes a quote) or a number. Anything
+    fancier belongs in a normal ``.where()`` after load (row-level only,
+    no file pruning)."""
+    out: list[tuple] = []
+    for part in where.split(" AND "):
+        m = _WHERE_RE.match(part)
+        if not m:
+            raise ValueError(
+                f"kdi-table where option: cannot parse {part!r} "
+                "(use: col op literal, AND-joined)"
+            )
+        col, op, lit = m.groups()
+        if lit.startswith("'"):
+            val: object = lit[1:-1].replace("''", "'")
+        elif "." in lit:
+            val = float(lit)
+        else:
+            val = int(lit)
+        out.append((col, "=" if op == "==" else op, val))
+    return out
+
+
+class KdiTableBatchReader(DataSourceReader):
+    """Default reader: pruning only from the explicit ``where`` option —
+    stateless under plan/view reuse (the conjuncts are part of the
+    load's identity, never mutated by the optimizer)."""
+
+    def __init__(
+        self,
+        root: str,
+        schema: T.StructType,
+        version: int | None,
+        conjuncts: list[tuple] | None = None,
+    ):
+        self.root = root
+        self.schema = schema
+        self.version = version
+        self.conjuncts: list[tuple] = list(conjuncts or [])
+
+    # ---- driver-side planning -------------------------------------
+    def partitions(self):
+        from kafka_delta_ingest_spark.plans.pruning import prune_files
+
+        snap = Table(self.root).snapshot(self.version)
+        kept = snap.files
+        if self.conjuncts:
+            kept = prune_files(
+                kept, self.conjuncts, snap.schema, spec=snap.partition_cols
+            )
+        pos = [de for de in snap.delete_entries if de.kind == "position"]
+        eq = [de for de in snap.delete_entries if de.kind == "equality"]
+        out = []
+        for fe in kept:
+            out.append(
+                ScanFilePartition(
+                    path=os.path.join(self.root, fe.path),
+                    rel_path=fe.path,
+                    partition_values=dict(fe.partition_values),
+                    pos_delete_paths=[
+                        os.path.join(self.root, de.path)
+                        for de in pos
+                        if fe.path in de.counts
+                    ],
+                    eq_deletes=[
+                        (os.path.join(self.root, de.path), list(de.equality_ids))
+                        for de in eq
+                        if de.applies_to(fe)
+                    ],
+                )
+            )
+        if not out:
+            # Spark requires >= 1 partition; emit one empty marker task
+            out.append(ScanFilePartition(path="", rel_path=""))
+        return out
+
+    # ---- executor-side read ---------------------------------------
+    def read(self, partition: ScanFilePartition):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        target = to_arrow_schema(self.schema)
+        if not partition.path:
+            yield from pa.Table.from_arrays(
+                [pa.array([], type=f.type) for f in target], schema=target
+            ).to_batches()
+            return
+        tbl = pq.read_table(partition.path)
+
+        # merge-on-read position deletes: mask by in-file row index (the
+        # same anchor the Catalyst path's _metadata.row_index uses)
+        dead_pos: set[int] = set()
+        for dp in partition.pos_delete_paths:
+            dt = pq.read_table(dp, columns=["data_path", "pos"])
+            m = pc.equal(dt["data_path"], pa.scalar(partition.rel_path))
+            dead_pos.update(dt.filter(m)["pos"].to_pylist())
+        if dead_pos:
+            keep = [i for i in range(tbl.num_rows) if i not in dead_pos]
+            tbl = tbl.take(pa.array(keep, type=pa.int64()))
+
+        # equality deletes: null-safe anti-join on the key tuple (tuples
+        # of Python values — None == None, matching the scan semantics)
+        for dp, key_cols in partition.eq_deletes:
+            kt = pq.read_table(dp, columns=key_cols)
+            dead_keys = set(zip(*(kt[c].to_pylist() for c in key_cols)))
+            if not dead_keys:
+                continue
+            rows = zip(*(tbl[c].to_pylist() for c in key_cols))
+            mask = pa.array([k not in dead_keys for k in rows])
+            tbl = tbl.filter(mask)
+
+        n = tbl.num_rows
+        arrays = []
+        for f in self.schema.fields:
+            at = target.field(f.name).type
+            if f.name in tbl.column_names:
+                col = tbl[f.name].combine_chunks()
+                arrays.append(col if col.type == at else col.cast(at))
+            else:
+                # identity partition column reconstructed from the
+                # manifest's recorded values (same rule as the streaming
+                # source; absent key = pre-evolution spec -> NULL)
+                v = _typed_py(partition.partition_values.get(f.name), f.dataType)
+                if v is None:
+                    arrays.append(pa.nulls(n, type=at))
+                else:
+                    arrays.append(pa.array([v] * n).cast(at))
+        out = pa.Table.from_arrays(arrays, schema=target)
+        # the where-option conjuncts are a real WHERE: applied row-level
+        # here (Arrow compute), so option-pruned loads return exactly the
+        # matching rows, not whole surviving files
+        for col, op, lit in self.conjuncts:
+            f = pc.field(col)
+            cond = {
+                "=": f == lit, "<": f < lit, "<=": f <= lit,
+                ">": f > lit, ">=": f >= lit,
+            }.get(op)
+            if cond is None and op == "in":
+                cond = pc.field(col).isin(lit)
+            out = out.filter(cond)
+        yield from out.to_batches()
+
+
+class KdiTablePruningReader(KdiTableBatchReader):
+    """Opt-in ``pushFilters`` auto-pruning (``.option("pushdown",
+    "true")``): correct ONLY for a single-use load — see module doc for
+    the Spark 4.1 cached-scan hazard under DataFrame/view reuse."""
+
+    def pushFilters(self, filters: list[Filter]):
+        self.conjuncts = self.conjuncts + to_conjuncts(filters)
+        # yield every filter back: this reader prunes files only, Spark
+        # keeps row-level responsibility for pushed filters
+        yield from filters
+
+
+def register(spark) -> None:
+    """Register the format and enable Python-datasource filter pushdown
+    (a dynamic SQL conf, off by default in Spark 4.1)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        spark.dataSource.register(KdiTableDataSource)
+    except Exception:  # noqa: BLE001 — already registered in this session
+        pass
+
+
+class KdiTableDataSource(DataSource):
+    """``spark.read.format("kdi-table")`` — see module doc."""
+
+    def __init__(self, options):
+        super().__init__(options)
+        # Catalyst canonicalizes Python-datasource relations by their
+        # pickled bytes: two load()s with IDENTICAL options collapse into
+        # ONE scan, and a filter pushed by one branch of a union/self-join
+        # then FILE-PRUNES the sibling branch's rows too (measured: the
+        # unfiltered side of a union lost every pruned file's rows). A
+        # per-instance nonce makes each load() its own scan, so pushdown
+        # can never leak across plan branches. Costs nothing at scale —
+        # scan reuse across branches was never load-bearing for a
+        # file-per-task source.
+        import uuid
+
+        self._scan_nonce = uuid.uuid4().hex
+
+    @classmethod
+    def name(cls) -> str:
+        return "kdi-table"
+
+    def _version(self) -> int | None:
+        v = self.options.get("versionasof") or self.options.get("versionAsOf")
+        return None if v is None else int(v)
+
+    def schema(self) -> T.StructType:
+        root = self.options.get("path")
+        if not root:
+            raise ValueError("kdi-table requires .option('path', ...)")
+        return Table(root).snapshot(self._version()).schema
+
+    def reader(self, schema: T.StructType) -> KdiTableBatchReader:
+        conj = None
+        w = self.options.get("where")
+        if w:
+            conj = parse_where(w)
+        cls = (
+            KdiTablePruningReader
+            if str(self.options.get("pushdown", "false")).lower() == "true"
+            else KdiTableBatchReader
+        )
+        return cls(
+            os.path.abspath(self.options["path"]), schema, self._version(),
+            conjuncts=conj,
+        )

@@ -1,0 +1,96 @@
+"""HyperLogLog sketches (operators/sketches.py): register construction
+hand-verified against hashlib, merge = sketch-of-union (the property that
+makes it a sketch), estimate arithmetic exact-integer + one division,
+accuracy within theory bounds."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from kafka_delta_ingest_spark.operators.sketches import (
+    hll_distinct,
+    hll_estimate,
+    hll_merge,
+    hll_registers,
+)
+
+
+def _items(spark, n, prefix="w"):
+    return spark.range(n).select(
+        F.concat(F.lit(prefix), F.col("id").cast("string")).alias("w"),
+        (F.col("id") % 2).cast("int").alias("g"),
+    )
+
+
+def _py_register(word: str, p: int = 8, salt: str = "hll"):
+    """Reference register computation in plain Python."""
+    h = int(hashlib.md5(f"{salt}|{word}".encode()).hexdigest()[:15], 16)
+    bucket = h % (1 << p)
+    w = h >> p
+    width = 60 - p
+    rho = (width + 1) if w == 0 else (width + 1 - w.bit_length())
+    return bucket, rho
+
+
+def test_registers_match_hashlib_reference(spark):
+    df = _items(spark, 200)
+    regs = {
+        (r["bucket"], r["rho"])
+        for r in hll_registers(df, ["w"], family="md5").collect()
+    }
+    expect = {}
+    for i in range(200):
+        b, rho = _py_register(f"w{i}")
+        expect[b] = max(expect.get(b, 0), rho)
+    assert regs == set(expect.items())
+
+
+def test_merge_equals_sketch_of_union(spark):
+    """MAX-merge of two half-corpus sketches == the whole-corpus sketch,
+    for both hash families and with group columns."""
+    whole = _items(spark, 3000)
+    a = whole.where(F.col("w").substr(-1, 1).isin("0", "1", "2", "3", "4"))
+    b = whole.subtract(a)
+    for family in ("xxhash64", "md5"):
+        ra = hll_registers(a, ["w"], ["g"], family=family)
+        rb = hll_registers(b, ["w"], ["g"], family=family)
+        merged = {
+            (r["g"], r["bucket"], r["rho"])
+            for r in hll_merge(ra, rb, ["g"]).collect()
+        }
+        full = {
+            (r["g"], r["bucket"], r["rho"])
+            for r in hll_registers(whole, ["w"], ["g"], family=family).collect()
+        }
+        assert merged == full
+
+
+def test_estimate_accuracy_and_duplicate_insensitivity(spark):
+    """Raw HLL stderr is ~1.04/sqrt(m); assert 4 sigma. Feeding each item
+    5x must not move the estimate at all (it estimates DISTINCT)."""
+    n, p = 5000, 10  # m=1024 -> stderr ~3.3%
+    df = _items(spark, n)
+    est = hll_distinct(df, ["w"], p=p, family="md5").first()["hll_estimate"]
+    assert abs(est - n) / n < 4 * 1.04 / (1 << p) ** 0.5
+
+    dup = df.crossJoin(spark.range(5))
+    est_dup = hll_distinct(dup, ["w"], p=p, family="md5").first()[
+        "hll_estimate"
+    ]
+    assert est_dup == est
+
+
+def test_estimate_arithmetic_exact_on_known_registers(spark):
+    """Estimate from a hand-built register table equals the Python
+    computation exactly (the integer-sum + one-division contract)."""
+    p, width = 8, 52
+    rows = [(0, 1), (17, 5), (255, 52)]
+    regs = spark.createDataFrame(rows, "bucket int, rho int")
+    out = hll_estimate(regs, p=p).first()
+    m, empty = 1 << p, 1 << (width + 1)
+    s = sum(1 << (width + 1 - rho) for _, rho in rows) + (m - 3) * empty
+    num = (0.7213 / (1.0 + 1.079 / m)) * (m * m) * float(empty)
+    assert out["register_sum"] == s
+    assert out["zero_registers"] == m - 3
+    assert out["register_checksum"] == sum((b + 1) * r for b, r in rows)
+    assert out["hll_estimate"] == num / float(s)
