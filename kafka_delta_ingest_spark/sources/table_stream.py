@@ -96,19 +96,51 @@ class TableAppendsStreamReader(DataSourceStreamReader):
         self.root = root
         self.schema = schema  # includes VERSION_COL (appended last)
         self.starting = "latest"
+        # admission control: at most this many table versions per
+        # micro-batch (None = unbounded). The Kafka-source maxOffsets
+        # PerTrigger analogue — a consumer started against a year-old
+        # table must drain the backlog in bounded transactions, not one
+        # giant batch. Enforced by capping latestOffset (capping inside
+        # partitions() would mark versions consumed without reading
+        # them). The cap base is the last planned end when one exists;
+        # before any batch has planned (fresh start OR checkpoint
+        # restart — Spark calls latestOffset BEFORE initialOffset,
+        # traced), a monotone probe advances by `cap` per trigger tick
+        # from the starting-option base until it crosses the consumer's
+        # real position, so a restarted stream can never stall behind a
+        # stale base and every planned batch spans <= cap versions.
+        self.max_versions_per_trigger: int | None = None
+        self._last_end: int | None = None
+        self._probe: int | None = None
 
     # ---- driver-side planning -------------------------------------
-    def initialOffset(self) -> dict:
+    def _starting_base(self) -> int:
         if self.starting == "latest":
-            return {"version": Table(self.root).latest_version()}
+            return Table(self.root).latest_version()
         if self.starting == "earliest":
-            return {"version": -1}  # include the create commit's adds
-        return {"version": int(self.starting)}
+            return -1  # include the create commit's adds
+        return int(self.starting)
+
+    def initialOffset(self) -> dict:
+        return {"version": self._starting_base()}
 
     def latestOffset(self) -> dict:
-        return {"version": Table(self.root).latest_version()}
+        latest = Table(self.root).latest_version()
+        cap = self.max_versions_per_trigger
+        if cap:
+            if self._last_end is not None:
+                base = self._last_end  # authoritative: last planned end
+            elif self._probe is not None:
+                base = self._probe  # hunting toward the consumer position
+            else:
+                base = self._starting_base()
+            capped = min(latest, base + cap)
+            self._probe = capped
+            return {"version": capped}
+        return {"version": latest}
 
     def partitions(self, start: dict, end: dict):
+        self._last_end = int(end["version"])
         t = Table(self.root)
         out: list[AppendFilePartition] = []
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
@@ -396,6 +428,11 @@ class TableAppendsDataSource(DataSource):
             or self.options.get("startingVersion")
             or "latest"
         ).lower()
+        mv = self.options.get("maxversionspertrigger") or self.options.get(
+            "maxVersionsPerTrigger"
+        )
+        if mv is not None:
+            r.max_versions_per_trigger = max(1, int(mv))
         return r
 
     def streamWriter(self, schema: T.StructType, overwrite: bool):

@@ -58,6 +58,10 @@ PLANNED = [
     "ccnet_buckets",
     "dsir_weights",
     "token_pair_counts",
+    # HLL sketch: register build + estimate must stay HashAggregate
+    # (bucket/rho are ints, the harmonic sum is a long), and the
+    # sketch-to-exact join is an equi-join on the group column
+    "hll_distinct",
 ]
 
 # ann/exact pair scoring is an intentional broadcast nested-loop (queries
