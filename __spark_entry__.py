@@ -2161,6 +2161,29 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011): each 64-dim vector
+    compresses to 4 sub-codes (nearest-subspace-centroid by squared L2,
+    deterministic md5-sampled codebooks), and top-5 MIPS scores are
+    computed from codes alone — asymmetric distance = the sum of 4
+    query-slice x codebook-centroid inner products. At 10^12 vectors the
+    scoring scan reads 4 ints per vector instead of 64 floats; the
+    optional exact re-rank (pytest-ed) is the only stage touching
+    originals. Oracle replays sampling, per-subspace argmin assignment
+    (same tie-break), the 4-term ADC sum in the same association order,
+    and the ranking window."""
+    from kafka_delta_ingest_spark.operators.similarity import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = pq_topk(queries, emb, k=5, m=4, k_cb=8)
+    return out.select(
+        "q_id", "vec_id", F.round("adc", 5).alias("adc_r"), "rank"
+    )
+
+
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-word sketch per language (operators/
     sketches.py, Flajolet 2007): at 10^12 rows COUNT(DISTINCT) is a full
@@ -2261,16 +2284,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first 50; round 4 led with the 42 LLM-pipeline queries that had
     # never had a driver row (plus keystones) — so across r3+r4 every
     # query has at least one green driver CORRECTNESS row. Round 5's
-    # window leads with (a) the two round-5 additions (hll_distinct,
-    # python_datasource_scan), then (b) the 41 queries whose last driver
-    # row is from r3 (two rounds stale — refreshed here), then (c)
-    # north-rule keystones to fill the 50. Everything past 50 is
+    # window leads with (a) the three round-5 additions (hll_distinct,
+    # python_datasource_scan, pq_topk), then (b) the 41 queries whose
+    # last driver row is from r3 (two rounds stale — refreshed here),
+    # then (c) north-rule keystones to fill the 50 (manifest_stats, the
+    # 51st, is double-green from r3+r4). Everything past 50 is
     # double-green from r3+r4 and continuously re-checked by
     # tools/check_oracles.py, which replays the identical comparison
     # over ALL entries every round. Rotation history: COVERAGE.md.
     return {
         "hll_distinct": q_hll_distinct,
         "python_datasource_scan": q_python_datasource_scan,
+        "pq_topk": q_pq_topk,
         "ledger_resume_scan": q_ledger_resume_scan,
         "ingest_e2e": q_ingest_e2e,
         "offset_dedupe": q_offset_dedupe,
@@ -4483,6 +4508,79 @@ def oracle_sql() -> dict[str, str]:
                      AS register_sum,
                    CAST(ck AS BIGINT) AS register_checksum
             FROM agg a JOIN ex USING (lang)
+        """,
+        # PQ ANN: sampled codebooks, per-subspace L2 argmin codes, 4-term
+        # ADC inner-product sum (same left-assoc order as Spark's fold),
+        # rank window with the same (score DESC, id) tie-break
+        "pq_topk": """
+            WITH cent AS (
+              SELECT ROW_NUMBER() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                     ) - 1 AS code,
+                     embedding AS cvec
+              FROM (SELECT * FROM embeddings
+                    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8)
+            ),
+            a0 AS (
+              SELECT e.vec_id, c.code,
+                     ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                       list_distance(CAST(e.embedding[1:16] AS DOUBLE[]),
+                                     CAST(c.cvec[1:16] AS DOUBLE[])), c.code) AS rn
+              FROM embeddings e CROSS JOIN cent c
+            ),
+            c0 AS (SELECT vec_id, code AS c0 FROM a0 WHERE rn = 1),
+            a1 AS (
+              SELECT e.vec_id, c.code,
+                     ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                       list_distance(CAST(e.embedding[17:32] AS DOUBLE[]),
+                                     CAST(c.cvec[17:32] AS DOUBLE[])), c.code) AS rn
+              FROM embeddings e CROSS JOIN cent c
+            ),
+            c1 AS (SELECT vec_id, code AS c1 FROM a1 WHERE rn = 1),
+            a2 AS (
+              SELECT e.vec_id, c.code,
+                     ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                       list_distance(CAST(e.embedding[33:48] AS DOUBLE[]),
+                                     CAST(c.cvec[33:48] AS DOUBLE[])), c.code) AS rn
+              FROM embeddings e CROSS JOIN cent c
+            ),
+            c2 AS (SELECT vec_id, code AS c2 FROM a2 WHERE rn = 1),
+            a3 AS (
+              SELECT e.vec_id, c.code,
+                     ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                       list_distance(CAST(e.embedding[49:64] AS DOUBLE[]),
+                                     CAST(c.cvec[49:64] AS DOUBLE[])), c.code) AS rn
+              FROM embeddings e CROSS JOIN cent c
+            ),
+            c3 AS (SELECT vec_id, code AS c3 FROM a3 WHERE rn = 1),
+            codes AS (
+              SELECT vec_id, c0, c1, c2, c3
+              FROM c0 JOIN c1 USING (vec_id) JOIN c2 USING (vec_id)
+                   JOIN c3 USING (vec_id)
+            ),
+            q AS (
+              SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+              WHERE vec_id < 5
+            ),
+            scored AS (
+              SELECT q.q_id, cd.vec_id,
+                     (list_inner_product(CAST(q.q_vec[1:16] AS DOUBLE[]), CAST(k0.cvec[1:16] AS DOUBLE[]))
+                   + list_inner_product(CAST(q.q_vec[17:32] AS DOUBLE[]), CAST(k1.cvec[17:32] AS DOUBLE[]))
+                   + list_inner_product(CAST(q.q_vec[33:48] AS DOUBLE[]), CAST(k2.cvec[33:48] AS DOUBLE[]))
+                   + list_inner_product(CAST(q.q_vec[49:64] AS DOUBLE[]), CAST(k3.cvec[49:64] AS DOUBLE[]))) AS adc
+              FROM codes cd
+              JOIN cent k0 ON k0.code = cd.c0
+              JOIN cent k1 ON k1.code = cd.c1
+              JOIN cent k2 ON k2.code = cd.c2
+              JOIN cent k3 ON k3.code = cd.c3
+              CROSS JOIN q
+            )
+            SELECT q_id, vec_id, ROUND(adc, 5) AS adc_r, rank FROM (
+              SELECT q_id, vec_id, adc,
+                     ROW_NUMBER() OVER (PARTITION BY q_id
+                       ORDER BY adc DESC, vec_id) AS rank
+              FROM scored
+            ) WHERE rank <= 5
         """,
         # batch Python Data Source scan: same derived table, the MOR
         # delete predicate removed, the pushed filter replayed for the

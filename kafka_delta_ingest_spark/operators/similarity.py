@@ -637,3 +637,154 @@ def semdedup(
         "cell",
         F.coalesce(~F.col("_pruned"), F.lit(True)).alias("kept"),
     )
+
+
+# ----------------------------------------------------------- product
+# quantization (Jégou et al. 2011) — the ANN path that actually fits
+# 10^12 vectors in memory: a 64-dim float vector (256 B) compresses to m
+# sub-codes (m bytes at k<=256), distances are approximated from the
+# codes alone, and only a small re-rank candidate set ever touches the
+# original vectors.
+
+
+def _slice_sql(col_name: str, start0: int, length: int) -> str:
+    """1-based slice of the double-cast vector (subspace projection)."""
+    return f"slice({_cast_vec_sql(col_name)}, {start0 + 1}, {length})"
+
+
+def _l2_structs(vec_sql: str, centroids: list[tuple[int, list[float]]]) -> Column:
+    """Array of ``struct(negd2, negc)`` per centroid: ``array_max`` picks
+    the NEAREST centroid by squared L2 (max of -d2), ties to the smallest
+    centroid id — mirrors the oracle's ``ORDER BY d2, cid``. Same compact
+    array-of-arrays literal shape as the cosine version (_cell_structs)."""
+    carr = "array(" + ",".join(_arr_sql(cv) for _, cv in centroids) + ")"
+    negids = "array(" + ",".join(f"{-int(cid)}L" for cid, _ in centroids) + ")"
+    d2 = (
+        f"aggregate(zip_with({vec_sql}, c, (x, y) -> (x - y) * (x - y)), "
+        f"0.0D, (acc, t) -> acc + t)"
+    )
+    return F.expr(
+        f"zip_with({carr}, {negids}, (c, negc) -> "
+        f"named_struct('negd2', -({d2}), 'negc', negc))"
+    )
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> list[list[tuple[int, list[float]]]]:
+    """One codebook per subspace: the k deterministic md5-sampled corpus
+    vectors (same seeded draw as the IVF centroids — reproducible at any
+    parallelism, replayable by the oracle), sliced per subspace. Lloyd
+    refinement per subspace is a drop-in (kmeans_centroids on the sliced
+    frame) exactly as ivf_topk_trained does for IVF cells."""
+    sampled = _sample_centroids(corpus, k, c_id, c_vec)
+    dim = len(sampled[0][1])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    return [
+        [
+            (i, cv[sub * dsub : (sub + 1) * dsub])
+            for i, (_, cv) in enumerate(sampled)
+        ]
+        for sub in range(m)
+    ]
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as ``m`` nearest-subspace-centroid codes —
+    ONE codegen expression per subspace, no shuffle, no Python. At scale
+    this is the materialized index write (codes parquet is ~dim·4/m×
+    smaller than the vectors)."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0][1])
+    cols = [
+        (-F.array_max(_l2_structs(_slice_sql(c_vec, s * dsub, dsub), codebooks[s]))["negc"])
+        .cast("int")
+        .alias(f"_c{s}")
+        for s in range(m)
+    ]
+    return corpus.select(F.col(c_id), *cols).select(
+        F.col(c_id), F.array(*[F.col(f"_c{s}") for s in range(m)]).alias("codes")
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    m: int = 4,
+    k_cb: int = 8,
+    rerank: int = 0,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+    codebooks: list[list[tuple[int, list[float]]]] | None = None,
+) -> DataFrame:
+    """PQ asymmetric-distance top-k by inner product (MIPS):
+    ``score(q, x) ~= sum_sub dot(q_sub, codebook[sub][code_sub(x)])`` —
+    the query stays full-precision, the corpus contributes only its
+    codes, so the scoring scan reads m ints per vector instead of dim
+    floats. ``rerank=R > 0`` refines: top-R by ADC, then exact cosine on
+    the original vectors for those candidates only (the IVF-PQ refine
+    step; at 10^12 vectors this is the only stage that touches floats).
+
+    Plan: encode = per-subspace codegen argmin (no shuffle); scoring =
+    broadcast the (small) query side over the codes, ADC as element_at
+    into the codebook literal + one fold per subspace; ranking = one
+    window per query. Everything JVM-side."""
+    cbs = codebooks or pq_codebooks(corpus, m=m, k=k_cb, c_id=c_id, c_vec=c_vec)
+    m = len(cbs)
+    dsub = len(cbs[0][0][1])
+    codes = pq_encode(corpus, cbs, c_id=c_id, c_vec=c_vec)
+
+    # ADC: for subspace s, centroid table literal indexed by code (+1:
+    # element_at is 1-based); dot with the query slice
+    terms = []
+    for s in range(m):
+        carr = "array(" + ",".join(_arr_sql(cv) for _, cv in cbs[s]) + ")"
+        qslice = _slice_sql(q_vec, s * dsub, dsub)
+        dot_s = (
+            f"aggregate(zip_with({qslice}, element_at({carr}, codes[{s}] + 1), "
+            f"(x, y) -> x * y), 0.0D, (acc, t) -> acc + t)"
+        )
+        terms.append(dot_s)
+    adc = F.expr(" + ".join(f"({t})" for t in terms))
+
+    cand = codes.join(F.broadcast(queries), how="cross")
+    scored = cand.select(F.col(q_id), F.col(c_id), adc.alias("adc"))
+    w = Window.partitionBy(q_id).orderBy(F.desc("adc"), F.col(c_id))
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    if not rerank:
+        return ranked.where(F.col("rank") <= k).select(q_id, c_id, "adc", "rank")
+
+    cands = ranked.where(F.col("rank") <= rerank).select(q_id, c_id, "adc")
+    refined = (
+        cands.join(corpus.select(c_id, c_vec), c_id)
+        .join(F.broadcast(queries), q_id)
+        .select(
+            F.col(q_id),
+            F.col(c_id),
+            F.col("adc"),
+            cosine_sim(
+                F.col(q_vec).cast("array<double>"),
+                F.col(c_vec).cast("array<double>"),
+            ).alias("cos"),
+        )
+    )
+    w2 = Window.partitionBy(q_id).orderBy(F.desc("cos"), F.col(c_id))
+    return (
+        refined.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select(q_id, c_id, "cos", "rank")
+    )

@@ -864,3 +864,50 @@ def test_near_dup_group_sizes(spark, docs):
             for r in near_dup_group_sizes(pairs).collect()}
     # docs 1,2,3 form one 3-cluster; no other pairs
     assert dist == {3: 1}
+
+
+def test_pq_topk_rerank_and_mergeable_encoding(spark):
+    """Product quantization: (a) codes are a pure function of the vector
+    (same codebooks -> same codes at any partitioning); (b) ADC ranking
+    with full-probe-free codes still places every query's own vector in
+    its candidate set, and exact re-rank recovers it at rank 1; (c) the
+    ADC score of a vector equals the inner product of the query with its
+    RECONSTRUCTION (codebook centroids), asserted arithmetically."""
+    from kafka_delta_ingest_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+        pq_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cbs = pq_codebooks(emb, m=4, k=8)
+    codes1 = {r["vec_id"]: list(r["codes"]) for r in pq_encode(emb, cbs).collect()}
+    codes2 = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_encode(emb.repartition(13), cbs).collect()
+    }
+    assert codes1 == codes2 and len(codes1) == emb.count()
+
+    q = emb.where("vec_id < 4").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    refined = pq_topk(q, emb, k=3, codebooks=cbs, rerank=60)
+    top1 = {r["q_id"]: r["vec_id"] for r in refined.where("rank = 1").collect()}
+    assert top1 == {0: 0, 1: 1, 2: 2, 3: 3}  # self recovered by re-rank
+
+    # (c) hand-check one ADC value against the reconstruction
+    import math
+
+    row = pq_topk(q, emb, k=1, codebooks=cbs).where(
+        "q_id = 0 AND rank = 1"
+    ).collect()[0]
+    qv = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+    code = codes1[row["vec_id"]]
+    recon = [x for s in range(4) for x in cbs[s][code[s]][1]]
+    expect = 0.0
+    for s in range(4):
+        d = 0.0
+        for i in range(16):
+            d += qv[s * 16 + i] * recon[s * 16 + i]
+        expect += d
+    assert math.isclose(row["adc"], expect, rel_tol=0, abs_tol=1e-12)

@@ -62,6 +62,7 @@ PLANNED = [
     # (bucket/rho are ints, the harmonic sum is a long), and the
     # sketch-to-exact join is an equi-join on the group column
     "hll_distinct",
+    "pq_topk",
 ]
 
 # ann/exact pair scoring is an intentional broadcast nested-loop (queries
@@ -79,6 +80,8 @@ NESTED_LOOP_OK = {
     "ccnet_buckets",
     # 1-row totals broadcast cross join feeding the bucket log-ratios
     "dsir_weights",
+    # PQ ADC scoring broadcasts the (small) query side over the codes
+    "pq_topk",
 }
 
 
