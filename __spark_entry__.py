@@ -2161,6 +2161,39 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cms_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005): mergeable word-
+    frequency sketch — 4x512 integer cells built in one map-side-combined
+    count, point estimates = MIN over the 4 independently-salted rows
+    (never undercounts; overcount bounded by collisions). The companion
+    to hll_distinct: HLL answers "how many distinct", CMS answers "how
+    often is X" at 10^12 rows without exact per-item state. Query: sketch
+    the corpus words, estimate the exact top-30 words, return exact vs
+    sketch counts side by side. Oracle replays cells, probes, and the MIN
+    in integer arithmetic."""
+    from kafka_delta_ingest_spark.operators.sketches import (
+        cms_counts,
+        cms_estimate,
+    )
+    from kafka_delta_ingest_spark.operators.text import normalize_text
+
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("word")
+    )
+    cells = cms_counts(words, ["word"], depth=4, width=512, family="md5")
+    top = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.desc("exact_count"), "word")
+        .limit(30)
+    )
+    est = cms_estimate(
+        cells, top, ["word"], depth=4, width=512, family="md5"
+    )
+    return est.join(top, "word").select("word", "exact_count", "cms_count")
+
+
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (Jégou et al. 2011): each 64-dim vector
     compresses to 4 sub-codes (nearest-subspace-centroid by squared L2,
@@ -2284,11 +2317,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first 50; round 4 led with the 42 LLM-pipeline queries that had
     # never had a driver row (plus keystones) — so across r3+r4 every
     # query has at least one green driver CORRECTNESS row. Round 5's
-    # window leads with (a) the three round-5 additions (hll_distinct,
-    # python_datasource_scan, pq_topk), then (b) the 41 queries whose
-    # last driver row is from r3 (two rounds stale — refreshed here),
-    # then (c) north-rule keystones to fill the 50 (manifest_stats, the
-    # 51st, is double-green from r3+r4). Everything past 50 is
+    # window leads with (a) the four round-5 additions (hll_distinct,
+    # python_datasource_scan, pq_topk, cms_word_counts), then (b) the 41
+    # queries whose last driver row is from r3 (two rounds stale —
+    # refreshed here), then (c) north-rule keystones to fill the 50;
+    # keystones past 50 are double-green from r3+r4. Everything past 50 is
     # double-green from r3+r4 and continuously re-checked by
     # tools/check_oracles.py, which replays the identical comparison
     # over ALL entries every round. Rotation history: COVERAGE.md.
@@ -2296,6 +2329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "python_datasource_scan": q_python_datasource_scan,
         "pq_topk": q_pq_topk,
+        "cms_word_counts": q_cms_word_counts,
         "ledger_resume_scan": q_ledger_resume_scan,
         "ingest_e2e": q_ingest_e2e,
         "offset_dedupe": q_offset_dedupe,
@@ -4581,6 +4615,55 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY adc DESC, vec_id) AS rank
               FROM scored
             ) WHERE rank <= 5
+        """,
+        # count-min sketch: cells, probes and the MIN replayed in exact
+        # integer arithmetic (same md5|depth-salted 60-bit hash family)
+        "cms_word_counts": f"""
+            WITH words AS (
+              SELECT lang, unnest(string_split({_NORM_SQL}, ' ')) AS word
+              FROM documents
+            ),
+            cells AS (
+              SELECT 0 AS d,
+                     CAST((strpos('0123456789abcdef', substr(md5('cms|0|' || word), 1, 1)) - 1) * 72057594037927936 + (strpos('0123456789abcdef', substr(md5('cms|0|' || word), 2, 1)) - 1) * 4503599627370496 + (strpos('0123456789abcdef', substr(md5('cms|0|' || word), 3, 1)) - 1) * 281474976710656 + (strpos('0123456789abcdef', substr(md5('cms|0|' || word), 4, 1)) - 1) * 17592186044416 + (strpos('0123456789abcdef', substr(md5('cms|0|' || word), 5, 1)) - 1) * 1099511627776 + (strpos('0123456789abcdef', substr(md5('cms|0|' || word), 6, 1)) - 1) * 68719476736 + (strpos('0123456789abcdef', substr(md5('cms|0|' || word), 7, 1)) - 1) * 4294967296 + (strpos('0123456789abcdef', substr(md5('cms|0|' || word), 8, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substr(md5('cms|0|' || word), 9, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5('cms|0|' || word), 10, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5('cms|0|' || word), 11, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5('cms|0|' || word), 12, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5('cms|0|' || word), 13, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5('cms|0|' || word), 14, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5('cms|0|' || word), 15, 1)) - 1) * 1 AS BIGINT) % 512 AS bucket,
+                     COUNT(*) AS cnt
+              FROM words GROUP BY 2
+              UNION ALL
+              SELECT 1 AS d,
+                     CAST((strpos('0123456789abcdef', substr(md5('cms|1|' || word), 1, 1)) - 1) * 72057594037927936 + (strpos('0123456789abcdef', substr(md5('cms|1|' || word), 2, 1)) - 1) * 4503599627370496 + (strpos('0123456789abcdef', substr(md5('cms|1|' || word), 3, 1)) - 1) * 281474976710656 + (strpos('0123456789abcdef', substr(md5('cms|1|' || word), 4, 1)) - 1) * 17592186044416 + (strpos('0123456789abcdef', substr(md5('cms|1|' || word), 5, 1)) - 1) * 1099511627776 + (strpos('0123456789abcdef', substr(md5('cms|1|' || word), 6, 1)) - 1) * 68719476736 + (strpos('0123456789abcdef', substr(md5('cms|1|' || word), 7, 1)) - 1) * 4294967296 + (strpos('0123456789abcdef', substr(md5('cms|1|' || word), 8, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substr(md5('cms|1|' || word), 9, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5('cms|1|' || word), 10, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5('cms|1|' || word), 11, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5('cms|1|' || word), 12, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5('cms|1|' || word), 13, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5('cms|1|' || word), 14, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5('cms|1|' || word), 15, 1)) - 1) * 1 AS BIGINT) % 512 AS bucket,
+                     COUNT(*) AS cnt
+              FROM words GROUP BY 2
+              UNION ALL
+              SELECT 2 AS d,
+                     CAST((strpos('0123456789abcdef', substr(md5('cms|2|' || word), 1, 1)) - 1) * 72057594037927936 + (strpos('0123456789abcdef', substr(md5('cms|2|' || word), 2, 1)) - 1) * 4503599627370496 + (strpos('0123456789abcdef', substr(md5('cms|2|' || word), 3, 1)) - 1) * 281474976710656 + (strpos('0123456789abcdef', substr(md5('cms|2|' || word), 4, 1)) - 1) * 17592186044416 + (strpos('0123456789abcdef', substr(md5('cms|2|' || word), 5, 1)) - 1) * 1099511627776 + (strpos('0123456789abcdef', substr(md5('cms|2|' || word), 6, 1)) - 1) * 68719476736 + (strpos('0123456789abcdef', substr(md5('cms|2|' || word), 7, 1)) - 1) * 4294967296 + (strpos('0123456789abcdef', substr(md5('cms|2|' || word), 8, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substr(md5('cms|2|' || word), 9, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5('cms|2|' || word), 10, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5('cms|2|' || word), 11, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5('cms|2|' || word), 12, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5('cms|2|' || word), 13, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5('cms|2|' || word), 14, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5('cms|2|' || word), 15, 1)) - 1) * 1 AS BIGINT) % 512 AS bucket,
+                     COUNT(*) AS cnt
+              FROM words GROUP BY 2
+              UNION ALL
+              SELECT 3 AS d,
+                     CAST((strpos('0123456789abcdef', substr(md5('cms|3|' || word), 1, 1)) - 1) * 72057594037927936 + (strpos('0123456789abcdef', substr(md5('cms|3|' || word), 2, 1)) - 1) * 4503599627370496 + (strpos('0123456789abcdef', substr(md5('cms|3|' || word), 3, 1)) - 1) * 281474976710656 + (strpos('0123456789abcdef', substr(md5('cms|3|' || word), 4, 1)) - 1) * 17592186044416 + (strpos('0123456789abcdef', substr(md5('cms|3|' || word), 5, 1)) - 1) * 1099511627776 + (strpos('0123456789abcdef', substr(md5('cms|3|' || word), 6, 1)) - 1) * 68719476736 + (strpos('0123456789abcdef', substr(md5('cms|3|' || word), 7, 1)) - 1) * 4294967296 + (strpos('0123456789abcdef', substr(md5('cms|3|' || word), 8, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substr(md5('cms|3|' || word), 9, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5('cms|3|' || word), 10, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5('cms|3|' || word), 11, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5('cms|3|' || word), 12, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5('cms|3|' || word), 13, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5('cms|3|' || word), 14, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5('cms|3|' || word), 15, 1)) - 1) * 1 AS BIGINT) % 512 AS bucket,
+                     COUNT(*) AS cnt
+              FROM words GROUP BY 2
+            ),
+            top AS (
+              SELECT word, CAST(COUNT(*) AS BIGINT) AS exact_count
+              FROM words GROUP BY word
+              ORDER BY COUNT(*) DESC, word LIMIT 30
+            ),
+            probe AS (
+              SELECT t.word, t.exact_count, dd.d,
+                     CASE dd.d
+                     WHEN 0 THEN CAST((strpos('0123456789abcdef', substr(md5('cms|0|' || t.word), 1, 1)) - 1) * 72057594037927936 + (strpos('0123456789abcdef', substr(md5('cms|0|' || t.word), 2, 1)) - 1) * 4503599627370496 + (strpos('0123456789abcdef', substr(md5('cms|0|' || t.word), 3, 1)) - 1) * 281474976710656 + (strpos('0123456789abcdef', substr(md5('cms|0|' || t.word), 4, 1)) - 1) * 17592186044416 + (strpos('0123456789abcdef', substr(md5('cms|0|' || t.word), 5, 1)) - 1) * 1099511627776 + (strpos('0123456789abcdef', substr(md5('cms|0|' || t.word), 6, 1)) - 1) * 68719476736 + (strpos('0123456789abcdef', substr(md5('cms|0|' || t.word), 7, 1)) - 1) * 4294967296 + (strpos('0123456789abcdef', substr(md5('cms|0|' || t.word), 8, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substr(md5('cms|0|' || t.word), 9, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5('cms|0|' || t.word), 10, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5('cms|0|' || t.word), 11, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5('cms|0|' || t.word), 12, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5('cms|0|' || t.word), 13, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5('cms|0|' || t.word), 14, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5('cms|0|' || t.word), 15, 1)) - 1) * 1 AS BIGINT) % 512
+                     WHEN 1 THEN CAST((strpos('0123456789abcdef', substr(md5('cms|1|' || t.word), 1, 1)) - 1) * 72057594037927936 + (strpos('0123456789abcdef', substr(md5('cms|1|' || t.word), 2, 1)) - 1) * 4503599627370496 + (strpos('0123456789abcdef', substr(md5('cms|1|' || t.word), 3, 1)) - 1) * 281474976710656 + (strpos('0123456789abcdef', substr(md5('cms|1|' || t.word), 4, 1)) - 1) * 17592186044416 + (strpos('0123456789abcdef', substr(md5('cms|1|' || t.word), 5, 1)) - 1) * 1099511627776 + (strpos('0123456789abcdef', substr(md5('cms|1|' || t.word), 6, 1)) - 1) * 68719476736 + (strpos('0123456789abcdef', substr(md5('cms|1|' || t.word), 7, 1)) - 1) * 4294967296 + (strpos('0123456789abcdef', substr(md5('cms|1|' || t.word), 8, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substr(md5('cms|1|' || t.word), 9, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5('cms|1|' || t.word), 10, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5('cms|1|' || t.word), 11, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5('cms|1|' || t.word), 12, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5('cms|1|' || t.word), 13, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5('cms|1|' || t.word), 14, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5('cms|1|' || t.word), 15, 1)) - 1) * 1 AS BIGINT) % 512
+                     WHEN 2 THEN CAST((strpos('0123456789abcdef', substr(md5('cms|2|' || t.word), 1, 1)) - 1) * 72057594037927936 + (strpos('0123456789abcdef', substr(md5('cms|2|' || t.word), 2, 1)) - 1) * 4503599627370496 + (strpos('0123456789abcdef', substr(md5('cms|2|' || t.word), 3, 1)) - 1) * 281474976710656 + (strpos('0123456789abcdef', substr(md5('cms|2|' || t.word), 4, 1)) - 1) * 17592186044416 + (strpos('0123456789abcdef', substr(md5('cms|2|' || t.word), 5, 1)) - 1) * 1099511627776 + (strpos('0123456789abcdef', substr(md5('cms|2|' || t.word), 6, 1)) - 1) * 68719476736 + (strpos('0123456789abcdef', substr(md5('cms|2|' || t.word), 7, 1)) - 1) * 4294967296 + (strpos('0123456789abcdef', substr(md5('cms|2|' || t.word), 8, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substr(md5('cms|2|' || t.word), 9, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5('cms|2|' || t.word), 10, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5('cms|2|' || t.word), 11, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5('cms|2|' || t.word), 12, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5('cms|2|' || t.word), 13, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5('cms|2|' || t.word), 14, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5('cms|2|' || t.word), 15, 1)) - 1) * 1 AS BIGINT) % 512
+                     WHEN 3 THEN CAST((strpos('0123456789abcdef', substr(md5('cms|3|' || t.word), 1, 1)) - 1) * 72057594037927936 + (strpos('0123456789abcdef', substr(md5('cms|3|' || t.word), 2, 1)) - 1) * 4503599627370496 + (strpos('0123456789abcdef', substr(md5('cms|3|' || t.word), 3, 1)) - 1) * 281474976710656 + (strpos('0123456789abcdef', substr(md5('cms|3|' || t.word), 4, 1)) - 1) * 17592186044416 + (strpos('0123456789abcdef', substr(md5('cms|3|' || t.word), 5, 1)) - 1) * 1099511627776 + (strpos('0123456789abcdef', substr(md5('cms|3|' || t.word), 6, 1)) - 1) * 68719476736 + (strpos('0123456789abcdef', substr(md5('cms|3|' || t.word), 7, 1)) - 1) * 4294967296 + (strpos('0123456789abcdef', substr(md5('cms|3|' || t.word), 8, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substr(md5('cms|3|' || t.word), 9, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5('cms|3|' || t.word), 10, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5('cms|3|' || t.word), 11, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5('cms|3|' || t.word), 12, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5('cms|3|' || t.word), 13, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5('cms|3|' || t.word), 14, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5('cms|3|' || t.word), 15, 1)) - 1) * 1 AS BIGINT) % 512
+                     END AS bucket
+              FROM top t CROSS JOIN (SELECT unnest([0,1,2,3]) AS d) dd
+            )
+            SELECT p.word, p.exact_count,
+                   CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS cms_count
+            FROM probe p LEFT JOIN cells c
+              ON c.d = p.d AND c.bucket = p.bucket
+            GROUP BY p.word, p.exact_count
         """,
         # batch Python Data Source scan: same derived table, the MOR
         # delete predicate removed, the pushed filter replayed for the

@@ -163,3 +163,107 @@ def hll_distinct(
         group_cols=group_cols,
         p=p,
     )
+
+
+# ------------------------------------------------- count-min sketch
+# (Cormode & Muthukrishnan 2005): mergeable frequency sketch — the
+# companion to HLL for "how often does item X occur" over a corpus too
+# big to hold exact counts. depth x width integer cells, merge = cell-
+# wise SUM, point estimate = MIN over depth rows (never undercounts).
+
+
+def cms_counts(
+    df: DataFrame,
+    item_cols: list[Column | str],
+    depth: int = 4,
+    width: int = 512,
+    group_cols: list[str] | None = None,
+    salt: str = "cms",
+    family: str = "xxhash64",
+) -> DataFrame:
+    """Build the sketch: ``group_cols + (d, bucket, cnt)`` rows.
+
+    One explode (x depth, depth is 3-5) + one map-side-combined count —
+    per task the aggregation state is at most ``groups x depth x width``
+    cells, which is the entire point. Each depth row uses an
+    independently salted hash (``salt|d``). Only non-empty cells appear;
+    absent cells are exact zeroes."""
+    group_cols = list(group_cols or [])
+    items = [F.col(c) if isinstance(c, str) else c for c in item_cols]
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                F.pmod(
+                    _hash60(items, f"{salt}|{d}", family), F.lit(width)
+                ).cast("int").alias("bucket"),
+            )
+            for d in range(depth)
+        ]
+    )
+    return (
+        df.select(*group_cols, F.explode(pairs).alias("_s"))
+        .select(*group_cols, F.col("_s.d").alias("d"), F.col("_s.bucket").alias("bucket"))
+        .groupBy(*group_cols, "d", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(
+    a: DataFrame, b: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Cell-wise SUM — sketches over disjoint corpus slices combine into
+    the sketch of the union (pytest-asserted), so per-partition / per-day
+    sketches roll up with no re-scan."""
+    group_cols = list(group_cols or [])
+    return (
+        a.unionByName(b)
+        .groupBy(*group_cols, "d", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    counts: DataFrame,
+    items: DataFrame,
+    item_cols: list[str],
+    depth: int = 4,
+    width: int = 512,
+    group_cols: list[str] | None = None,
+    salt: str = "cms",
+    family: str = "xxhash64",
+) -> DataFrame:
+    """Point-estimate each row of ``items``: MIN over the depth rows of
+    the cell its hashes land in. Estimates never undercount; overcount
+    is bounded by collisions (~2N/width per row w.h.p.). The items side
+    explodes to ``depth`` rows and equi-joins the sketch on (d, bucket) —
+    both sides integer keys."""
+    group_cols = list(group_cols or [])
+    cols = [F.col(c) for c in item_cols]
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                F.pmod(
+                    _hash60(cols, f"{salt}|{d}", family), F.lit(width)
+                ).cast("int").alias("bucket"),
+            )
+            for d in range(depth)
+        ]
+    )
+    probe = items.select(
+        *group_cols, *item_cols, F.explode(pairs).alias("_s")
+    ).select(
+        *group_cols,
+        *item_cols,
+        F.col("_s.d").alias("d"),
+        F.col("_s.bucket").alias("bucket"),
+    )
+    joined = probe.join(counts, [*group_cols, "d", "bucket"], "left").select(
+        *group_cols,
+        *item_cols,
+        F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+    )
+    return joined.groupBy(*group_cols, *item_cols).agg(
+        F.min("cnt").alias("cms_count")
+    )

@@ -63,6 +63,7 @@ PLANNED = [
     # sketch-to-exact join is an equi-join on the group column
     "hll_distinct",
     "pq_topk",
+    "cms_word_counts",
 ]
 
 # ann/exact pair scoring is an intentional broadcast nested-loop (queries

@@ -94,3 +94,56 @@ def test_estimate_arithmetic_exact_on_known_registers(spark):
     assert out["zero_registers"] == m - 3
     assert out["register_checksum"] == sum((b + 1) * r for b, r in rows)
     assert out["hll_estimate"] == num / float(s)
+
+
+def test_cms_merge_never_undercounts_and_is_exact_when_sparse(spark):
+    """Count-min: (a) cell-wise SUM merge of two half sketches == the
+    whole-corpus sketch; (b) point estimates never undercount the true
+    frequency; (c) with width >> distinct items every estimate is exact."""
+    from kafka_delta_ingest_spark.operators.sketches import (
+        cms_counts,
+        cms_estimate,
+        cms_merge,
+    )
+
+    # zipf-ish: item i appears (200 - i) times
+    df = spark.range(200).selectExpr(
+        "explode(sequence(1, 200 - id)) AS rep", "CAST(id AS STRING) AS w"
+    ).select("w")
+    truth = {str(i): 200 - i for i in range(200)}
+    items = df.select("w").distinct()
+
+    for family in ("xxhash64", "md5"):
+        whole = cms_counts(df, ["w"], depth=4, width=64, family=family)
+        a = cms_counts(
+            df.where(F.col("w").cast("int") < 100), ["w"],
+            depth=4, width=64, family=family,
+        )
+        b = cms_counts(
+            df.where(F.col("w").cast("int") >= 100), ["w"],
+            depth=4, width=64, family=family,
+        )
+        merged = {
+            (r["d"], r["bucket"], r["cnt"])
+            for r in cms_merge(a, b).collect()
+        }
+        full = {(r["d"], r["bucket"], r["cnt"]) for r in whole.collect()}
+        assert merged == full
+
+        est = {
+            r["w"]: r["cms_count"]
+            for r in cms_estimate(
+                whole, items, ["w"], depth=4, width=64, family=family
+            ).collect()
+        }
+        assert all(est[w] >= truth[w] for w in truth)  # never undercounts
+
+    # sparse regime: width >> items -> every estimate exact
+    wide = cms_counts(df, ["w"], depth=4, width=8192, family="md5")
+    est = {
+        r["w"]: r["cms_count"]
+        for r in cms_estimate(
+            wide, items, ["w"], depth=4, width=8192, family="md5"
+        ).collect()
+    }
+    assert est == truth
