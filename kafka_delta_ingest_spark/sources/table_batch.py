@@ -116,35 +116,53 @@ def to_conjuncts(filters: list[Filter]) -> list[tuple]:
     return out
 
 
+_LIT = r"('(?:[^']|'')*'|-?\d+(?:\.\d+)?)"
 _WHERE_RE = re.compile(
-    r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*(=|==|<=|>=|<|>)\s*"
-    r"('(?:[^']|'')*'|-?\d+(?:\.\d+)?)\s*$"
+    r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*(=|==|<=|>=|<|>)\s*" + _LIT + r"\s*$"
 )
+_IN_RE = re.compile(
+    r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s+IN\s*\(\s*" + _LIT
+    + r"(?:\s*,\s*" + _LIT + r")*\s*\)\s*$",
+    re.IGNORECASE,
+)
+
+
+def _lit_value(lit: str):
+    if lit.startswith("'"):
+        return lit[1:-1].replace("''", "'")
+    if "." in lit:
+        return float(lit)
+    return int(lit)
 
 
 def parse_where(where: str) -> list[tuple]:
     """Parse the ``where`` option: simple comparisons joined by AND.
 
-    ``col op literal`` with op in = == < <= > >= and literal a
-    single-quoted string ('' escapes a quote) or a number. Anything
-    fancier belongs in a normal ``.where()`` after load (row-level only,
-    no file pruning)."""
+    ``col op literal`` with op in = == < <= > >= IN, literal a
+    single-quoted string ('' escapes a quote) or a number,
+    ``col IN (a, b, ...)`` for membership. Anything fancier belongs in a
+    normal ``.where()`` after load (row-level only, no file pruning)."""
     out: list[tuple] = []
     for part in where.split(" AND "):
         m = _WHERE_RE.match(part)
-        if not m:
-            raise ValueError(
-                f"kdi-table where option: cannot parse {part!r} "
-                "(use: col op literal, AND-joined)"
-            )
-        col, op, lit = m.groups()
-        if lit.startswith("'"):
-            val: object = lit[1:-1].replace("''", "'")
-        elif "." in lit:
-            val = float(lit)
-        else:
-            val = int(lit)
-        out.append((col, "=" if op == "==" else op, val))
+        if m:
+            col, op, lit = m.groups()
+            out.append((col, "=" if op == "==" else op, _lit_value(lit)))
+            continue
+        m = _IN_RE.match(part)
+        if m:
+            col = m.group(1)
+            body = part[part.index("(") + 1 : part.rindex(")")]
+            vals = [
+                _lit_value(v.strip())
+                for v in re.findall(_LIT, body)
+            ]
+            out.append((col, "in", vals))
+            continue
+        raise ValueError(
+            f"kdi-table where option: cannot parse {part!r} "
+            "(use: col op literal / col IN (...), AND-joined)"
+        )
     return out
 
 

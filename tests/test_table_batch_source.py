@@ -202,3 +202,25 @@ def test_sql_over_registered_datasource(spark, tmp_table_root):
     _load(spark, tmp_table_root).createOrReplaceTempView("kdi_docs")
     n = spark.sql("SELECT COUNT(*) AS c FROM kdi_docs").first()["c"]
     assert n == t.snapshot().scan(spark).count()
+
+
+def test_where_option_in_membership(spark, tmp_table_root):
+    """`col IN (a, b)` conjuncts prune partitions and row-filter via the
+    Arrow isin path, equal to the native scan's isin filter."""
+    t = Table.create(tmp_table_root, TOKENS_SCHEMA, ["source"])
+    write_dataframe(spark, t, tokens_df(spark, 120, max_tok=12))
+    snap = t.snapshot()
+
+    conj = parse_where("source IN ('web', 'books')")
+    assert conj == [("source", "in", ["web", "books"])]
+    rdr = KdiTableBatchReader(t.root, snap.schema, None, conjuncts=conj)
+    planned = {p.rel_path for p in rdr.partitions()}
+    assert 0 < len(planned) < len(snap.files)
+
+    got = _rowset(
+        _load(spark, tmp_table_root, where="source IN ('web', 'books')")
+    )
+    want = _rowset(
+        snap.scan(spark).where(F.col("source").isin("web", "books"))
+    )
+    assert got == want and len(got) > 0
