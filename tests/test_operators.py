@@ -911,3 +911,43 @@ def test_pq_topk_rerank_and_mergeable_encoding(spark):
             d += qv[s * 16 + i] * recon[s * 16 + i]
         expect += d
     assert math.isclose(row["adc"], expect, rel_tol=0, abs_tol=1e-12)
+
+
+def test_ivf_pq_full_probe_degrades_to_plain_pq(spark):
+    """IVF-PQ composition: probing EVERY cell must reproduce plain PQ
+    over the whole corpus exactly (same codebooks -> same ADC scores and
+    ranks); a 4-of-16 probe returns a subset of each query's candidates
+    with identical ADC values for shared (q, vec) pairs."""
+    from kafka_delta_ingest_spark.operators.similarity import (
+        ivf_pq_topk,
+        pq_codebooks,
+        pq_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where("vec_id < 3").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    cbs = pq_codebooks(emb, m=4, k=8)
+    plain = {
+        (r["q_id"], r["vec_id"]): (r["adc"], r["rank"])
+        for r in pq_topk(q, emb, k=5, codebooks=cbs).collect()
+    }
+    full_probe = {
+        (r["q_id"], r["vec_id"]): (r["adc"], r["rank"])
+        for r in ivf_pq_topk(
+            q, emb, k=5, n_centroids=16, n_probe=16, codebooks=cbs
+        ).collect()
+    }
+    assert full_probe == plain
+
+    probed = {
+        (r["q_id"], r["vec_id"]): r["adc"]
+        for r in ivf_pq_topk(
+            q, emb, k=5, n_centroids=16, n_probe=4, codebooks=cbs
+        ).collect()
+    }
+    assert 0 < len(probed) <= len(plain) * 2
+    for key, adc in probed.items():
+        if key in plain:
+            assert adc == plain[key][0]
