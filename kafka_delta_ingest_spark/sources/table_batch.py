@@ -63,6 +63,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     EqualTo,
     Filter,
@@ -342,6 +343,38 @@ class KdiTableDataSource(DataSource):
             raise ValueError("kdi-table requires .option('path', ...)")
         return Table(root).snapshot(self._version()).schema
 
+    def writer(self, schema: T.StructType, overwrite: bool):
+        from kafka_delta_ingest_spark.table import transforms
+
+        root = os.path.abspath(self.options["path"])
+        snap = Table(root).snapshot()
+        want = [(f.name, f.dataType) for f in snap.schema.fields]
+        got = [(f.name, f.dataType) for f in schema.fields]
+        if want != got:
+            raise ValueError(
+                f"write schema {got} != table schema {want} — align the "
+                "plan before write (select/cast)"
+            )
+        if any(k in c for c in snap.partition_cols for k in "()"):
+            raise ValueError(
+                "hidden-partitioning transforms need Catalyst exprs; the "
+                "arrow writer supports identity partition columns — use "
+                "table/writer.py write_dataframe for transformed specs"
+            )
+        if any(k.startswith("constraint.") for k in snap.properties):
+            raise ValueError(
+                "table has CHECK constraints (SQL exprs) which the "
+                "Spark-free arrow writer cannot enforce — use "
+                "table/writer.py write_dataframe for constrained tables"
+            )
+        return KdiTableBatchWriter(
+            root,
+            snap.schema,
+            transforms.keys(snap.partition_cols),
+            dict(snap.properties),
+            overwrite,
+        )
+
     def reader(self, schema: T.StructType) -> KdiTableBatchReader:
         conj = None
         w = self.options.get("where")
@@ -355,4 +388,58 @@ class KdiTableDataSource(DataSource):
         return cls(
             os.path.abspath(self.options["path"]), schema, self._version(),
             conjuncts=conj,
+        )
+
+
+class KdiTableBatchWriter(DataSourceArrowWriter):
+    """Batch WRITE half of the format: ``df.write.format("kdi-table")
+    .option("path", root).mode("append" | "overwrite").save()``.
+
+    Executors stage parquet straight from Arrow batches (the streaming
+    sink's staging path reused verbatim — identity-partition split,
+    write.sort.order, table codec, all in Arrow compute, zero per-row
+    Python); the driver assembles per-file stats from the footers it
+    just wrote and lands ONE atomic CAS commit: ``append`` adds the
+    staged files, ``overwrite`` adds them and removes every live file of
+    the head snapshot in the same commit (INSERT OVERWRITE; concurrent
+    writers serialize through the CAS + conflict validation). A failed
+    or speculatively-duplicated task's staging is dropped by abort() —
+    nothing becomes visible except through the commit."""
+
+    def __init__(self, root, schema, pkeys, properties, overwrite: bool):
+        from kafka_delta_ingest_spark.sources.table_stream import (
+            TableStreamWriter,
+        )
+
+        self._w = TableStreamWriter(
+            root, schema, pkeys, properties, txn_app_id="kdi-batch-write"
+        )
+        self._overwrite = overwrite
+
+    def write(self, iterator):
+        return self._w.write(iterator)
+
+    def commit(self, messages):
+        from kafka_delta_ingest_spark.table.format import Transaction
+
+        rels = [p for m in messages if m is not None for p in m.rel_paths]
+        if not rels:
+            return  # never commit an empty version
+        t = Table(self._w.root)
+        removes = (
+            t.snapshot().file_paths(absolute=False) if self._overwrite else []
+        )
+        t.commit(
+            Transaction(
+                operation="overwrite" if self._overwrite else "append",
+                adds=self._w._entries(rels),
+                removes=removes,
+                data_change=True,
+            ),
+            expected_schema=self._w.schema,
+        )
+
+    def abort(self, messages):
+        self._w._drop_staged(
+            [p for m in messages if m is not None for p in m.rel_paths]
         )

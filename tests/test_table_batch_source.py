@@ -224,3 +224,64 @@ def test_where_option_in_membership(spark, tmp_table_root):
         snap.scan(spark).where(F.col("source").isin("web", "books"))
     )
     assert got == want and len(got) > 0
+
+
+def test_batch_write_append_and_overwrite(spark, tmp_table_root):
+    """Write half of the format: append stages Arrow-side and lands one
+    atomic commit (stats + hive layout identical to the engine's own
+    writer); overwrite replaces the live file set in the same commit;
+    planning rejections mirror the streaming sink."""
+    import pytest
+
+    t = Table.create(tmp_table_root, TOKENS_SCHEMA, ["source"])
+    write_dataframe(spark, t, tokens_df(spark, 40, max_tok=12))
+    base = _rowset(t.snapshot().scan(spark))
+
+    batch = tokens_df(spark, 25, seed=5, max_tok=12).withColumn(
+        "doc_id", F.concat(F.lit("w-"), "doc_id")
+    )
+    register(spark)
+    (
+        batch.write.format("kdi-table")
+        .option("path", tmp_table_root)
+        .mode("append")
+        .save()
+    )
+    t2 = Table(tmp_table_root)
+    assert _rowset(t2.snapshot().scan(spark)) == base | _rowset(batch)
+    # stats present on the new files (manifest parity with the engine)
+    v_append = t2.latest_version()
+    newest = t2._read_commit(v_append)
+    assert newest["operation"] == "append"
+    assert all("min" in a["stats"] for a in newest["add"])
+
+    over = tokens_df(spark, 10, seed=9, max_tok=12).withColumn(
+        "doc_id", F.concat(F.lit("o-"), "doc_id")
+    )
+    (
+        over.write.format("kdi-table")
+        .option("path", tmp_table_root)
+        .mode("overwrite")
+        .save()
+    )
+    t3 = Table(tmp_table_root)
+    assert _rowset(t3.snapshot().scan(spark)) == _rowset(over)
+    # history intact: the pre-overwrite version still scans (time travel)
+    assert _rowset(t3.snapshot(v_append).scan(spark)) == base | _rowset(batch)
+
+    # planning rejections
+    from kafka_delta_ingest_spark.sources.table_batch import (
+        KdiTableDataSource,
+    )
+    import pyspark.sql.types as T
+
+    bad = T.StructType([T.StructField("doc_id", T.StringType())])
+    with pytest.raises(ValueError, match="write schema"):
+        KdiTableDataSource({"path": tmp_table_root}).writer(bad, False)
+
+    root2 = str(tmp_table_root) + "_c"
+    Table.create(
+        root2, TOKENS_SCHEMA, [], properties={"constraint.pos": "n_tok > 0"}
+    )
+    with pytest.raises(ValueError, match="CHECK constraints"):
+        KdiTableDataSource({"path": root2}).writer(TOKENS_SCHEMA, False)
