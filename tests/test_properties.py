@@ -176,3 +176,78 @@ def test_bucket_transform_pruning_never_loses_the_match(doc_ids, n):
             got_b = str(transforms.py_value(spec[0], w))
             if got_b != want:
                 assert files[j].path not in kept
+
+
+# ---- sketch math (pure-Python models of the engine expressions; the
+# Spark plans are asserted equal to these models in test_sketches.py) --
+
+import hashlib
+
+
+def _hll_reg(values, p=8, salt="hll"):
+    regs = {}
+    width = 60 - p
+    for v in values:
+        h = int(hashlib.md5(f"{salt}|{v}".encode()).hexdigest()[:15], 16)
+        b, w = h % (1 << p), h >> p
+        rho = (width + 1) if w == 0 else (width + 1 - w.bit_length())
+        regs[b] = max(regs.get(b, 0), rho)
+    return regs
+
+
+@given(st.lists(st.text(min_size=1, max_size=8), min_size=1, max_size=300),
+       st.integers(0, 300))
+@settings(max_examples=60, deadline=None)
+def test_hll_merge_commutes_with_union_and_ignores_duplication(vals, cut):
+    a, b = vals[:cut], vals[cut:]
+    merged = {}
+    for regs in (_hll_reg(a), _hll_reg(b)):
+        for k, r in regs.items():
+            merged[k] = max(merged.get(k, 0), r)
+    assert merged == _hll_reg(vals)
+    # duplication invariance: the sketch sees sets, not multisets
+    assert _hll_reg(vals * 3) == _hll_reg(vals)
+
+
+def _cms(values, depth=4, width=64, salt="cms"):
+    cells = {}
+    for v in values:
+        for d in range(depth):
+            h = int(
+                hashlib.md5(f"{salt}|{d}|{v}".encode()).hexdigest()[:15], 16
+            )
+            cells[(d, h % width)] = cells.get((d, h % width), 0) + 1
+    return cells
+
+
+def _cms_est(cells, v, depth=4, width=64, salt="cms"):
+    return min(
+        cells.get(
+            (d, int(hashlib.md5(f"{salt}|{d}|{v}".encode()).hexdigest()[:15], 16) % width),
+            0,
+        )
+        for d in range(depth)
+    )
+
+
+@given(st.lists(st.text(min_size=1, max_size=6), min_size=1, max_size=200),
+       st.integers(0, 200))
+@settings(max_examples=40, deadline=None)
+def test_cms_merge_and_never_undercounts(vals, cut):
+    cells = _cms(vals)
+    # merge of any split == whole (cell-wise sum)
+    merged = {}
+    for part in (_cms(vals[:cut]), _cms(vals[cut:])):
+        for k, c in part.items():
+            merged[k] = merged.get(k, 0) + c
+    assert merged == cells
+    # point estimates never undercount, and deeper sketches never
+    # estimate higher (min over more rows)
+    truth = {}
+    for v in vals:
+        truth[v] = truth.get(v, 0) + 1
+    deep = _cms(vals, depth=8)
+    for v, n in truth.items():
+        est = _cms_est(cells, v)
+        assert est >= n
+        assert _cms_est(deep, v, depth=8) <= est
