@@ -4508,7 +4508,7 @@ def oracle_sql() -> dict[str, str]:
             dw AS (SELECT DISTINCT lang, word FROM words),
             h AS (
               SELECT lang,
-                     {_nibble15_long_sql("md5('hll|' || word)")} AS h
+                     {_nibble15_long_sql("md5('hll|' || md5(word))")} AS h
               FROM dw
             ),
             br AS (
@@ -4625,22 +4625,22 @@ def oracle_sql() -> dict[str, str]:
             ),
             cells AS (
               SELECT 0 AS d,
-                     CAST((strpos('0123456789abcdef', substr(md5('cms|0|' || word), 1, 1)) - 1) * 72057594037927936 + (strpos('0123456789abcdef', substr(md5('cms|0|' || word), 2, 1)) - 1) * 4503599627370496 + (strpos('0123456789abcdef', substr(md5('cms|0|' || word), 3, 1)) - 1) * 281474976710656 + (strpos('0123456789abcdef', substr(md5('cms|0|' || word), 4, 1)) - 1) * 17592186044416 + (strpos('0123456789abcdef', substr(md5('cms|0|' || word), 5, 1)) - 1) * 1099511627776 + (strpos('0123456789abcdef', substr(md5('cms|0|' || word), 6, 1)) - 1) * 68719476736 + (strpos('0123456789abcdef', substr(md5('cms|0|' || word), 7, 1)) - 1) * 4294967296 + (strpos('0123456789abcdef', substr(md5('cms|0|' || word), 8, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substr(md5('cms|0|' || word), 9, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5('cms|0|' || word), 10, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5('cms|0|' || word), 11, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5('cms|0|' || word), 12, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5('cms|0|' || word), 13, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5('cms|0|' || word), 14, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5('cms|0|' || word), 15, 1)) - 1) * 1 AS BIGINT) % 512 AS bucket,
+                     CAST((strpos('0123456789abcdef', substr(md5('cms|0|' || md5(word)), 1, 1)) - 1) * 72057594037927936 + (strpos('0123456789abcdef', substr(md5('cms|0|' || md5(word)), 2, 1)) - 1) * 4503599627370496 + (strpos('0123456789abcdef', substr(md5('cms|0|' || md5(word)), 3, 1)) - 1) * 281474976710656 + (strpos('0123456789abcdef', substr(md5('cms|0|' || md5(word)), 4, 1)) - 1) * 17592186044416 + (strpos('0123456789abcdef', substr(md5('cms|0|' || md5(word)), 5, 1)) - 1) * 1099511627776 + (strpos('0123456789abcdef', substr(md5('cms|0|' || md5(word)), 6, 1)) - 1) * 68719476736 + (strpos('0123456789abcdef', substr(md5('cms|0|' || md5(word)), 7, 1)) - 1) * 4294967296 + (strpos('0123456789abcdef', substr(md5('cms|0|' || md5(word)), 8, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substr(md5('cms|0|' || md5(word)), 9, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5('cms|0|' || md5(word)), 10, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5('cms|0|' || md5(word)), 11, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5('cms|0|' || md5(word)), 12, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5('cms|0|' || md5(word)), 13, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5('cms|0|' || md5(word)), 14, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5('cms|0|' || md5(word)), 15, 1)) - 1) * 1 AS BIGINT) % 512 AS bucket,
                      COUNT(*) AS cnt
               FROM words GROUP BY 2
               UNION ALL
               SELECT 1 AS d,
-                     CAST((strpos('0123456789abcdef', substr(md5('cms|1|' || word), 1, 1)) - 1) * 72057594037927936 + (strpos('0123456789abcdef', substr(md5('cms|1|' || word), 2, 1)) - 1) * 4503599627370496 + (strpos('0123456789abcdef', substr(md5('cms|1|' || word), 3, 1)) - 1) * 281474976710656 + (strpos('0123456789abcdef', substr(md5('cms|1|' || word), 4, 1)) - 1) * 17592186044416 + (strpos('0123456789abcdef', substr(md5('cms|1|' || word), 5, 1)) - 1) * 1099511627776 + (strpos('0123456789abcdef', substr(md5('cms|1|' || word), 6, 1)) - 1) * 68719476736 + (strpos('0123456789abcdef', substr(md5('cms|1|' || word), 7, 1)) - 1) * 4294967296 + (strpos('0123456789abcdef', substr(md5('cms|1|' || word), 8, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substr(md5('cms|1|' || word), 9, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5('cms|1|' || word), 10, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5('cms|1|' || word), 11, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5('cms|1|' || word), 12, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5('cms|1|' || word), 13, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5('cms|1|' || word), 14, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5('cms|1|' || word), 15, 1)) - 1) * 1 AS BIGINT) % 512 AS bucket,
+                     CAST((strpos('0123456789abcdef', substr(md5('cms|1|' || md5(word)), 1, 1)) - 1) * 72057594037927936 + (strpos('0123456789abcdef', substr(md5('cms|1|' || md5(word)), 2, 1)) - 1) * 4503599627370496 + (strpos('0123456789abcdef', substr(md5('cms|1|' || md5(word)), 3, 1)) - 1) * 281474976710656 + (strpos('0123456789abcdef', substr(md5('cms|1|' || md5(word)), 4, 1)) - 1) * 17592186044416 + (strpos('0123456789abcdef', substr(md5('cms|1|' || md5(word)), 5, 1)) - 1) * 1099511627776 + (strpos('0123456789abcdef', substr(md5('cms|1|' || md5(word)), 6, 1)) - 1) * 68719476736 + (strpos('0123456789abcdef', substr(md5('cms|1|' || md5(word)), 7, 1)) - 1) * 4294967296 + (strpos('0123456789abcdef', substr(md5('cms|1|' || md5(word)), 8, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substr(md5('cms|1|' || md5(word)), 9, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5('cms|1|' || md5(word)), 10, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5('cms|1|' || md5(word)), 11, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5('cms|1|' || md5(word)), 12, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5('cms|1|' || md5(word)), 13, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5('cms|1|' || md5(word)), 14, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5('cms|1|' || md5(word)), 15, 1)) - 1) * 1 AS BIGINT) % 512 AS bucket,
                      COUNT(*) AS cnt
               FROM words GROUP BY 2
               UNION ALL
               SELECT 2 AS d,
-                     CAST((strpos('0123456789abcdef', substr(md5('cms|2|' || word), 1, 1)) - 1) * 72057594037927936 + (strpos('0123456789abcdef', substr(md5('cms|2|' || word), 2, 1)) - 1) * 4503599627370496 + (strpos('0123456789abcdef', substr(md5('cms|2|' || word), 3, 1)) - 1) * 281474976710656 + (strpos('0123456789abcdef', substr(md5('cms|2|' || word), 4, 1)) - 1) * 17592186044416 + (strpos('0123456789abcdef', substr(md5('cms|2|' || word), 5, 1)) - 1) * 1099511627776 + (strpos('0123456789abcdef', substr(md5('cms|2|' || word), 6, 1)) - 1) * 68719476736 + (strpos('0123456789abcdef', substr(md5('cms|2|' || word), 7, 1)) - 1) * 4294967296 + (strpos('0123456789abcdef', substr(md5('cms|2|' || word), 8, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substr(md5('cms|2|' || word), 9, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5('cms|2|' || word), 10, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5('cms|2|' || word), 11, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5('cms|2|' || word), 12, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5('cms|2|' || word), 13, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5('cms|2|' || word), 14, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5('cms|2|' || word), 15, 1)) - 1) * 1 AS BIGINT) % 512 AS bucket,
+                     CAST((strpos('0123456789abcdef', substr(md5('cms|2|' || md5(word)), 1, 1)) - 1) * 72057594037927936 + (strpos('0123456789abcdef', substr(md5('cms|2|' || md5(word)), 2, 1)) - 1) * 4503599627370496 + (strpos('0123456789abcdef', substr(md5('cms|2|' || md5(word)), 3, 1)) - 1) * 281474976710656 + (strpos('0123456789abcdef', substr(md5('cms|2|' || md5(word)), 4, 1)) - 1) * 17592186044416 + (strpos('0123456789abcdef', substr(md5('cms|2|' || md5(word)), 5, 1)) - 1) * 1099511627776 + (strpos('0123456789abcdef', substr(md5('cms|2|' || md5(word)), 6, 1)) - 1) * 68719476736 + (strpos('0123456789abcdef', substr(md5('cms|2|' || md5(word)), 7, 1)) - 1) * 4294967296 + (strpos('0123456789abcdef', substr(md5('cms|2|' || md5(word)), 8, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substr(md5('cms|2|' || md5(word)), 9, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5('cms|2|' || md5(word)), 10, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5('cms|2|' || md5(word)), 11, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5('cms|2|' || md5(word)), 12, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5('cms|2|' || md5(word)), 13, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5('cms|2|' || md5(word)), 14, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5('cms|2|' || md5(word)), 15, 1)) - 1) * 1 AS BIGINT) % 512 AS bucket,
                      COUNT(*) AS cnt
               FROM words GROUP BY 2
               UNION ALL
               SELECT 3 AS d,
-                     CAST((strpos('0123456789abcdef', substr(md5('cms|3|' || word), 1, 1)) - 1) * 72057594037927936 + (strpos('0123456789abcdef', substr(md5('cms|3|' || word), 2, 1)) - 1) * 4503599627370496 + (strpos('0123456789abcdef', substr(md5('cms|3|' || word), 3, 1)) - 1) * 281474976710656 + (strpos('0123456789abcdef', substr(md5('cms|3|' || word), 4, 1)) - 1) * 17592186044416 + (strpos('0123456789abcdef', substr(md5('cms|3|' || word), 5, 1)) - 1) * 1099511627776 + (strpos('0123456789abcdef', substr(md5('cms|3|' || word), 6, 1)) - 1) * 68719476736 + (strpos('0123456789abcdef', substr(md5('cms|3|' || word), 7, 1)) - 1) * 4294967296 + (strpos('0123456789abcdef', substr(md5('cms|3|' || word), 8, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substr(md5('cms|3|' || word), 9, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5('cms|3|' || word), 10, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5('cms|3|' || word), 11, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5('cms|3|' || word), 12, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5('cms|3|' || word), 13, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5('cms|3|' || word), 14, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5('cms|3|' || word), 15, 1)) - 1) * 1 AS BIGINT) % 512 AS bucket,
+                     CAST((strpos('0123456789abcdef', substr(md5('cms|3|' || md5(word)), 1, 1)) - 1) * 72057594037927936 + (strpos('0123456789abcdef', substr(md5('cms|3|' || md5(word)), 2, 1)) - 1) * 4503599627370496 + (strpos('0123456789abcdef', substr(md5('cms|3|' || md5(word)), 3, 1)) - 1) * 281474976710656 + (strpos('0123456789abcdef', substr(md5('cms|3|' || md5(word)), 4, 1)) - 1) * 17592186044416 + (strpos('0123456789abcdef', substr(md5('cms|3|' || md5(word)), 5, 1)) - 1) * 1099511627776 + (strpos('0123456789abcdef', substr(md5('cms|3|' || md5(word)), 6, 1)) - 1) * 68719476736 + (strpos('0123456789abcdef', substr(md5('cms|3|' || md5(word)), 7, 1)) - 1) * 4294967296 + (strpos('0123456789abcdef', substr(md5('cms|3|' || md5(word)), 8, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substr(md5('cms|3|' || md5(word)), 9, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5('cms|3|' || md5(word)), 10, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5('cms|3|' || md5(word)), 11, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5('cms|3|' || md5(word)), 12, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5('cms|3|' || md5(word)), 13, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5('cms|3|' || md5(word)), 14, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5('cms|3|' || md5(word)), 15, 1)) - 1) * 1 AS BIGINT) % 512 AS bucket,
                      COUNT(*) AS cnt
               FROM words GROUP BY 2
             ),
@@ -4652,10 +4652,10 @@ def oracle_sql() -> dict[str, str]:
             probe AS (
               SELECT t.word, t.exact_count, dd.d,
                      CASE dd.d
-                     WHEN 0 THEN CAST((strpos('0123456789abcdef', substr(md5('cms|0|' || t.word), 1, 1)) - 1) * 72057594037927936 + (strpos('0123456789abcdef', substr(md5('cms|0|' || t.word), 2, 1)) - 1) * 4503599627370496 + (strpos('0123456789abcdef', substr(md5('cms|0|' || t.word), 3, 1)) - 1) * 281474976710656 + (strpos('0123456789abcdef', substr(md5('cms|0|' || t.word), 4, 1)) - 1) * 17592186044416 + (strpos('0123456789abcdef', substr(md5('cms|0|' || t.word), 5, 1)) - 1) * 1099511627776 + (strpos('0123456789abcdef', substr(md5('cms|0|' || t.word), 6, 1)) - 1) * 68719476736 + (strpos('0123456789abcdef', substr(md5('cms|0|' || t.word), 7, 1)) - 1) * 4294967296 + (strpos('0123456789abcdef', substr(md5('cms|0|' || t.word), 8, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substr(md5('cms|0|' || t.word), 9, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5('cms|0|' || t.word), 10, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5('cms|0|' || t.word), 11, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5('cms|0|' || t.word), 12, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5('cms|0|' || t.word), 13, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5('cms|0|' || t.word), 14, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5('cms|0|' || t.word), 15, 1)) - 1) * 1 AS BIGINT) % 512
-                     WHEN 1 THEN CAST((strpos('0123456789abcdef', substr(md5('cms|1|' || t.word), 1, 1)) - 1) * 72057594037927936 + (strpos('0123456789abcdef', substr(md5('cms|1|' || t.word), 2, 1)) - 1) * 4503599627370496 + (strpos('0123456789abcdef', substr(md5('cms|1|' || t.word), 3, 1)) - 1) * 281474976710656 + (strpos('0123456789abcdef', substr(md5('cms|1|' || t.word), 4, 1)) - 1) * 17592186044416 + (strpos('0123456789abcdef', substr(md5('cms|1|' || t.word), 5, 1)) - 1) * 1099511627776 + (strpos('0123456789abcdef', substr(md5('cms|1|' || t.word), 6, 1)) - 1) * 68719476736 + (strpos('0123456789abcdef', substr(md5('cms|1|' || t.word), 7, 1)) - 1) * 4294967296 + (strpos('0123456789abcdef', substr(md5('cms|1|' || t.word), 8, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substr(md5('cms|1|' || t.word), 9, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5('cms|1|' || t.word), 10, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5('cms|1|' || t.word), 11, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5('cms|1|' || t.word), 12, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5('cms|1|' || t.word), 13, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5('cms|1|' || t.word), 14, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5('cms|1|' || t.word), 15, 1)) - 1) * 1 AS BIGINT) % 512
-                     WHEN 2 THEN CAST((strpos('0123456789abcdef', substr(md5('cms|2|' || t.word), 1, 1)) - 1) * 72057594037927936 + (strpos('0123456789abcdef', substr(md5('cms|2|' || t.word), 2, 1)) - 1) * 4503599627370496 + (strpos('0123456789abcdef', substr(md5('cms|2|' || t.word), 3, 1)) - 1) * 281474976710656 + (strpos('0123456789abcdef', substr(md5('cms|2|' || t.word), 4, 1)) - 1) * 17592186044416 + (strpos('0123456789abcdef', substr(md5('cms|2|' || t.word), 5, 1)) - 1) * 1099511627776 + (strpos('0123456789abcdef', substr(md5('cms|2|' || t.word), 6, 1)) - 1) * 68719476736 + (strpos('0123456789abcdef', substr(md5('cms|2|' || t.word), 7, 1)) - 1) * 4294967296 + (strpos('0123456789abcdef', substr(md5('cms|2|' || t.word), 8, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substr(md5('cms|2|' || t.word), 9, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5('cms|2|' || t.word), 10, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5('cms|2|' || t.word), 11, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5('cms|2|' || t.word), 12, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5('cms|2|' || t.word), 13, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5('cms|2|' || t.word), 14, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5('cms|2|' || t.word), 15, 1)) - 1) * 1 AS BIGINT) % 512
-                     WHEN 3 THEN CAST((strpos('0123456789abcdef', substr(md5('cms|3|' || t.word), 1, 1)) - 1) * 72057594037927936 + (strpos('0123456789abcdef', substr(md5('cms|3|' || t.word), 2, 1)) - 1) * 4503599627370496 + (strpos('0123456789abcdef', substr(md5('cms|3|' || t.word), 3, 1)) - 1) * 281474976710656 + (strpos('0123456789abcdef', substr(md5('cms|3|' || t.word), 4, 1)) - 1) * 17592186044416 + (strpos('0123456789abcdef', substr(md5('cms|3|' || t.word), 5, 1)) - 1) * 1099511627776 + (strpos('0123456789abcdef', substr(md5('cms|3|' || t.word), 6, 1)) - 1) * 68719476736 + (strpos('0123456789abcdef', substr(md5('cms|3|' || t.word), 7, 1)) - 1) * 4294967296 + (strpos('0123456789abcdef', substr(md5('cms|3|' || t.word), 8, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substr(md5('cms|3|' || t.word), 9, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5('cms|3|' || t.word), 10, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5('cms|3|' || t.word), 11, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5('cms|3|' || t.word), 12, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5('cms|3|' || t.word), 13, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5('cms|3|' || t.word), 14, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5('cms|3|' || t.word), 15, 1)) - 1) * 1 AS BIGINT) % 512
+                     WHEN 0 THEN CAST((strpos('0123456789abcdef', substr(md5('cms|0|' || md5(t.word)), 1, 1)) - 1) * 72057594037927936 + (strpos('0123456789abcdef', substr(md5('cms|0|' || md5(t.word)), 2, 1)) - 1) * 4503599627370496 + (strpos('0123456789abcdef', substr(md5('cms|0|' || md5(t.word)), 3, 1)) - 1) * 281474976710656 + (strpos('0123456789abcdef', substr(md5('cms|0|' || md5(t.word)), 4, 1)) - 1) * 17592186044416 + (strpos('0123456789abcdef', substr(md5('cms|0|' || md5(t.word)), 5, 1)) - 1) * 1099511627776 + (strpos('0123456789abcdef', substr(md5('cms|0|' || md5(t.word)), 6, 1)) - 1) * 68719476736 + (strpos('0123456789abcdef', substr(md5('cms|0|' || md5(t.word)), 7, 1)) - 1) * 4294967296 + (strpos('0123456789abcdef', substr(md5('cms|0|' || md5(t.word)), 8, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substr(md5('cms|0|' || md5(t.word)), 9, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5('cms|0|' || md5(t.word)), 10, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5('cms|0|' || md5(t.word)), 11, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5('cms|0|' || md5(t.word)), 12, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5('cms|0|' || md5(t.word)), 13, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5('cms|0|' || md5(t.word)), 14, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5('cms|0|' || md5(t.word)), 15, 1)) - 1) * 1 AS BIGINT) % 512
+                     WHEN 1 THEN CAST((strpos('0123456789abcdef', substr(md5('cms|1|' || md5(t.word)), 1, 1)) - 1) * 72057594037927936 + (strpos('0123456789abcdef', substr(md5('cms|1|' || md5(t.word)), 2, 1)) - 1) * 4503599627370496 + (strpos('0123456789abcdef', substr(md5('cms|1|' || md5(t.word)), 3, 1)) - 1) * 281474976710656 + (strpos('0123456789abcdef', substr(md5('cms|1|' || md5(t.word)), 4, 1)) - 1) * 17592186044416 + (strpos('0123456789abcdef', substr(md5('cms|1|' || md5(t.word)), 5, 1)) - 1) * 1099511627776 + (strpos('0123456789abcdef', substr(md5('cms|1|' || md5(t.word)), 6, 1)) - 1) * 68719476736 + (strpos('0123456789abcdef', substr(md5('cms|1|' || md5(t.word)), 7, 1)) - 1) * 4294967296 + (strpos('0123456789abcdef', substr(md5('cms|1|' || md5(t.word)), 8, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substr(md5('cms|1|' || md5(t.word)), 9, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5('cms|1|' || md5(t.word)), 10, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5('cms|1|' || md5(t.word)), 11, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5('cms|1|' || md5(t.word)), 12, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5('cms|1|' || md5(t.word)), 13, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5('cms|1|' || md5(t.word)), 14, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5('cms|1|' || md5(t.word)), 15, 1)) - 1) * 1 AS BIGINT) % 512
+                     WHEN 2 THEN CAST((strpos('0123456789abcdef', substr(md5('cms|2|' || md5(t.word)), 1, 1)) - 1) * 72057594037927936 + (strpos('0123456789abcdef', substr(md5('cms|2|' || md5(t.word)), 2, 1)) - 1) * 4503599627370496 + (strpos('0123456789abcdef', substr(md5('cms|2|' || md5(t.word)), 3, 1)) - 1) * 281474976710656 + (strpos('0123456789abcdef', substr(md5('cms|2|' || md5(t.word)), 4, 1)) - 1) * 17592186044416 + (strpos('0123456789abcdef', substr(md5('cms|2|' || md5(t.word)), 5, 1)) - 1) * 1099511627776 + (strpos('0123456789abcdef', substr(md5('cms|2|' || md5(t.word)), 6, 1)) - 1) * 68719476736 + (strpos('0123456789abcdef', substr(md5('cms|2|' || md5(t.word)), 7, 1)) - 1) * 4294967296 + (strpos('0123456789abcdef', substr(md5('cms|2|' || md5(t.word)), 8, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substr(md5('cms|2|' || md5(t.word)), 9, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5('cms|2|' || md5(t.word)), 10, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5('cms|2|' || md5(t.word)), 11, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5('cms|2|' || md5(t.word)), 12, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5('cms|2|' || md5(t.word)), 13, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5('cms|2|' || md5(t.word)), 14, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5('cms|2|' || md5(t.word)), 15, 1)) - 1) * 1 AS BIGINT) % 512
+                     WHEN 3 THEN CAST((strpos('0123456789abcdef', substr(md5('cms|3|' || md5(t.word)), 1, 1)) - 1) * 72057594037927936 + (strpos('0123456789abcdef', substr(md5('cms|3|' || md5(t.word)), 2, 1)) - 1) * 4503599627370496 + (strpos('0123456789abcdef', substr(md5('cms|3|' || md5(t.word)), 3, 1)) - 1) * 281474976710656 + (strpos('0123456789abcdef', substr(md5('cms|3|' || md5(t.word)), 4, 1)) - 1) * 17592186044416 + (strpos('0123456789abcdef', substr(md5('cms|3|' || md5(t.word)), 5, 1)) - 1) * 1099511627776 + (strpos('0123456789abcdef', substr(md5('cms|3|' || md5(t.word)), 6, 1)) - 1) * 68719476736 + (strpos('0123456789abcdef', substr(md5('cms|3|' || md5(t.word)), 7, 1)) - 1) * 4294967296 + (strpos('0123456789abcdef', substr(md5('cms|3|' || md5(t.word)), 8, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substr(md5('cms|3|' || md5(t.word)), 9, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5('cms|3|' || md5(t.word)), 10, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5('cms|3|' || md5(t.word)), 11, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5('cms|3|' || md5(t.word)), 12, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5('cms|3|' || md5(t.word)), 13, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5('cms|3|' || md5(t.word)), 14, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5('cms|3|' || md5(t.word)), 15, 1)) - 1) * 1 AS BIGINT) % 512
                      END AS bucket
               FROM top t CROSS JOIN (SELECT unnest([0,1,2,3]) AS d) dd
             )

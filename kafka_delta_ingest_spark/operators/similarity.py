@@ -669,6 +669,74 @@ def _l2_structs(vec_sql: str, centroids: list[tuple[int, list[float]]]) -> Colum
     )
 
 
+def _pq_code_cols(
+    codebooks: list[list[tuple[int, list[float]]]], c_vec: str
+) -> list[Column]:
+    """Per-subspace nearest-centroid code expressions — ONE definition
+    shared by pq_encode and ivf_pq_topk so the L2 argmin + tie-break can
+    never drift apart."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0][1])
+    return [
+        (-F.array_max(
+            _l2_structs(_slice_sql(c_vec, s * dsub, dsub), codebooks[s])
+        )["negc"]).cast("int").alias(f"_c{s}")
+        for s in range(m)
+    ]
+
+
+def _adc_expr(
+    codebooks: list[list[tuple[int, list[float]]]], q_vec: str
+) -> Column:
+    """The ADC inner-product sum over a ``codes`` array column — shared
+    by pq_topk and ivf_pq_topk (same fold shape and left-assoc term
+    order, so oracle bit-identity holds for both)."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0][1])
+    terms = []
+    for s in range(m):
+        carr = "array(" + ",".join(_arr_sql(cv) for _, cv in codebooks[s]) + ")"
+        qslice = _slice_sql(q_vec, s * dsub, dsub)
+        terms.append(
+            f"(aggregate(zip_with({qslice}, element_at({carr}, codes[{s}] + 1), "
+            f"(x, y) -> x * y), 0.0D, (acc, t) -> acc + t))"
+        )
+    return F.expr(" + ".join(terms))
+
+
+def _exact_rerank(
+    cands: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    q_id: str,
+    q_vec: str,
+    c_id: str,
+    c_vec: str,
+) -> DataFrame:
+    """Refine ADC candidates with exact cosine on the original vectors —
+    the only PQ stage that touches floats (shared by pq_topk and
+    ivf_pq_topk)."""
+    refined = (
+        cands.join(corpus.select(c_id, c_vec), c_id)
+        .join(F.broadcast(queries.select(q_id, q_vec)), q_id)
+        .select(
+            F.col(q_id),
+            F.col(c_id),
+            cosine_sim(
+                F.col(q_vec).cast("array<double>"),
+                F.col(c_vec).cast("array<double>"),
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("cos"), F.col(c_id))
+    return (
+        refined.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(q_id, c_id, "cos", "rank")
+    )
+
+
 def pq_codebooks(
     corpus: DataFrame,
     m: int = 4,
@@ -706,13 +774,7 @@ def pq_encode(
     this is the materialized index write (codes parquet is ~dim·4/m×
     smaller than the vectors)."""
     m = len(codebooks)
-    dsub = len(codebooks[0][0][1])
-    cols = [
-        (-F.array_max(_l2_structs(_slice_sql(c_vec, s * dsub, dsub), codebooks[s]))["negc"])
-        .cast("int")
-        .alias(f"_c{s}")
-        for s in range(m)
-    ]
+    cols = _pq_code_cols(codebooks, c_vec)
     return corpus.select(F.col(c_id), *cols).select(
         F.col(c_id), F.array(*[F.col(f"_c{s}") for s in range(m)]).alias("codes")
     )
@@ -744,49 +806,19 @@ def pq_topk(
     into the codebook literal + one fold per subspace; ranking = one
     window per query. Everything JVM-side."""
     cbs = codebooks or pq_codebooks(corpus, m=m, k=k_cb, c_id=c_id, c_vec=c_vec)
-    m = len(cbs)
-    dsub = len(cbs[0][0][1])
     codes = pq_encode(corpus, cbs, c_id=c_id, c_vec=c_vec)
 
-    # ADC: for subspace s, centroid table literal indexed by code (+1:
-    # element_at is 1-based); dot with the query slice
-    terms = []
-    for s in range(m):
-        carr = "array(" + ",".join(_arr_sql(cv) for _, cv in cbs[s]) + ")"
-        qslice = _slice_sql(q_vec, s * dsub, dsub)
-        dot_s = (
-            f"aggregate(zip_with({qslice}, element_at({carr}, codes[{s}] + 1), "
-            f"(x, y) -> x * y), 0.0D, (acc, t) -> acc + t)"
-        )
-        terms.append(dot_s)
-    adc = F.expr(" + ".join(f"({t})" for t in terms))
-
     cand = codes.join(F.broadcast(queries), how="cross")
-    scored = cand.select(F.col(q_id), F.col(c_id), adc.alias("adc"))
+    scored = cand.select(
+        F.col(q_id), F.col(c_id), _adc_expr(cbs, q_vec).alias("adc")
+    )
     w = Window.partitionBy(q_id).orderBy(F.desc("adc"), F.col(c_id))
     ranked = scored.withColumn("rank", F.row_number().over(w))
     if not rerank:
         return ranked.where(F.col("rank") <= k).select(q_id, c_id, "adc", "rank")
-
-    cands = ranked.where(F.col("rank") <= rerank).select(q_id, c_id, "adc")
-    refined = (
-        cands.join(corpus.select(c_id, c_vec), c_id)
-        .join(F.broadcast(queries), q_id)
-        .select(
-            F.col(q_id),
-            F.col(c_id),
-            F.col("adc"),
-            cosine_sim(
-                F.col(q_vec).cast("array<double>"),
-                F.col(c_vec).cast("array<double>"),
-            ).alias("cos"),
-        )
-    )
-    w2 = Window.partitionBy(q_id).orderBy(F.desc("cos"), F.col(c_id))
-    return (
-        refined.withColumn("rank", F.row_number().over(w2))
-        .where(F.col("rank") <= k)
-        .select(q_id, c_id, "cos", "rank")
+    cands = ranked.where(F.col("rank") <= rerank).select(q_id, c_id)
+    return _exact_rerank(
+        cands, corpus, queries, k, q_id, q_vec, c_id, c_vec
     )
 
 
@@ -822,18 +854,15 @@ def ivf_pq_topk(
     cents = centroids or _sample_centroids(corpus, n_centroids, c_id, c_vec)
     cbs = codebooks or pq_codebooks(corpus, m=m, k=k_cb, c_id=c_id, c_vec=c_vec)
     m = len(cbs)
-    dsub = len(cbs[0][0][1])
 
-    code_cols = [
-        (-F.array_max(
-            _l2_structs(_slice_sql(c_vec, s * dsub, dsub), cbs[s])
-        )["negc"]).cast("int").alias(f"_c{s}")
-        for s in range(m)
-    ]
     corpus_a = corpus.select(
         F.col(c_id),
         (-F.array_max(_cell_structs(c_vec, cents))["negc"]).alias("_cell"),
-        F.array(*code_cols).alias("codes"),
+        *_pq_code_cols(cbs, c_vec),
+    ).select(
+        F.col(c_id),
+        F.col("_cell"),
+        F.array(*[F.col(f"_c{s}") for s in range(m)]).alias("codes"),
     )
     probes = queries.select(
         F.col(q_id),
@@ -845,38 +874,15 @@ def ivf_pq_topk(
         ).alias("_p"),
     ).select(F.col(q_id), F.col(q_vec), (-F.col("_p.negc")).alias("_cell"))
 
-    terms = []
-    for s in range(m):
-        carr = "array(" + ",".join(_arr_sql(cv) for _, cv in cbs[s]) + ")"
-        qslice = _slice_sql(q_vec, s * dsub, dsub)
-        terms.append(
-            f"(aggregate(zip_with({qslice}, element_at({carr}, codes[{s}] + 1), "
-            f"(x, y) -> x * y), 0.0D, (acc, t) -> acc + t))"
-        )
-    adc = F.expr(" + ".join(terms))
-
     cand = corpus_a.join(F.broadcast(probes), "_cell")
-    scored = cand.select(F.col(q_id), F.col(c_id), adc.alias("adc"))
+    scored = cand.select(
+        F.col(q_id), F.col(c_id), _adc_expr(cbs, q_vec).alias("adc")
+    )
     w = Window.partitionBy(q_id).orderBy(F.desc("adc"), F.col(c_id))
     ranked = scored.withColumn("rank", F.row_number().over(w))
     if not rerank:
         return ranked.where(F.col("rank") <= k).select(q_id, c_id, "adc", "rank")
-    cands = ranked.where(F.col("rank") <= rerank).select(q_id, c_id, "adc")
-    refined = (
-        cands.join(corpus.select(c_id, c_vec), c_id)
-        .join(F.broadcast(queries.select(q_id, q_vec)), q_id)
-        .select(
-            F.col(q_id),
-            F.col(c_id),
-            cosine_sim(
-                F.col(q_vec).cast("array<double>"),
-                F.col(c_vec).cast("array<double>"),
-            ).alias("cos"),
-        )
-    )
-    w2 = Window.partitionBy(q_id).orderBy(F.desc("cos"), F.col(c_id))
-    return (
-        refined.withColumn("rank", F.row_number().over(w2))
-        .where(F.col("rank") <= k)
-        .select(q_id, c_id, "cos", "rank")
+    cands = ranked.where(F.col("rank") <= rerank).select(q_id, c_id)
+    return _exact_rerank(
+        cands, corpus, queries, k, q_id, q_vec, c_id, c_vec
     )

@@ -43,13 +43,27 @@ HASH_BITS = 60  # nonnegative long in both engines (15 md5 hex nibbles)
 
 
 def _hash60(item_cols: list[Column], salt: str, family: str) -> Column:
+    """60-bit item hash over NORMALIZED per-item tokens.
+
+    Each item becomes a fixed-width md5-hex token ('NULL' for NULL) so
+    the multi-item key is injection-proof — ('x|y','z') and ('x','y|z')
+    concatenate identically as raw strings but tokenize differently —
+    and NULL items are distinguished rather than silently skipped (both
+    concat_ws and Spark's hash functions drop NULL args, which made
+    ('x', NULL) collide with ('x',))."""
+    tokens = [
+        F.coalesce(
+            F.md5(c.cast("string").cast("binary")), F.lit("NULL")
+        )
+        for c in item_cols
+    ]
     if family == "xxhash64":
         # fold the signed 64-bit hash into [0, 2^60)
-        return F.pmod(F.xxhash64(F.lit(salt), *item_cols), F.lit(1 << 60))
+        return F.pmod(F.xxhash64(F.lit(salt), *tokens), F.lit(1 << 60))
     if family == "md5":
         return F.conv(
             F.substring(
-                F.md5(F.concat_ws("|", F.lit(salt), *item_cols).cast("binary")),
+                F.md5(F.concat_ws("|", F.lit(salt), *tokens).cast("binary")),
                 1,
                 15,
             ),
@@ -172,6 +186,24 @@ def hll_distinct(
 # wise SUM, point estimate = MIN over depth rows (never undercounts).
 
 
+def _cms_pairs(
+    items: list[Column], depth: int, width: int, salt: str, family: str
+) -> Column:
+    """The (d, bucket) struct array BOTH the build side and the probe
+    side explode — one definition so the two can never hash apart."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                F.pmod(
+                    _hash60(items, f"{salt}|{d}", family), F.lit(width)
+                ).cast("int").alias("bucket"),
+            )
+            for d in range(depth)
+        ]
+    )
+
+
 def cms_counts(
     df: DataFrame,
     item_cols: list[Column | str],
@@ -190,17 +222,7 @@ def cms_counts(
     absent cells are exact zeroes."""
     group_cols = list(group_cols or [])
     items = [F.col(c) if isinstance(c, str) else c for c in item_cols]
-    pairs = F.array(
-        *[
-            F.struct(
-                F.lit(d).alias("d"),
-                F.pmod(
-                    _hash60(items, f"{salt}|{d}", family), F.lit(width)
-                ).cast("int").alias("bucket"),
-            )
-            for d in range(depth)
-        ]
-    )
+    pairs = _cms_pairs(items, depth, width, salt, family)
     return (
         df.select(*group_cols, F.explode(pairs).alias("_s"))
         .select(*group_cols, F.col("_s.d").alias("d"), F.col("_s.bucket").alias("bucket"))
@@ -240,17 +262,7 @@ def cms_estimate(
     both sides integer keys."""
     group_cols = list(group_cols or [])
     cols = [F.col(c) for c in item_cols]
-    pairs = F.array(
-        *[
-            F.struct(
-                F.lit(d).alias("d"),
-                F.pmod(
-                    _hash60(cols, f"{salt}|{d}", family), F.lit(width)
-                ).cast("int").alias("bucket"),
-            )
-            for d in range(depth)
-        ]
-    )
+    pairs = _cms_pairs(cols, depth, width, salt, family)
     probe = items.select(
         *group_cols, *item_cols, F.explode(pairs).alias("_s")
     ).select(

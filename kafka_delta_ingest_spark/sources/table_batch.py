@@ -136,6 +136,28 @@ def _lit_value(lit: str):
     return int(lit)
 
 
+def _split_and(where: str) -> list[str]:
+    """Split on AND (any case) outside single-quoted literals — a quoted
+    value containing ' AND ' must survive intact."""
+    parts, buf, i, in_q = [], [], 0, False
+    up = where.upper()
+    while i < len(where):
+        c = where[i]
+        if c == "'":
+            in_q = not in_q  # '' escape toggles twice: net unchanged
+            buf.append(c)
+            i += 1
+        elif not in_q and up.startswith(" AND ", i):
+            parts.append("".join(buf))
+            buf = []
+            i += 5
+        else:
+            buf.append(c)
+            i += 1
+    parts.append("".join(buf))
+    return parts
+
+
 def parse_where(where: str) -> list[tuple]:
     """Parse the ``where`` option: simple comparisons joined by AND.
 
@@ -144,7 +166,7 @@ def parse_where(where: str) -> list[tuple]:
     ``col IN (a, b, ...)`` for membership. Anything fancier belongs in a
     normal ``.where()`` after load (row-level only, no file pruning)."""
     out: list[tuple] = []
-    for part in where.split(" AND "):
+    for part in _split_and(where):
         m = _WHERE_RE.match(part)
         if m:
             col, op, lit = m.groups()
@@ -246,17 +268,11 @@ class KdiTableBatchReader(DataSourceReader):
             keep = [i for i in range(tbl.num_rows) if i not in dead_pos]
             tbl = tbl.take(pa.array(keep, type=pa.int64()))
 
-        # equality deletes: null-safe anti-join on the key tuple (tuples
-        # of Python values — None == None, matching the scan semantics)
-        for dp, key_cols in partition.eq_deletes:
-            kt = pq.read_table(dp, columns=key_cols)
-            dead_keys = set(zip(*(kt[c].to_pylist() for c in key_cols)))
-            if not dead_keys:
-                continue
-            rows = zip(*(tbl[c].to_pylist() for c in key_cols))
-            mask = pa.array([k not in dead_keys for k in rows])
-            tbl = tbl.filter(mask)
-
+        # full logical rows BEFORE equality deletes: identity partition
+        # columns reconstructed from the manifest's recorded values (same
+        # rule as the streaming source; absent key = pre-evolution spec
+        # -> NULL) — equality-delete keys may BE partition columns, which
+        # the staged parquet doesn't carry
         n = tbl.num_rows
         arrays = []
         for f in self.schema.fields:
@@ -265,15 +281,27 @@ class KdiTableBatchReader(DataSourceReader):
                 col = tbl[f.name].combine_chunks()
                 arrays.append(col if col.type == at else col.cast(at))
             else:
-                # identity partition column reconstructed from the
-                # manifest's recorded values (same rule as the streaming
-                # source; absent key = pre-evolution spec -> NULL)
                 v = _typed_py(partition.partition_values.get(f.name), f.dataType)
                 if v is None:
                     arrays.append(pa.nulls(n, type=at))
                 else:
                     arrays.append(pa.array([v] * n).cast(at))
         out = pa.Table.from_arrays(arrays, schema=target)
+
+        # equality deletes: null-safe anti-join on the key tuple (tuples
+        # of Python values — None == None, matching the scan semantics);
+        # the mask is explicitly boolean-typed (an untyped pa.array of an
+        # empty list is null-typed and filter() rejects it)
+        for dp, key_cols in partition.eq_deletes:
+            kt = pq.read_table(dp, columns=key_cols)
+            dead_keys = set(zip(*(kt[c].to_pylist() for c in key_cols)))
+            if not dead_keys:
+                continue
+            rows = zip(*(out[c].to_pylist() for c in key_cols))
+            mask = pa.array(
+                [k not in dead_keys for k in rows], type=pa.bool_()
+            )
+            out = out.filter(mask)
         # the where-option conjuncts are a real WHERE: applied row-level
         # here (Arrow compute), so option-pruned loads return exactly the
         # matching rows, not whole surviving files
@@ -303,12 +331,12 @@ class KdiTablePruningReader(KdiTableBatchReader):
 
 def register(spark) -> None:
     """Register the format and enable Python-datasource filter pushdown
-    (a dynamic SQL conf, off by default in Spark 4.1)."""
+    (a dynamic SQL conf, off by default in Spark 4.1). Re-registering is
+    a silent replace in Spark 4.1 (probed), so no exception handling —
+    a real registration failure must surface here, not as a later
+    DATA_SOURCE_NOT_FOUND far from the cause."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    try:
-        spark.dataSource.register(KdiTableDataSource)
-    except Exception:  # noqa: BLE001 — already registered in this session
-        pass
+    spark.dataSource.register(KdiTableDataSource)
 
 
 class KdiTableDataSource(DataSource):
@@ -423,16 +451,19 @@ class KdiTableBatchWriter(DataSourceArrowWriter):
         from kafka_delta_ingest_spark.table.format import Transaction
 
         rels = [p for m in messages if m is not None for p in m.rel_paths]
-        if not rels:
-            return  # never commit an empty version
         t = Table(self._w.root)
         removes = (
             t.snapshot().file_paths(absolute=False) if self._overwrite else []
         )
+        if not rels and not removes:
+            # never commit an empty version (append of nothing / overwrite
+            # of an already-empty table); an empty-input OVERWRITE of a
+            # non-empty table DOES commit — it is a truncate
+            return
         t.commit(
             Transaction(
                 operation="overwrite" if self._overwrite else "append",
-                adds=self._w._entries(rels),
+                adds=self._w._entries(rels) if rels else [],
                 removes=removes,
                 data_change=True,
             ),

@@ -188,7 +188,8 @@ def _hll_reg(values, p=8, salt="hll"):
     regs = {}
     width = 60 - p
     for v in values:
-        h = int(hashlib.md5(f"{salt}|{v}".encode()).hexdigest()[:15], 16)
+        tok = hashlib.md5(str(v).encode()).hexdigest()
+        h = int(hashlib.md5(f"{salt}|{tok}".encode()).hexdigest()[:15], 16)
         b, w = h % (1 << p), h >> p
         rho = (width + 1) if w == 0 else (width + 1 - w.bit_length())
         regs[b] = max(regs.get(b, 0), rho)
@@ -213,17 +214,19 @@ def _cms(values, depth=4, width=64, salt="cms"):
     cells = {}
     for v in values:
         for d in range(depth):
+            tok = hashlib.md5(str(v).encode()).hexdigest()
             h = int(
-                hashlib.md5(f"{salt}|{d}|{v}".encode()).hexdigest()[:15], 16
+                hashlib.md5(f"{salt}|{d}|{tok}".encode()).hexdigest()[:15], 16
             )
             cells[(d, h % width)] = cells.get((d, h % width), 0) + 1
     return cells
 
 
 def _cms_est(cells, v, depth=4, width=64, salt="cms"):
+    tok = hashlib.md5(str(v).encode()).hexdigest()
     return min(
         cells.get(
-            (d, int(hashlib.md5(f"{salt}|{d}|{v}".encode()).hexdigest()[:15], 16) % width),
+            (d, int(hashlib.md5(f"{salt}|{d}|{tok}".encode()).hexdigest()[:15], 16) % width),
             0,
         )
         for d in range(depth)

@@ -23,8 +23,10 @@ def _items(spark, n, prefix="w"):
 
 
 def _py_register(word: str, p: int = 8, salt: str = "hll"):
-    """Reference register computation in plain Python."""
-    h = int(hashlib.md5(f"{salt}|{word}".encode()).hexdigest()[:15], 16)
+    """Reference register computation in plain Python (items tokenize to
+    md5 hex before the salted hash — the injection/NULL-proof key)."""
+    tok = hashlib.md5(word.encode()).hexdigest()
+    h = int(hashlib.md5(f"{salt}|{tok}".encode()).hexdigest()[:15], 16)
     bucket = h % (1 << p)
     w = h >> p
     width = 60 - p

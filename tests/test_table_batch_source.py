@@ -285,3 +285,59 @@ def test_batch_write_append_and_overwrite(spark, tmp_table_root):
     )
     with pytest.raises(ValueError, match="CHECK constraints"):
         KdiTableDataSource({"path": root2}).writer(TOKENS_SCHEMA, False)
+
+
+def test_eq_delete_on_partition_key_and_fully_masked_file(
+    spark, tmp_table_root
+):
+    """Review regressions: (a) equality-delete keys that include a
+    partition column must work — identity partition values are
+    reconstructed BEFORE the eq anti-join (staged parquets don't carry
+    them); (b) a file fully masked by position deletes that also has an
+    applicable equality delete must not crash on the (empty) boolean
+    mask."""
+    t = Table.create(tmp_table_root, TOKENS_SCHEMA, ["source"])
+    write_dataframe(spark, t, tokens_df(spark, 60, max_tok=12))
+    # (b) position-delete EVERY row of the books partition's files
+    delete_where(
+        spark, t, [("source", "=", "books")], mode="merge_on_read"
+    )
+    # (a) upsert keyed by (doc_id, source) -> equality_ids include the
+    # partition column; key ranges overlap the fully-masked files too
+    batch = (
+        tokens_df(spark, 8, seed=3, max_tok=12)
+        .withColumn("n_tok", F.lit(4))
+        .withColumn("tokens", F.expr("array(9,9,9,9)"))
+    )
+    upsert(spark, t, batch, key=["doc_id", "source"])
+
+    got = _rowset(_load(spark, tmp_table_root))
+    want = _rowset(t.snapshot().scan(spark))
+    assert got == want and len(want) > 0
+
+
+def test_empty_overwrite_truncates(spark, tmp_table_root):
+    """INSERT OVERWRITE with an empty input must still commit the
+    removes (a truncate), not silently keep the old rows; overwriting an
+    already-empty table commits nothing."""
+    t = Table.create(tmp_table_root, TOKENS_SCHEMA, ["source"])
+    write_dataframe(spark, t, tokens_df(spark, 20, max_tok=8))
+    register(spark)
+    empty = tokens_df(spark, 20, max_tok=8).where("n_tok < 0")
+    (
+        empty.write.format("kdi-table")
+        .option("path", tmp_table_root)
+        .mode("overwrite")
+        .save()
+    )
+    t2 = Table(tmp_table_root)
+    assert t2.snapshot().scan(spark).count() == 0
+    v = t2.latest_version()
+    # second empty overwrite of the now-empty table: no new version
+    (
+        empty.write.format("kdi-table")
+        .option("path", tmp_table_root)
+        .mode("overwrite")
+        .save()
+    )
+    assert Table(tmp_table_root).latest_version() == v
