@@ -2250,6 +2250,92 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / theta distinct sketch (Bar-Yossef 2002, Beyer 2007): the
+    k=128 SMALLEST distinct word hashes per language — where HLL answers
+    only "how many distinct", a KMV synopsis additionally supports set
+    operations between sketches (see kmv_set_overlap). The sketch is a
+    deterministic SET (ties impossible between distinct hashes) built by
+    a bounded two-phase top-k (shard-pruned, never a global sort of the
+    distinct set); estimate = exact n_seen when unsaturated else ONE IEEE
+    division of a literal (k-1)*2^60 numerator by the kth hash — bit-
+    identical across engines. bit_xor of the sketch rides along as a
+    content witness."""
+    from kafka_delta_ingest_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+    from kafka_delta_ingest_spark.operators.text import normalize_text
+
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "lang",
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("word"),
+    )
+    sk = kmv_sketch(words, ["word"], k=128, group_cols=["lang"], family="md5")
+    est = kmv_estimate(sk, 128, ["lang"])
+    exact = words.groupBy("lang").agg(
+        F.countDistinct("word").alias("exact_distinct")
+    )
+    return est.join(exact, "lang").select(
+        "lang", "exact_distinct", "kmv_estimate", "n_seen", "kth", "hash_xor"
+    )
+
+
+def q_kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra: how much do the English and French word
+    sets overlap, answered from two 128-row synopses with NO re-scan of
+    either corpus — the "does yesterday's crawl overlap today's" question
+    at 10^12 rows. threshold theta = the smaller side's kth hash (2^60
+    when a side is unsaturated/complete), working sets = hashes below
+    theta, union/intersection estimates = count * 2^60 / theta and
+    Jaccard = matches / union_below — every operand an exact long or a
+    power-of-two scaling, each estimate ONE correctly-rounded division.
+    Exact truth columns ride along so accuracy is visible in the result;
+    the oracle replays sketches, thetas, and the estimators."""
+    from kafka_delta_ingest_spark.operators.sketches import (
+        kmv_set_ops,
+        kmv_sketch,
+    )
+    from kafka_delta_ingest_spark.operators.text import normalize_text
+
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "lang",
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("word"),
+    )
+    k = 128
+    en = words.where(F.col("lang") == "en")
+    fr = words.where(F.col("lang") == "fr")
+    ops = kmv_set_ops(
+        kmv_sketch(en, ["word"], k=k, family="md5"),
+        kmv_sketch(fr, ["word"], k=k, family="md5"),
+        k,
+    )
+    en_w = en.select("word").distinct()
+    fr_w = fr.select("word").distinct()
+    exact = (
+        en_w.unionByName(fr_w)
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("exact_union"))
+        .crossJoin(
+            en_w.join(fr_w, "word").agg(
+                F.count(F.lit(1)).alias("exact_inter")
+            )
+        )
+    )
+    return ops.crossJoin(exact).select(
+        "union_est",
+        "intersect_est",
+        "jaccard_est",
+        "matches",
+        "union_below",
+        "theta",
+        "exact_union",
+        "exact_inter",
+    )
+
+
 def q_python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch Python Data Source over the table (sources/table_batch.py):
     ``spark.read.format("kdi-table")`` — the pinned-snapshot delete-aware
@@ -2317,7 +2403,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first 50; round 4 led with the 42 LLM-pipeline queries that had
     # never had a driver row (plus keystones) — so across r3+r4 every
     # query has at least one green driver CORRECTNESS row. Round 5's
-    # window leads with (a) the four round-5 additions (hll_distinct,
+    # window leads with (a) the six round-5 additions (hll_distinct,
+    # kmv_distinct, kmv_set_overlap,
     # python_datasource_scan, pq_topk, cms_word_counts), then (b) the 41
     # queries whose last driver row is from r3 (two rounds stale —
     # refreshed here), then (c) north-rule keystones to fill the 50;
@@ -2327,6 +2414,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # over ALL entries every round. Rotation history: COVERAGE.md.
     return {
         "hll_distinct": q_hll_distinct,
+        "kmv_distinct": q_kmv_distinct,
+        "kmv_set_overlap": q_kmv_set_overlap,
         "python_datasource_scan": q_python_datasource_scan,
         "pq_topk": q_pq_topk,
         "cms_word_counts": q_cms_word_counts,
@@ -4542,6 +4631,115 @@ def oracle_sql() -> dict[str, str]:
                      AS register_sum,
                    CAST(ck AS BIGINT) AS register_checksum
             FROM agg a JOIN ex USING (lang)
+        """,
+        # KMV sketch: the k smallest distinct hashes is a deterministic
+        # SET, so the oracle needs only ROW_NUMBER <= k — the engine's
+        # bounded two-phase top-k must land on the identical sketch.
+        # Estimate = ONE division of a literal (k-1)*2^60 numerator.
+        "kmv_distinct": f"""
+            WITH words AS (
+              SELECT lang, unnest(string_split({_NORM_SQL}, ' ')) AS word
+              FROM documents
+            ),
+            dw AS (SELECT DISTINCT lang, word FROM words),
+            h AS (
+              SELECT lang,
+                     {_nibble15_long_sql("md5('kmv|' || md5(word))")} AS h
+              FROM dw
+            ),
+            sk AS (
+              SELECT lang, h FROM (
+                SELECT lang, h,
+                       ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS r
+                FROM h
+              ) WHERE r <= 128
+            ),
+            agg AS (
+              SELECT lang, COUNT(*) AS n_seen, MAX(h) AS kth,
+                     bit_xor(h) AS hash_xor
+              FROM sk GROUP BY lang
+            ),
+            ex AS (
+              SELECT lang, CAST(COUNT(DISTINCT word) AS BIGINT)
+                       AS exact_distinct
+              FROM words GROUP BY lang
+            )
+            SELECT a.lang, ex.exact_distinct,
+                   CASE WHEN n_seen < 128 THEN CAST(n_seen AS DOUBLE)
+                        ELSE {float(127 * (1 << 60))!r} / CAST(kth AS DOUBLE)
+                   END AS kmv_estimate,
+                   CAST(n_seen AS BIGINT) AS n_seen,
+                   CAST(kth AS BIGINT) AS kth,
+                   CAST(hash_xor AS BIGINT) AS hash_xor
+            FROM agg a JOIN ex USING (lang)
+        """,
+        # Theta-sketch set algebra: sketches, per-side thresholds (2^60
+        # when unsaturated), working sets below LEAST(thetas), then each
+        # estimate is one correctly-rounded division of exact operands
+        "kmv_set_overlap": f"""
+            WITH words AS (
+              SELECT lang, unnest(string_split({_NORM_SQL}, ' ')) AS word
+              FROM documents
+            ),
+            en AS (SELECT DISTINCT word FROM words WHERE lang = 'en'),
+            fr AS (SELECT DISTINCT word FROM words WHERE lang = 'fr'),
+            ha AS (
+              SELECT {_nibble15_long_sql("md5('kmv|' || md5(word))")} AS h
+              FROM en
+            ),
+            hb AS (
+              SELECT {_nibble15_long_sql("md5('kmv|' || md5(word))")} AS h
+              FROM fr
+            ),
+            ska AS (
+              SELECT h FROM (
+                SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS r FROM ha
+              ) WHERE r <= 128
+            ),
+            skb AS (
+              SELECT h FROM (
+                SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS r FROM hb
+              ) WHERE r <= 128
+            ),
+            ta AS (
+              SELECT CASE WHEN COUNT(*) < 128
+                          THEN {1 << 60} ELSE MAX(h) END AS th
+              FROM ska
+            ),
+            tb AS (
+              SELECT CASE WHEN COUNT(*) < 128
+                          THEN {1 << 60} ELSE MAX(h) END AS th
+              FROM skb
+            ),
+            t AS (SELECT LEAST(ta.th, tb.th) AS theta FROM ta, tb),
+            ap AS (SELECT h FROM ska, t WHERE h < theta),
+            bp AS (SELECT h FROM skb, t WHERE h < theta),
+            m AS (SELECT COUNT(*) AS matches FROM ap JOIN bp USING (h)),
+            u AS (
+              SELECT COUNT(*) AS union_below
+              FROM (SELECT h FROM ap UNION SELECT h FROM bp)
+            ),
+            ex AS (
+              SELECT
+                (SELECT COUNT(*)
+                 FROM (SELECT word FROM en UNION SELECT word FROM fr))
+                  AS exact_union,
+                (SELECT COUNT(*) FROM en JOIN fr USING (word))
+                  AS exact_inter
+            )
+            SELECT
+              CAST(union_below AS DOUBLE) * {float(1 << 60)!r}
+                / CAST(theta AS DOUBLE) AS union_est,
+              CAST(matches AS DOUBLE) * {float(1 << 60)!r}
+                / CAST(theta AS DOUBLE) AS intersect_est,
+              CAST(matches AS DOUBLE) / CAST(union_below AS DOUBLE)
+                AS jaccard_est,
+              CAST(matches AS BIGINT) AS matches,
+              CAST(union_below AS BIGINT) AS union_below,
+              CAST(theta AS BIGINT) AS theta,
+              CAST(exact_union AS BIGINT) AS exact_union,
+              CAST(exact_inter AS BIGINT) AS exact_inter
+            FROM m, u, t, ex
         """,
         # PQ ANN: sampled codebooks, per-subspace L2 argmin codes, 4-term
         # ADC inner-product sum (same left-assoc order as Spark's fold),

@@ -36,7 +36,7 @@ standard error is ~1.6%.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 HASH_BITS = 60  # nonnegative long in both engines (15 md5 hex nibbles)
@@ -278,4 +278,182 @@ def cms_estimate(
     )
     return joined.groupBy(*group_cols, *item_cols).agg(
         F.min("cnt").alias("cms_count")
+    )
+
+
+# ------------------------------------------------- KMV / theta sketch
+# (Bar-Yossef et al. 2002; Beyer et al. 2007; the theta-sketch set
+# algebra of Dasgupta et al. 2016): the k SMALLEST distinct hash values
+# per group. Where HLL answers only "how many distinct", a KMV sketch
+# additionally supports SET OPERATIONS between sketches built over
+# different corpora/partitions/days — union, intersection, and Jaccard
+# estimates from two k-row synopses, no re-scan of either input. That is
+# the sketch a lakehouse needs for "how much does yesterday's crawl
+# overlap today's" at 10^12 rows.
+#
+# Engine-exactness discipline (same as HLL/CMS): the sketch itself is a
+# deterministic SET (the k smallest distinct 60-bit hashes — ties are
+# impossible between distinct values), so ANY exact top-k plan produces
+# the identical sketch and the oracle can replay it with a plain
+# ROW_NUMBER; estimates are ONE IEEE division of exactly-representable
+# operands (counts and power-of-two scalings), bit-identical across
+# Spark and DuckDB.
+
+
+def _k_smallest(hashes: DataFrame, k: int, group_cols: list[str]) -> DataFrame:
+    """Exact k smallest distinct ``h`` per group, shuffle-bounded.
+
+    Phase 1 prunes within hash shards — ``groupBy(group, h % s)`` with a
+    map-side-combined ``min`` would lose all but one value, so the shard
+    phase keeps ``slice(array_sort(collect_list), 1, k)``; after the
+    upstream ``distinct()`` each shard's state is its distinct-hash
+    count / s, and its OUTPUT is at most k rows. Phase 2 then ranks at
+    most ``s*k`` rows per group — a window over a bounded input, never
+    over the full distinct set (at 10^12 rows the distinct set itself is
+    the thing you cannot sort globally)."""
+    s = 64  # shards: phase-2 input is at most s*k rows per group
+    shard = F.pmod(F.col("h"), F.lit(s)).alias("_shard")
+    ph1 = (
+        hashes.select(*group_cols, "h", shard)
+        .groupBy(*group_cols, "_shard")
+        .agg(F.slice(F.array_sort(F.collect_list("h")), 1, k).alias("_hs"))
+        .select(*group_cols, F.explode("_hs").alias("h"))
+    )
+    w = Window.partitionBy(*[F.col(c) for c in group_cols] or [F.lit(1)]).orderBy("h")
+    return (
+        ph1.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .drop("_r")
+    )
+
+
+def kmv_sketch(
+    df: DataFrame,
+    item_cols: list[Column | str],
+    k: int = 128,
+    group_cols: list[str] | None = None,
+    salt: str = "kmv",
+    family: str = "xxhash64",
+) -> DataFrame:
+    """Per-group KMV sketch: rows ``group_cols + (h,)`` — the k smallest
+    distinct 60-bit item hashes. One map-side-combined ``distinct`` plus
+    the bounded two-phase top-k of :func:`_k_smallest`."""
+    group_cols = list(group_cols or [])
+    items = [F.col(c) if isinstance(c, str) else c for c in item_cols]
+    d = df.select(
+        *group_cols, _hash60(items, salt, family).alias("h")
+    ).distinct()
+    return _k_smallest(d, k, group_cols)
+
+
+def kmv_merge(
+    a: DataFrame, b: DataFrame, k: int, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Union-merge two sketches built with the same (k, salt, family):
+    k smallest of the unioned hash sets — losslessly equal to the sketch
+    of the unioned inputs (pytest-asserted), so per-partition / per-day
+    sketches roll up with no re-scan."""
+    group_cols = list(group_cols or [])
+    return _k_smallest(a.unionByName(b).distinct(), k, group_cols)
+
+
+def kmv_estimate(
+    sketch: DataFrame, k: int, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Collapse a sketch to one row per group.
+
+    ``kmv_estimate``: exact ``n_seen`` when the sketch is unsaturated
+    (n < k — every distinct value is in it), else the unbiased KMV
+    estimator ``(k-1) * 2^60 / h_(k)`` — numerator a Python-computed
+    literal double (exactly representable: (k-1) scaled by a power of
+    two), ONE correctly-rounded IEEE division. ``kth`` (the threshold)
+    and ``hash_xor`` (bit_xor of the sketch — a content witness so an
+    oracle mismatch pinpoints wrong sketch vs wrong estimator) ride
+    along exactly."""
+    group_cols = list(group_cols or [])
+    numerator = float((k - 1) * (1 << HASH_BITS))
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_seen"),
+        F.max("h").alias("kth"),
+        F.expr("bit_xor(h)").alias("hash_xor"),
+    )
+    est = F.when(
+        F.col("n_seen") < k, F.col("n_seen").cast("double")
+    ).otherwise(F.lit(numerator) / F.col("kth").cast("double"))
+    return agg.select(
+        *group_cols,
+        est.alias("kmv_estimate"),
+        F.col("n_seen"),
+        F.col("kth"),
+        F.col("hash_xor"),
+    )
+
+
+def kmv_set_ops(
+    a: DataFrame,
+    b: DataFrame,
+    k: int,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Theta-sketch set algebra between two same-(k, salt, family)
+    sketches, per group: threshold ``theta`` = the smaller side's kth
+    value (2^60 when a side is unsaturated, i.e. complete), working sets
+    = hashes strictly below theta, then
+
+    - ``union_est``      = |A' ∪ B'| * 2^60 / theta
+    - ``intersect_est``  = |A' ∩ B'| * 2^60 / theta
+    - ``jaccard_est``    = |A' ∩ B'| / |A' ∪ B'|
+
+    Every operand is an exact long (counts) or a power-of-two scaling
+    (exact in IEEE), each estimate ONE correctly-rounded division —
+    bit-identical across engines. When both sketches are unsaturated the
+    counts are exact and the estimates collapse to exact set sizes.
+    Work is O(k) per group — the inputs never get re-scanned."""
+    group_cols = list(group_cols or [])
+    full = 1 << HASH_BITS
+    scale = float(full)  # 2^60, exact
+
+    def _theta(s: DataFrame, side: str) -> DataFrame:
+        agg = s.groupBy(*group_cols).agg(
+            F.count(F.lit(1)).alias("_n"), F.max("h").alias("_kth")
+        )
+        th = F.when(F.col("_n") < k, F.lit(full)).otherwise(F.col("_kth"))
+        return agg.select(*group_cols, th.alias(f"_theta_{side}"))
+
+    thetas = _theta(a, "a").join(_theta(b, "b"), group_cols or None, "outer") if group_cols else _theta(a, "a").crossJoin(_theta(b, "b"))
+    thetas = thetas.select(
+        *group_cols,
+        F.least(
+            F.coalesce(F.col("_theta_a"), F.lit(full)),
+            F.coalesce(F.col("_theta_b"), F.lit(full)),
+        ).alias("theta"),
+    )
+
+    def _below(s: DataFrame) -> DataFrame:
+        j = s.join(F.broadcast(thetas), group_cols or None, "inner") if group_cols else s.crossJoin(F.broadcast(thetas))
+        return j.filter(F.col("h") < F.col("theta")).select(*group_cols, "h")
+
+    a_p, b_p = _below(a), _below(b)
+    inter = (
+        a_p.join(b_p, [*group_cols, "h"])
+        .groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("matches"))
+    )
+    union = (
+        a_p.unionByName(b_p)
+        .distinct()
+        .groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("union_below"))
+    )
+    out = union.join(inter, group_cols or None, "left") if group_cols else union.crossJoin(inter)
+    out = out.join(F.broadcast(thetas), group_cols or None, "inner") if group_cols else out.crossJoin(thetas)
+    m = F.coalesce(F.col("matches"), F.lit(0))
+    return out.select(
+        *group_cols,
+        (F.col("union_below").cast("double") * F.lit(scale) / F.col("theta").cast("double")).alias("union_est"),
+        (m.cast("double") * F.lit(scale) / F.col("theta").cast("double")).alias("intersect_est"),
+        (m.cast("double") / F.col("union_below").cast("double")).alias("jaccard_est"),
+        m.alias("matches"),
+        F.col("union_below"),
+        F.col("theta"),
     )

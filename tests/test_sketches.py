@@ -149,3 +149,104 @@ def test_cms_merge_never_undercounts_and_is_exact_when_sparse(spark):
         ).collect()
     }
     assert est == truth
+
+
+# ------------------------------------------------------------- KMV
+
+
+def _kmv_py_hash(word: str, salt: str = "kmv") -> int:
+    tok = hashlib.md5(word.encode()).hexdigest()
+    return int(hashlib.md5(f"{salt}|{tok}".encode()).hexdigest()[:15], 16)
+
+
+def test_kmv_sketch_is_k_smallest_distinct_hashes(spark):
+    """The sketch equals the k smallest md5 hashes computed in plain
+    Python — any exact top-k plan must land on this exact set."""
+    from kafka_delta_ingest_spark.operators.sketches import kmv_sketch
+
+    df = _items(spark, 500)
+    got = sorted(
+        r["h"] for r in kmv_sketch(df, ["w"], k=32, family="md5").collect()
+    )
+    expect = sorted(_kmv_py_hash(f"w{i}") for i in range(500))[:32]
+    assert got == expect
+
+
+def test_kmv_merge_equals_sketch_of_union(spark):
+    from kafka_delta_ingest_spark.operators.sketches import (
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    whole = _items(spark, 3000)
+    a = whole.where(F.col("w").substr(-1, 1).isin("0", "1", "2", "3", "4"))
+    b = whole.subtract(a)
+    for family in ("xxhash64", "md5"):
+        sa = kmv_sketch(a, ["w"], k=64, group_cols=["g"], family=family)
+        sb = kmv_sketch(b, ["w"], k=64, group_cols=["g"], family=family)
+        merged = {
+            (r["g"], r["h"])
+            for r in kmv_merge(sa, sb, 64, ["g"]).collect()
+        }
+        union = {
+            (r["g"], r["h"])
+            for r in kmv_sketch(
+                whole, ["w"], k=64, group_cols=["g"], family=family
+            ).collect()
+        }
+        assert merged == union, family
+
+
+def test_kmv_estimate_exact_when_unsaturated_and_accurate_when_not(spark):
+    from kafka_delta_ingest_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    small = _items(spark, 40)
+    est = kmv_estimate(kmv_sketch(small, ["w"], k=64), 64).collect()[0]
+    assert est["kmv_estimate"] == 40.0 and est["n_seen"] == 40
+
+    # duplicates don't move the sketch: a distinct-value estimator
+    big = _items(spark, 5000)
+    dup = big.unionAll(big).unionAll(big)
+    e1 = kmv_estimate(kmv_sketch(big, ["w"], k=256), 256).collect()[0]
+    e2 = kmv_estimate(kmv_sketch(dup, ["w"], k=256), 256).collect()[0]
+    assert e1 == e2
+    # k=256 → ~1/sqrt(254) ≈ 6.3% std err; allow 4 sigma
+    assert abs(e1["kmv_estimate"] - 5000) / 5000 < 0.25
+
+
+def test_kmv_set_ops_exact_unsaturated_and_within_error_saturated(spark):
+    from kafka_delta_ingest_spark.operators.sketches import (
+        kmv_set_ops,
+        kmv_sketch,
+    )
+
+    # unsaturated: both sketches hold every value -> exact set algebra
+    s1 = _items(spark, 60)
+    s2 = spark.range(40, 100).select(
+        F.concat(F.lit("w"), F.col("id").cast("string")).alias("w"),
+        (F.col("id") % 2).cast("int").alias("g"),
+    )
+    k = 128
+    r = kmv_set_ops(
+        kmv_sketch(s1, ["w"], k=k), kmv_sketch(s2, ["w"], k=k), k
+    ).collect()[0]
+    assert r["union_est"] == 100.0
+    assert r["intersect_est"] == 20.0
+    assert r["jaccard_est"] == 0.2
+
+    # saturated: truth union=4000, inter=1000, jaccard=0.25
+    b1 = spark.range(2500).select(
+        F.concat(F.lit("x"), F.col("id").cast("string")).alias("w")
+    )
+    b2 = spark.range(1500, 4000).select(
+        F.concat(F.lit("x"), F.col("id").cast("string")).alias("w")
+    )
+    r = kmv_set_ops(
+        kmv_sketch(b1, ["w"], k=256), kmv_sketch(b2, ["w"], k=256), 256
+    ).collect()[0]
+    assert abs(r["union_est"] - 4000) / 4000 < 0.25
+    assert abs(r["intersect_est"] - 1000) / 1000 < 0.35
+    assert abs(r["jaccard_est"] - 0.25) / 0.25 < 0.35
