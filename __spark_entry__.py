@@ -2381,6 +2381,66 @@ def q_python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return full.unionByName(pruned)
 
 
+def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (operators/similarity.py ivf_pq_topk) — the composition
+    that serves 10^12-vector search (FAISS IVFx,PQy): a 16-cell coarse
+    quantizer bounds each query to its 4 nearest cells (at scale:
+    partition pruning of a cell-partitioned codes index), and candidates
+    inside probed cells are scored by PQ asymmetric distance from 4
+    sub-codes alone — floats are never touched after encode. Cell + code
+    assignment are codegen expressions on the corpus scan (no shuffle);
+    the only join is the broadcast equi-join on the cell id. The oracle
+    replays centroid sampling, both argmin/argmax assignments (same
+    tie-breaks), the probe slice, and the 4-term ADC sum in the same
+    association order."""
+    from kafka_delta_ingest_spark.operators.similarity import ivf_pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = ivf_pq_topk(qs, emb, k=5, n_centroids=16, n_probe=4, m=4, k_cb=8)
+    return out.select(
+        "q_id", "vec_id", F.round("adc", 5).alias("adc_r"), "rank"
+    )
+
+
+def q_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable bottom-k row-sample quantile sketch (operators/
+    sketches.py sample_sketch): per-language document-length quantiles
+    from the k=64 rows with the smallest md5(doc_id) hashes — a seeded
+    uniform sample any engine reproduces exactly, mergeable across
+    partitions/days by taking the bottom-k of the union (pytest-ed). At
+    10^12 rows an exact per-group quantile is a full sort; this is one
+    bounded map-side-combined aggregation. Estimates are ACTUAL sampled
+    values at rank 1+floor(q*(n-1)) — no interpolation arithmetic to
+    drift between engines — and groups smaller than k give EXACT discrete
+    quantiles. Exact truth columns ride along so the sample's accuracy is
+    visible; hash_xor is a content witness."""
+    from kafka_delta_ingest_spark.operators.sketches import (
+        sample_quantiles,
+        sample_sketch,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    k = 64
+    sk = sample_sketch(
+        d, ["doc_id"], "n_chars", k=k, group_cols=["lang"], family="md5"
+    )
+    est = sample_quantiles(
+        sk, [(0.25, "p25"), (0.5, "p50"), (0.9, "p90")], k, ["lang"]
+    )
+    exact = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+    return est.join(exact, "lang").select(
+        "lang", "n_rows", "n_seen", "p25", "p50", "p90",
+        "min_chars", "max_chars", "hash_xor",
+    )
+
+
 # ------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2403,9 +2463,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first 50; round 4 led with the 42 LLM-pipeline queries that had
     # never had a driver row (plus keystones) — so across r3+r4 every
     # query has at least one green driver CORRECTNESS row. Round 5's
-    # window leads with (a) the six round-5 additions (hll_distinct,
-    # kmv_distinct, kmv_set_overlap,
-    # python_datasource_scan, pq_topk, cms_word_counts), then (b) the 41
+    # window leads with (a) the eight round-5 additions (hll_distinct,
+    # kmv_distinct, kmv_set_overlap, python_datasource_scan, pq_topk,
+    # cms_word_counts, ivf_pq_topk, sampled_quantiles), then (b) the 41
     # queries whose last driver row is from r3 (two rounds stale —
     # refreshed here), then (c) north-rule keystones to fill the 50;
     # keystones past 50 are double-green from r3+r4. Everything past 50 is
@@ -2419,6 +2479,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "python_datasource_scan": q_python_datasource_scan,
         "pq_topk": q_pq_topk,
         "cms_word_counts": q_cms_word_counts,
+        "ivf_pq_topk": q_ivf_pq_topk,
+        "sampled_quantiles": q_sampled_quantiles,
         "ledger_resume_scan": q_ledger_resume_scan,
         "ingest_e2e": q_ingest_e2e,
         "offset_dedupe": q_offset_dedupe,
@@ -4632,6 +4694,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ck AS BIGINT) AS register_checksum
             FROM agg a JOIN ex USING (lang)
         """,
+        # bottom-k row sample: the k smallest row-key hashes WITH their
+        # values is a deterministic set, so the oracle is ROW_NUMBER <= k
+        # then rank-indexing into the sorted sample — estimates are
+        # actual data values, no interpolation arithmetic to drift
+        "sampled_quantiles": f"""
+            WITH d AS (
+              SELECT lang, doc_id, CAST(n_chars AS DOUBLE) AS v
+              FROM documents
+            ),
+            h AS (
+              SELECT lang,
+                     {_nibble15_long_sql(
+                         "md5('smp|' || md5(CAST(doc_id AS VARCHAR)))"
+                     )} AS h,
+                     v
+              FROM d
+            ),
+            sk AS (
+              SELECT lang, h, v FROM (
+                SELECT lang, h, v,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY lang ORDER BY h, v) AS r
+                FROM h
+              ) WHERE r <= 64
+            ),
+            agg AS (
+              SELECT lang, COUNT(*) AS n_seen, bit_xor(h) AS hash_xor,
+                     list(v ORDER BY v) AS vs
+              FROM sk GROUP BY lang
+            ),
+            ex AS (
+              SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                     MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+              FROM documents GROUP BY lang
+            )
+            SELECT a.lang, ex.n_rows, CAST(n_seen AS BIGINT) AS n_seen,
+                   vs[CAST(1 + floor(0.25 * CAST(n_seen - 1 AS DOUBLE))
+                           AS BIGINT)] AS p25,
+                   vs[CAST(1 + floor(0.5 * CAST(n_seen - 1 AS DOUBLE))
+                           AS BIGINT)] AS p50,
+                   vs[CAST(1 + floor(0.9 * CAST(n_seen - 1 AS DOUBLE))
+                           AS BIGINT)] AS p90,
+                   ex.min_chars, ex.max_chars,
+                   CAST(hash_xor AS BIGINT) AS hash_xor
+            FROM agg a JOIN ex USING (lang)
+        """,
         # KMV sketch: the k smallest distinct hashes is a deterministic
         # SET, so the oracle needs only ROW_NUMBER <= k — the engine's
         # bounded two-phase top-k must land on the identical sketch.
@@ -4806,6 +4914,101 @@ def oracle_sql() -> dict[str, str]:
               JOIN cent k2 ON k2.code = cd.c2
               JOIN cent k3 ON k3.code = cd.c3
               CROSS JOIN q
+            )
+            SELECT q_id, vec_id, ROUND(adc, 5) AS adc_r, rank FROM (
+              SELECT q_id, vec_id, adc,
+                     ROW_NUMBER() OVER (PARTITION BY q_id
+                       ORDER BY adc DESC, vec_id) AS rank
+              FROM scored
+            ) WHERE rank <= 5
+        """,
+        # IVF-PQ: the pq_topk ADC replay restricted to candidates inside
+        # each query's 4 probed cells (ivf_topk's sampled-centroid
+        # assignment replay), same tie-breaks everywhere
+        "ivf_pq_topk": """
+            WITH cent AS (
+              SELECT ROW_NUMBER() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                     ) - 1 AS code,
+                     embedding AS cvec
+              FROM (SELECT * FROM embeddings
+                    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8)
+            ),
+            ivf AS (
+              SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+            ),
+            cells AS (
+              SELECT vec_id, cid AS cell FROM (
+                SELECT e.vec_id, c.cid,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                CAST(c.cvec AS DOUBLE[])) DESC,
+                         c.cid) AS rn
+                FROM embeddings e CROSS JOIN ivf c
+              ) WHERE rn = 1
+            ),
+            a0 AS (
+              SELECT e.vec_id, c.code,
+                     ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                       list_distance(CAST(e.embedding[1:16] AS DOUBLE[]),
+                                     CAST(c.cvec[1:16] AS DOUBLE[])), c.code) AS rn
+              FROM embeddings e CROSS JOIN cent c
+            ),
+            c0 AS (SELECT vec_id, code AS c0 FROM a0 WHERE rn = 1),
+            a1 AS (
+              SELECT e.vec_id, c.code,
+                     ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                       list_distance(CAST(e.embedding[17:32] AS DOUBLE[]),
+                                     CAST(c.cvec[17:32] AS DOUBLE[])), c.code) AS rn
+              FROM embeddings e CROSS JOIN cent c
+            ),
+            c1 AS (SELECT vec_id, code AS c1 FROM a1 WHERE rn = 1),
+            a2 AS (
+              SELECT e.vec_id, c.code,
+                     ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                       list_distance(CAST(e.embedding[33:48] AS DOUBLE[]),
+                                     CAST(c.cvec[33:48] AS DOUBLE[])), c.code) AS rn
+              FROM embeddings e CROSS JOIN cent c
+            ),
+            c2 AS (SELECT vec_id, code AS c2 FROM a2 WHERE rn = 1),
+            a3 AS (
+              SELECT e.vec_id, c.code,
+                     ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                       list_distance(CAST(e.embedding[49:64] AS DOUBLE[]),
+                                     CAST(c.cvec[49:64] AS DOUBLE[])), c.code) AS rn
+              FROM embeddings e CROSS JOIN cent c
+            ),
+            c3 AS (SELECT vec_id, code AS c3 FROM a3 WHERE rn = 1),
+            codes AS (
+              SELECT vec_id, c0, c1, c2, c3
+              FROM c0 JOIN c1 USING (vec_id) JOIN c2 USING (vec_id)
+                   JOIN c3 USING (vec_id)
+            ),
+            probes AS (
+              SELECT q_id, q_vec, cid AS cell FROM (
+                SELECT q.vec_id AS q_id, q.embedding AS q_vec, c.cid,
+                       ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                CAST(c.cvec AS DOUBLE[])) DESC,
+                         c.cid) AS rn
+                FROM embeddings q CROSS JOIN ivf c
+                WHERE q.vec_id < 5
+              ) WHERE rn <= 4
+            ),
+            scored AS (
+              SELECT p.q_id, cd.vec_id,
+                     (list_inner_product(CAST(p.q_vec[1:16] AS DOUBLE[]), CAST(k0.cvec[1:16] AS DOUBLE[]))
+                   + list_inner_product(CAST(p.q_vec[17:32] AS DOUBLE[]), CAST(k1.cvec[17:32] AS DOUBLE[]))
+                   + list_inner_product(CAST(p.q_vec[33:48] AS DOUBLE[]), CAST(k2.cvec[33:48] AS DOUBLE[]))
+                   + list_inner_product(CAST(p.q_vec[49:64] AS DOUBLE[]), CAST(k3.cvec[49:64] AS DOUBLE[]))) AS adc
+              FROM codes cd
+              JOIN cells cl USING (vec_id)
+              JOIN probes p ON p.cell = cl.cell
+              JOIN cent k0 ON k0.code = cd.c0
+              JOIN cent k1 ON k1.code = cd.c1
+              JOIN cent k2 ON k2.code = cd.c2
+              JOIN cent k3 ON k3.code = cd.c3
             )
             SELECT q_id, vec_id, ROUND(adc, 5) AS adc_r, rank FROM (
               SELECT q_id, vec_id, adc,

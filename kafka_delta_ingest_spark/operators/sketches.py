@@ -457,3 +457,113 @@ def kmv_set_ops(
         F.col("union_below"),
         F.col("theta"),
     )
+
+
+def sample_sketch(
+    df: DataFrame,
+    key_cols: list[Column | str],
+    value_col: Column | str,
+    k: int = 256,
+    group_cols: list[str] | None = None,
+    salt: str = "smp",
+    family: str = "xxhash64",
+) -> DataFrame:
+    """Per-group bottom-k uniform ROW sample: rows ``group_cols + (h, v)``.
+
+    The quantile companion to :func:`kmv_sketch`: hash a row-unique key
+    to 60 bits and keep the k SMALLEST hashes *with their values* — a
+    seeded uniform sample of rows (not of distinct values) that is
+
+    - **mergeable**: the bottom-k of the union of two partition-local
+      sketches over disjoint row sets IS the sketch of the union (plain
+      ``sample_merge``), so per-file / per-day / per-cluster sketches
+      roll up losslessly — the property t-digest only approximates;
+    - **deterministic**: same rows -> same sample on any engine, every
+      estimate below replays in SQL (no RNG, no insertion-order state).
+
+    At 10^12 rows an exact per-group quantile is a full sort; this is
+    one bounded map-side-combined aggregation (the two-phase top-k of
+    ``_k_smallest``, payload carried through) whose output is <= k rows
+    per group. ``key_cols`` must identify rows (e.g. doc_id); hash ties
+    (astronomically rare at 60 bits) break by value so the sketch set
+    stays deterministic."""
+    group_cols = list(group_cols or [])
+    items = [F.col(c) if isinstance(c, str) else c for c in key_cols]
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    d = df.select(
+        *group_cols,
+        _hash60(items, salt, family).alias("h"),
+        v.cast("double").alias("v"),
+    )
+    return _k_smallest_rows(d, k, group_cols)
+
+
+def _k_smallest_rows(rows: DataFrame, k: int, group_cols: list[str]) -> DataFrame:
+    """``_k_smallest`` carrying a payload column ``v``: exact k smallest
+    ``(h, v)`` rows per group, shuffle-bounded (shard phase keeps at most
+    k struct rows per shard, the final window ranks <= s*k rows)."""
+    s = 64
+    shard = F.pmod(F.col("h"), F.lit(s)).alias("_shard")
+    ph1 = (
+        rows.select(*group_cols, "h", "v", shard)
+        .groupBy(*group_cols, "_shard")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("h", "v"))), 1, k
+            ).alias("_hv")
+        )
+        .select(*group_cols, F.explode("_hv").alias("_e"))
+        .select(*group_cols, F.col("_e.h").alias("h"), F.col("_e.v").alias("v"))
+    )
+    w = Window.partitionBy(
+        *[F.col(c) for c in group_cols] or [F.lit(1)]
+    ).orderBy("h", "v")
+    return (
+        ph1.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .drop("_r")
+    )
+
+
+def sample_merge(
+    a: DataFrame, b: DataFrame, k: int, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Merge two bottom-k row samples built with the same (k, salt,
+    family) over DISJOINT row sets (the partition-rollup case): bottom-k
+    of the union. Overlapping inputs would double-count shared rows —
+    build partition-local sketches, merge up the tree."""
+    return _k_smallest_rows(a.unionByName(b), k, list(group_cols or []))
+
+
+def sample_quantiles(
+    sketch: DataFrame,
+    quantiles: list[tuple[float, str]],
+    k: int,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Collapse a row-sample sketch to one row per group with discrete
+    (type-1 / "lower") quantile estimates: the sampled value at rank
+    ``1 + floor(q * (n_seen - 1))`` of the at-most-k sorted sample.
+
+    Every estimate is an ACTUAL data value (no interpolation arithmetic
+    to drift between engines); the rank index is one IEEE multiply of a
+    literal + ``floor`` — bit-identical across Spark and DuckDB. When the
+    group has fewer than k rows the sample is the whole group and the
+    estimates are EXACT discrete quantiles. ``hash_xor`` is a content
+    witness: an oracle mismatch pinpoints wrong sketch vs wrong
+    estimator. The sort is over <= k values per group — driver-safe."""
+    group_cols = list(group_cols or [])
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_seen"),
+        F.expr("bit_xor(h)").alias("hash_xor"),
+        F.array_sort(F.collect_list("v")).alias("_vs"),
+    )
+    picks = [
+        F.element_at(
+            "_vs",
+            (F.floor(F.lit(float(q)) * (F.col("n_seen") - 1).cast("double")) + 1)
+            .cast("int"),
+        ).alias(name)
+        for q, name in quantiles
+    ]
+    return agg.select(*group_cols, F.col("n_seen"), *picks, F.col("hash_xor"))

@@ -250,3 +250,117 @@ def test_kmv_set_ops_exact_unsaturated_and_within_error_saturated(spark):
     assert abs(r["union_est"] - 4000) / 4000 < 0.25
     assert abs(r["intersect_est"] - 1000) / 1000 < 0.35
     assert abs(r["jaccard_est"] - 0.25) / 0.25 < 0.35
+
+
+# ------------------------------------------------- bottom-k row sample
+
+
+def _valued(spark, n):
+    """n rows with unique key and a skewed numeric value, two groups."""
+    return spark.range(n).select(
+        F.col("id").alias("key"),
+        (F.col("id") % 2).cast("int").alias("g"),
+        ((F.col("id") * F.col("id")) % 9973).cast("double").alias("v"),
+    )
+
+
+def test_sample_sketch_is_k_smallest_row_hashes_with_values(spark):
+    """The sketch is exactly the k rows with the smallest hashes, values
+    attached — verified against a plain-Python bottom-k over hashlib."""
+    import hashlib as _hl
+
+    from kafka_delta_ingest_spark.operators.sketches import sample_sketch
+
+    df = _valued(spark, 500)
+    got = {
+        (r["g"], r["h"], r["v"])
+        for r in sample_sketch(
+            df, ["key"], "v", k=16, group_cols=["g"], family="md5"
+        ).collect()
+    }
+
+    def h60(key: int) -> int:
+        tok = _hl.md5(str(key).encode()).hexdigest()
+        return int(_hl.md5(f"smp|{tok}".encode()).hexdigest()[:15], 16)
+
+    expect = set()
+    for g in (0, 1):
+        rows = sorted(
+            (h60(i), float((i * i) % 9973))
+            for i in range(500)
+            if i % 2 == g
+        )
+        expect |= {(g, h, v) for h, v in rows[:16]}
+    assert got == expect
+
+
+def test_sample_merge_equals_sketch_of_union(spark):
+    """Bottom-k of two disjoint-partition sketches == the sketch of the
+    whole input — the rollup property that makes it mergeable."""
+    from kafka_delta_ingest_spark.operators.sketches import (
+        sample_merge,
+        sample_sketch,
+    )
+
+    whole = _valued(spark, 2000)
+    a = whole.where(F.col("key") < 700)
+    b = whole.where(F.col("key") >= 700)
+    k = 32
+    sa = sample_sketch(a, ["key"], "v", k=k, group_cols=["g"])
+    sb = sample_sketch(b, ["key"], "v", k=k, group_cols=["g"])
+    merged = {
+        (r["g"], r["h"], r["v"])
+        for r in sample_merge(sa, sb, k, ["g"]).collect()
+    }
+    full = {
+        (r["g"], r["h"], r["v"])
+        for r in sample_sketch(
+            whole, ["key"], "v", k=k, group_cols=["g"]
+        ).collect()
+    }
+    assert merged == full
+
+
+def test_sample_quantiles_exact_when_unsaturated_and_close_when_not(spark):
+    """Groups smaller than k: estimates are EXACT discrete quantiles.
+    Saturated groups: the sampled median of a uniform 0..9972 value
+    distribution lands within 15% of the true median. Every estimate is
+    an actual data value."""
+    from kafka_delta_ingest_spark.operators.sketches import (
+        sample_quantiles,
+        sample_sketch,
+    )
+
+    qs = [(0.25, "p25"), (0.5, "p50"), (0.9, "p90")]
+
+    small = _valued(spark, 60)  # 30 rows per group < k
+    est = {
+        r["g"]: r
+        for r in sample_quantiles(
+            sample_sketch(small, ["key"], "v", k=64, group_cols=["g"]),
+            qs, 64, ["g"],
+        ).collect()
+    }
+    vals = {g: sorted(
+        float((i * i) % 9973) for i in range(60) if i % 2 == g
+    ) for g in (0, 1)}
+    for g in (0, 1):
+        n = len(vals[g])
+        assert est[g]["n_seen"] == n
+        for q, name in qs:
+            assert est[g][name] == vals[g][int(q * (n - 1))]
+
+    big = _valued(spark, 20000)
+    est = {
+        r["g"]: r
+        for r in sample_quantiles(
+            sample_sketch(big, ["key"], "v", k=256, group_cols=["g"]),
+            qs, 256, ["g"],
+        ).collect()
+    }
+    for g in (0, 1):
+        all_v = sorted(float((i * i) % 9973) for i in range(20000) if i % 2 == g)
+        true_med = all_v[(len(all_v) - 1) // 2]
+        assert est[g]["n_seen"] == 256
+        assert abs(est[g]["p50"] - true_med) <= 0.15 * 9973
+        assert est[g]["p50"] in set(all_v)
