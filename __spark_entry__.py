@@ -2441,6 +2441,39 @@ def q_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_analyze_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE table statistics (maintenance/analyze.py): per-file HLL
+    column sketches built in ONE scan of the tokens table, persisted as
+    a parquet stats artifact under the table root (the Iceberg Puffin
+    idea), MAX-merged into table-level NDV with no data read — what a
+    cost-based planner needs to size joins at 10^12 rows. Incremental
+    discipline asserted in-query: a second ANALYZE reuses every file's
+    sketch and scans NOTHING. The oracle replays the tokens derivation
+    and the full register construction/merge/estimate per column; exact
+    COUNT(DISTINCT) truth columns ride along."""
+    from kafka_delta_ingest_spark.maintenance.analyze import analyze, ndv_df
+
+    cols = ["doc_id", "n_tok", "source"]
+    t = _build_tokens_table(spark, sf_dir, _tmp_root("analyze"))
+    m = analyze(spark, t, cols, family="md5")
+    assert m["files_scanned"] == m["files_total"] > 1
+    m2 = analyze(spark, t, cols, family="md5")
+    assert m2["files_scanned"] == 0
+    assert m2["files_reused"] == m2["files_total"]
+
+    scan = t.snapshot().scan(spark)
+    exact = None
+    for c in cols:
+        one = scan.agg(F.countDistinct(c).alias("exact_ndv")).select(
+            F.lit(c).alias("column"), "exact_ndv"
+        )
+        exact = one if exact is None else exact.unionByName(one)
+    return ndv_df(spark, t).join(exact, "column").select(
+        "column", "ndv_estimate", "zero_registers",
+        "register_sum", "register_checksum", "exact_ndv",
+    )
+
+
 # ------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2463,9 +2496,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first 50; round 4 led with the 42 LLM-pipeline queries that had
     # never had a driver row (plus keystones) — so across r3+r4 every
     # query has at least one green driver CORRECTNESS row. Round 5's
-    # window leads with (a) the eight round-5 additions (hll_distinct,
+    # window leads with (a) the nine round-5 additions (hll_distinct,
     # kmv_distinct, kmv_set_overlap, python_datasource_scan, pq_topk,
-    # cms_word_counts, ivf_pq_topk, sampled_quantiles), then (b) the 41
+    # cms_word_counts, ivf_pq_topk, sampled_quantiles, analyze_ndv),
+    # then (b) the 41
     # queries whose last driver row is from r3 (two rounds stale —
     # refreshed here), then (c) north-rule keystones to fill the 50;
     # keystones past 50 are double-green from r3+r4. Everything past 50 is
@@ -2481,6 +2515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_word_counts": q_cms_word_counts,
         "ivf_pq_topk": q_ivf_pq_topk,
         "sampled_quantiles": q_sampled_quantiles,
+        "analyze_ndv": q_analyze_ndv,
         "ledger_resume_scan": q_ledger_resume_scan,
         "ingest_e2e": q_ingest_e2e,
         "offset_dedupe": q_offset_dedupe,
@@ -4739,6 +4774,64 @@ def oracle_sql() -> dict[str, str]:
                    ex.min_chars, ex.max_chars,
                    CAST(hash_xor AS BIGINT) AS hash_xor
             FROM agg a JOIN ex USING (lang)
+        """,
+        # ANALYZE NDV: per-file sketches MAX-merge to the whole-table
+        # sketch (the HLL merge property), so the oracle replays the
+        # TABLE-level register construction directly — same p=8 register
+        # math and literal numerator as the hll_distinct oracle
+        "analyze_ndv": f"""
+            WITH t AS ({_TOKENS_SQL}),
+            items AS (
+              SELECT 'doc_id' AS col, doc_id AS item FROM t
+              UNION ALL
+              SELECT 'n_tok' AS col, CAST(n_tok AS VARCHAR) AS item FROM t
+              UNION ALL
+              SELECT 'source' AS col, source AS item FROM t
+            ),
+            di AS (SELECT DISTINCT col, item FROM items),
+            h AS (
+              SELECT col,
+                     {_nibble15_long_sql("md5('hll|' || md5(item))")} AS h
+              FROM di
+            ),
+            br AS (
+              SELECT col, h % 256 AS bucket,
+                     CASE WHEN (h >> 8) = 0 THEN 53
+                          ELSE 53 - length(bin(h >> 8)) END AS rho
+              FROM h
+            ),
+            regs AS (
+              SELECT col, bucket, MAX(rho) AS rho FROM br
+              GROUP BY col, bucket
+            ),
+            agg AS (
+              SELECT col,
+                     SUM(1::BIGINT << (53 - rho)) AS ps,
+                     COUNT(*) AS present,
+                     SUM((bucket + 1) * rho) AS ck
+              FROM regs GROUP BY col
+            ),
+            ex AS (
+              SELECT 'doc_id' AS col,
+                     CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS exact_ndv
+              FROM t
+              UNION ALL
+              SELECT 'n_tok' AS col,
+                     CAST(COUNT(DISTINCT n_tok) AS BIGINT) FROM t
+              UNION ALL
+              SELECT 'source' AS col,
+                     CAST(COUNT(DISTINCT source) AS BIGINT) FROM t
+            )
+            SELECT a.col AS "column",
+                   4.2399330249068963e+20
+                     / CAST(ps + (256 - present) * 9007199254740992 AS DOUBLE)
+                     AS ndv_estimate,
+                   CAST(256 - present AS INTEGER) AS zero_registers,
+                   CAST(ps + (256 - present) * 9007199254740992 AS BIGINT)
+                     AS register_sum,
+                   CAST(ck AS BIGINT) AS register_checksum,
+                   ex.exact_ndv
+            FROM agg a JOIN ex USING (col)
         """,
         # KMV sketch: the k smallest distinct hashes is a deterministic
         # SET, so the oracle needs only ROW_NUMBER <= k — the engine's

@@ -32,6 +32,7 @@ def main():
             "branch", "drop-branch", "tag", "delete-tag", "publish", "refs",
             "evolve-partitioning", "set-properties", "partitions", "changes",
             "describe", "optimize-partitions", "plan-files",
+            "analyze", "ndv",
         ],
     )
     p.add_argument(
@@ -99,6 +100,11 @@ def main():
     )
     p.add_argument("--target-file-bytes", type=int, default=128 * 1024 * 1024)
     p.add_argument("--dims", default="source,n_tok,doc_id")
+    p.add_argument(
+        "--columns",
+        default="source,n_tok,doc_id",
+        help="comma-separated columns for --op analyze",
+    )
     p.add_argument("--retain-last", type=int, default=10)
     p.add_argument(
         "--older-than-ms", type=int, default=None,
@@ -267,6 +273,36 @@ def main():
             out = {"published": args.name, "head": v}
     elif args.op == "refs":
         out = {"branches": table.list_branches(), "tags": table.list_tags()}
+    elif args.op == "analyze":
+        from kafka_delta_ingest_spark.maintenance.analyze import analyze
+
+        out = analyze(spark, table, args.columns.split(","))
+    elif args.op == "ndv":
+        from kafka_delta_ingest_spark.maintenance.analyze import (
+            load_index,
+            ndv_df,
+        )
+
+        import math
+
+        idx = load_index(table)
+        m_regs = 1 << (idx["p"] if idx else 8)
+
+        def _corrected(r):
+            # standard HLL small-range correction, applied driver-side
+            # (the sketch keeps ln() out of the hash-checked estimate)
+            z = r["zero_registers"]
+            if z and r["ndv_estimate"] < 2.5 * m_regs:
+                return m_regs * math.log(m_regs / z)
+            return r["ndv_estimate"]
+
+        out = {
+            "analyzed_version": idx["analyzed_version"] if idx else None,
+            "ndv": {
+                r["column"]: _corrected(r)
+                for r in ndv_df(spark, table).collect()
+            },
+        }
     elif args.op == "evolve-partitioning":
         if args.partition_cols is None:
             p.error("--partition-cols is required for --op evolve-partitioning")

@@ -1,0 +1,247 @@
+"""ANALYZE — table-level column statistics from per-file mergeable
+sketches.
+
+Iceberg keeps per-column NDV ("distinct counts") in Puffin stats files of
+theta sketches next to the table so engines can cost joins without
+scanning data; the reference's stats machinery stops at per-file
+min/max/null counts (/root/reference/src/writer.rs:655-707). This module
+is that missing layer rebuilt Spark-first over this repo's HLL sketches:
+
+- **One scan, every column**: per requested column the 60-bit item hash,
+  register bucket, and rank are codegen expressions; the per-column pairs
+  stack into rows ``(file, column, bucket, rho)`` via one ``explode``, and
+  ONE map-side-combined ``groupBy(file, column, bucket).max(rho)``
+  produces all per-file sketches together. No Python in the scan.
+- **Per-FILE sketches, persisted as parquet**: data files are immutable,
+  so their sketches are too — the artifact under ``<root>/_stats/ndv/``
+  is itself a table Spark reads and writes (at 10^12 rows the stats for
+  millions of files do not fit in a driver JSON). A tiny atomically-
+  renamed ``INDEX.json`` pins the live artifact version.
+- **Incremental by construction**: re-ANALYZE after a commit reuses every
+  surviving file's rows from the previous artifact (anti-join of paths,
+  never a rescan), scans only files the artifact has not seen, and drops
+  rows of removed files. Cost is proportional to churn, not table size —
+  the same ledger discipline as every maintenance op here.
+- **Table-level NDV without touching data**: registers MAX-merge across
+  files (the HLL property pytest-proven in tests/test_sketches.py), then
+  one exact-integer estimate — ``ndv_df`` reads ONLY the artifact.
+
+Sketches are computed over FILE CONTENTS (Iceberg semantics: stats attach
+to immutable data files). While merge-on-read deletes are live the
+table-level NDV is an upper estimate; folding them (``rewrite_deletes``,
+compaction, OPTIMIZE) restores exactness — same caveat as Iceberg's.
+NULLs are not items (``COUNT(DISTINCT)`` semantics); null counts are
+already in the manifest per file.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_delta_ingest_spark.operators.sketches import (
+    HASH_BITS,
+    _hash60,
+    hll_estimate,
+)
+from kafka_delta_ingest_spark.table.format import Table
+from kafka_delta_ingest_spark.table.scan import read_entries
+
+_STATS_SUBDIR = os.path.join("_stats", "ndv")
+
+
+def _stats_dir(table: Table) -> str:
+    return os.path.join(table.root, _STATS_SUBDIR)
+
+
+def _index_path(table: Table) -> str:
+    return os.path.join(_stats_dir(table), "INDEX.json")
+
+
+def load_index(table: Table) -> dict | None:
+    try:
+        with open(_index_path(table)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
+
+
+def _register_rows(
+    df: DataFrame, columns: list[str], p: int, salt: str, family: str
+) -> DataFrame:
+    """Stack per-column HLL (bucket, rho) pairs into rows
+    ``(_file, column, bucket, rho)`` — one pass over the scan, NULL items
+    skipped per column (a NULL contributes no register, matching
+    COUNT(DISTINCT))."""
+    width = HASH_BITS - p
+    pairs = []
+    for c in columns:
+        h = _hash60([F.col(c)], salt, family)
+        w = F.shiftright(h, p)
+        rho = (
+            F.when(w == 0, F.lit(width + 1))
+            .otherwise(F.lit(width + 1) - F.length(F.bin(w)))
+            .cast("int")
+        )
+        pairs.append(
+            F.when(
+                F.col(c).isNotNull(),
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.pmod(h, F.lit(1 << p)).cast("int").alias("bucket"),
+                    rho.alias("rho"),
+                ),
+            )
+        )
+    return (
+        df.select(F.col("_file"), F.explode(F.array(*pairs)).alias("s"))
+        .where(F.col("s").isNotNull())
+        .select(
+            "_file",
+            F.col("s.column").alias("column"),
+            F.col("s.bucket").alias("bucket"),
+            F.col("s.rho").alias("rho"),
+        )
+    )
+
+
+def analyze(
+    spark: SparkSession,
+    table: Table,
+    columns: list[str],
+    p: int = 8,
+    salt: str = "hll",
+    family: str = "xxhash64",
+) -> dict:
+    """Build or incrementally refresh the NDV stats artifact for the
+    current snapshot. Returns metrics: files_total / files_scanned /
+    files_reused / files_dropped, the artifact path, and the analyzed
+    table version.
+
+    A previous artifact is reused only when its (p, salt, family,
+    columns) match; a parameter change rebuilds from scratch (sketches
+    with different parameters cannot merge)."""
+    snap = table.snapshot()
+    live = {f.path for f in snap.files}
+    columns = list(columns)
+    for c in columns:
+        if c not in {f.name for f in snap.schema.fields}:
+            raise ValueError(f"analyze: no such column {c!r}")
+
+    idx = load_index(table)
+    reusable = (
+        idx is not None
+        and idx["p"] == p
+        and idx["salt"] == salt
+        and idx["family"] == family
+        and set(idx["columns"]) >= set(columns)
+    )
+    prev = None
+    prev_paths: set[str] = set()
+    if reusable:
+        prev = spark.read.parquet(os.path.join(_stats_dir(table), idx["artifact"]))
+        prev_paths = set(idx["file_paths"])
+
+    todo = [f for f in snap.files if f.path not in prev_paths]
+    parts = []
+    if prev is not None:
+        keep = sorted(prev_paths & live)
+        if keep:
+            keep_df = spark.createDataFrame(
+                [(k,) for k in keep], "_keep_path string"
+            )
+            parts.append(
+                prev.join(
+                    F.broadcast(keep_df),
+                    prev["path"] == keep_df["_keep_path"],
+                )
+                .where(F.col("column").isin(columns))
+                .select("path", "column", "bucket", "rho")
+            )
+    if todo:
+        df = read_entries(
+            spark,
+            table.root,
+            todo,
+            snap.schema,
+            snap.partition_cols,
+            file_path_col="_file",
+        )
+        root_prefix = os.path.abspath(table.root) + os.sep
+        regs = (
+            _register_rows(df, columns, p, salt, family)
+            .withColumn(
+                "path", F.expr(f"substring(_file, {len(root_prefix) + 1})")
+            )
+            .groupBy("path", "column", "bucket")
+            .agg(F.max("rho").alias("rho"))
+            .select("path", "column", "bucket", "rho")
+        )
+        parts.append(regs)
+
+    merged = parts[0]
+    for extra in parts[1:]:
+        merged = merged.unionByName(extra)
+    if not parts:
+        merged = spark.createDataFrame(
+            [], "path string, column string, bucket int, rho int"
+        )
+
+    # run counter keeps the artifact dir distinct from the previous one:
+    # Spark reads `prev` lazily DURING the write, so a same-version
+    # re-analyze must never overwrite the directory it is merging from
+    run = (idx.get("run", 0) + 1) if idx else 0
+    artifact = f"v{snap.version:020d}_r{run:06d}"
+    out_dir = os.path.join(_stats_dir(table), artifact)
+    merged.write.mode("overwrite").parquet(out_dir)
+
+    index = {
+        "analyzed_version": snap.version,
+        "artifact": artifact,
+        "run": run,
+        "p": p,
+        "salt": salt,
+        "family": family,
+        "columns": columns,
+        "file_paths": sorted(live),
+    }
+    tmp = _index_path(table) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(index, f)
+    os.replace(tmp, _index_path(table))
+
+    # best-effort cleanup of superseded artifacts (never the live one)
+    for name in os.listdir(_stats_dir(table)):
+        full = os.path.join(_stats_dir(table), name)
+        if os.path.isdir(full) and name != artifact:
+            shutil.rmtree(full, ignore_errors=True)
+
+    return {
+        "analyzed_version": snap.version,
+        "artifact_path": out_dir,
+        "columns": columns,
+        "files_total": len(live),
+        "files_scanned": len(todo),
+        "files_reused": len(live) - len(todo),
+        "files_dropped": len(prev_paths - live),
+    }
+
+
+def ndv_df(spark: SparkSession, table: Table) -> DataFrame:
+    """Table-level NDV per analyzed column, computed from the stats
+    artifact ALONE (no data read): MAX-merge the per-file registers, then
+    the exact-integer HLL estimate. Columns: ``column, ndv_estimate,
+    zero_registers, register_sum, register_checksum``."""
+    idx = load_index(table)
+    if idx is None:
+        raise ValueError(f"no NDV stats artifact at {_stats_dir(table)}")
+    regs = spark.read.parquet(
+        os.path.join(_stats_dir(table), idx["artifact"])
+    )
+    merged = regs.groupBy("column", "bucket").agg(F.max("rho").alias("rho"))
+    est = hll_estimate(merged, ["column"], p=idx["p"])
+    return est.withColumnRenamed("hll_estimate", "ndv_estimate")
