@@ -280,28 +280,13 @@ def main():
     elif args.op == "ndv":
         from kafka_delta_ingest_spark.maintenance.analyze import (
             load_index,
-            ndv_df,
+            ndv_estimates,
         )
 
-        import math
-
         idx = load_index(table)
-        m_regs = 1 << (idx["p"] if idx else 8)
-
-        def _corrected(r):
-            # standard HLL small-range correction, applied driver-side
-            # (the sketch keeps ln() out of the hash-checked estimate)
-            z = r["zero_registers"]
-            if z and r["ndv_estimate"] < 2.5 * m_regs:
-                return m_regs * math.log(m_regs / z)
-            return r["ndv_estimate"]
-
         out = {
             "analyzed_version": idx["analyzed_version"] if idx else None,
-            "ndv": {
-                r["column"]: _corrected(r)
-                for r in ndv_df(spark, table).collect()
-            },
+            "ndv": ndv_estimates(spark, table),
         }
     elif args.op == "evolve-partitioning":
         if args.partition_cols is None:

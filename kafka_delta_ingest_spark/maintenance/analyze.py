@@ -245,3 +245,25 @@ def ndv_df(spark: SparkSession, table: Table) -> DataFrame:
     merged = regs.groupBy("column", "bucket").agg(F.max("rho").alias("rho"))
     est = hll_estimate(merged, ["column"], p=idx["p"])
     return est.withColumnRenamed("hll_estimate", "ndv_estimate")
+
+
+def ndv_estimates(spark: SparkSession, table: Table) -> dict[str, float]:
+    """LC-corrected per-column NDV from the stats artifact — the number a
+    planner consumes. Applies the standard HLL small-range correction
+    (LinearCounting from the exact ``zero_registers`` count when the raw
+    estimate is below 2.5·m) driver-side, keeping ``ln`` out of the
+    hash-checked sketch columns (see sketches.py on why)."""
+    import math
+
+    idx = load_index(table)
+    if idx is None:
+        raise ValueError(f"no NDV stats artifact at {_stats_dir(table)}")
+    m = 1 << idx["p"]
+    out: dict[str, float] = {}
+    for r in ndv_df(spark, table).collect():
+        z = r["zero_registers"]
+        if z and r["ndv_estimate"] < 2.5 * m:
+            out[r["column"]] = m * math.log(m / z)
+        else:
+            out[r["column"]] = r["ndv_estimate"]
+    return out

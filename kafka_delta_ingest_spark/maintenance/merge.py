@@ -170,7 +170,7 @@ def merge_into(
     table: Table,
     source: DataFrame,
     key: str = "doc_id",
-    salt_factor: int = 16,
+    salt_factor: "int | str" = 16,
     hot_keys: list | None = None,
     auto_detect_skew: bool = False,
     job_id: str | None = None,
@@ -189,9 +189,22 @@ def merge_into(
     ``when_not_matched_by_source`` UPDATE/DELETE clauses over target rows
     no source row matches — file eligibility bounded by each clause's
     ``scope`` conjuncts via manifest pruning. One salted full-outer join
-    pass computes all three row categories. Returns metrics."""
+    pass computes all three row categories. Returns metrics.
+
+    ``salt_factor="stats"`` resolves the strategy from the NDV stats
+    artifact (plans/join_planning.py) with no data read: a near-unique
+    key skips salting AND the hot-key sampling job; a low-NDV key gets a
+    stats-sized factor (table must have been ANALYZEd over the key)."""
     job_id = job_id or f"merge-{uuid.uuid4().hex[:8]}"
     t0 = time.time()
+    if salt_factor == "stats":
+        from kafka_delta_ingest_spark.plans.join_planning import (
+            resolve_salt_factor,
+        )
+
+        salt_factor, hot_keys, auto_detect_skew = resolve_salt_factor(
+            spark, table, key, salt_factor, hot_keys, auto_detect_skew
+        )
     snap = table.snapshot()
     # SQL MERGE forbids multiple source matches per target row; we keep the
     # last-wins stance of the reference's buffer dedupe (value_buffers.rs:26-30)
