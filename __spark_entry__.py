@@ -2428,7 +2428,7 @@ def q_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, ["doc_id"], "n_chars", k=k, group_cols=["lang"], family="md5"
     )
     est = sample_quantiles(
-        sk, [(0.25, "p25"), (0.5, "p50"), (0.9, "p90")], k, ["lang"]
+        sk, [(0.25, "p25"), (0.5, "p50"), (0.9, "p90")], ["lang"]
     )
     exact = d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_rows"),

@@ -276,7 +276,9 @@ def main():
     elif args.op == "analyze":
         from kafka_delta_ingest_spark.maintenance.analyze import analyze
 
-        out = analyze(spark, table, args.columns.split(","))
+        out = analyze(
+            spark, table, [c.strip() for c in args.columns.split(",")]
+        )
     elif args.op == "ndv":
         from kafka_delta_ingest_spark.maintenance.analyze import (
             load_index,
@@ -286,7 +288,7 @@ def main():
         idx = load_index(table)
         out = {
             "analyzed_version": idx["analyzed_version"] if idx else None,
-            "ndv": ndv_estimates(spark, table),
+            "ndv": ndv_estimates(spark, table) if idx else {},
         }
     elif args.op == "evolve-partitioning":
         if args.partition_cols is None:

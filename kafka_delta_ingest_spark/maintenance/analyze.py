@@ -44,8 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_delta_ingest_spark.operators.sketches import (
-    HASH_BITS,
-    _hash60,
+    hll_bucket_rho,
     hll_estimate,
 )
 from kafka_delta_ingest_spark.table.format import Table
@@ -76,23 +75,18 @@ def _register_rows(
     """Stack per-column HLL (bucket, rho) pairs into rows
     ``(_file, column, bucket, rho)`` — one pass over the scan, NULL items
     skipped per column (a NULL contributes no register, matching
-    COUNT(DISTINCT))."""
-    width = HASH_BITS - p
+    COUNT(DISTINCT)). The register math is the SHARED ``hll_bucket_rho``
+    definition, so per-file artifacts MAX-merge bit-identically with
+    whole-table ``hll_registers`` sketches (pytest-asserted)."""
     pairs = []
     for c in columns:
-        h = _hash60([F.col(c)], salt, family)
-        w = F.shiftright(h, p)
-        rho = (
-            F.when(w == 0, F.lit(width + 1))
-            .otherwise(F.lit(width + 1) - F.length(F.bin(w)))
-            .cast("int")
-        )
+        bucket, rho = hll_bucket_rho([F.col(c)], p, salt, family)
         pairs.append(
             F.when(
                 F.col(c).isNotNull(),
                 F.struct(
                     F.lit(c).alias("column"),
-                    F.pmod(h, F.lit(1 << p)).cast("int").alias("bucket"),
+                    bucket.alias("bucket"),
                     rho.alias("rho"),
                 ),
             )
@@ -122,9 +116,12 @@ def analyze(
     files_reused / files_dropped, the artifact path, and the analyzed
     table version.
 
-    A previous artifact is reused only when its (p, salt, family,
-    columns) match; a parameter change rebuilds from scratch (sketches
-    with different parameters cannot merge)."""
+    A previous artifact is reused when its (p, salt, family) match; a
+    parameter change rebuilds from scratch (sketches with different
+    parameters cannot merge). Columns UNION: a subset re-analyze keeps
+    the already-paid-for sketches of every other column, and a column
+    the artifact has never seen triggers one extra pass over the
+    surviving files for that column only."""
     snap = table.snapshot()
     live = {f.path for f in snap.files}
     columns = list(columns)
@@ -132,48 +129,42 @@ def analyze(
         if c not in {f.name for f in snap.schema.fields}:
             raise ValueError(f"analyze: no such column {c!r}")
 
+    schema_names = {f.name for f in snap.schema.fields}
     idx = load_index(table)
     reusable = (
         idx is not None
         and idx["p"] == p
         and idx["salt"] == salt
         and idx["family"] == family
-        and set(idx["columns"]) >= set(columns)
     )
     prev = None
     prev_paths: set[str] = set()
+    prev_cols: set[str] = set()
     if reusable:
         prev = spark.read.parquet(os.path.join(_stats_dir(table), idx["artifact"]))
         prev_paths = set(idx["file_paths"])
+        # already-paid-for sketches of OTHER columns are kept (a subset
+        # re-analyze must not destroy them); columns dropped by schema
+        # evolution leave the artifact — new files can't maintain them
+        prev_cols = set(idx["columns"]) & schema_names
+    eff_cols = sorted(set(columns) | prev_cols)
+    new_cols = sorted(set(columns) - prev_cols) if prev is not None else []
 
+    keep = sorted(prev_paths & live)
     todo = [f for f in snap.files if f.path not in prev_paths]
-    parts = []
-    if prev is not None:
-        keep = sorted(prev_paths & live)
-        if keep:
-            keep_df = spark.createDataFrame(
-                [(k,) for k in keep], "_keep_path string"
-            )
-            parts.append(
-                prev.join(
-                    F.broadcast(keep_df),
-                    prev["path"] == keep_df["_keep_path"],
-                )
-                .where(F.col("column").isin(columns))
-                .select("path", "column", "bucket", "rho")
-            )
-    if todo:
+    root_prefix = os.path.abspath(table.root) + os.sep
+
+    def _scan(entries, cols):
         df = read_entries(
             spark,
             table.root,
-            todo,
+            entries,
             snap.schema,
             snap.partition_cols,
             file_path_col="_file",
         )
-        root_prefix = os.path.abspath(table.root) + os.sep
-        regs = (
-            _register_rows(df, columns, p, salt, family)
+        return (
+            _register_rows(df, cols, p, salt, family)
             .withColumn(
                 "path", F.expr(f"substring(_file, {len(root_prefix) + 1})")
             )
@@ -181,7 +172,29 @@ def analyze(
             .agg(F.max("rho").alias("rho"))
             .select("path", "column", "bucket", "rho")
         )
-        parts.append(regs)
+
+    parts = []
+    if prev is not None and keep:
+        keep_df = spark.createDataFrame(
+            [(k,) for k in keep], "_keep_path string"
+        )
+        parts.append(
+            prev.join(
+                F.broadcast(keep_df),
+                prev["path"] == keep_df["_keep_path"],
+            )
+            .where(F.col("column").isin(sorted(prev_cols)))
+            .select("path", "column", "bucket", "rho")
+        )
+    if todo:
+        parts.append(_scan(todo, eff_cols))
+    if new_cols and keep:
+        # columns the artifact has never seen need the SURVIVING files
+        # scanned once too (only for those columns)
+        kset = set(keep)
+        parts.append(
+            _scan([f for f in snap.files if f.path in kset], new_cols)
+        )
 
     merged = parts[0]
     for extra in parts[1:]:
@@ -206,7 +219,7 @@ def analyze(
         "p": p,
         "salt": salt,
         "family": family,
-        "columns": columns,
+        "columns": eff_cols,
         "file_paths": sorted(live),
     }
     tmp = _index_path(table) + ".tmp"
@@ -220,13 +233,14 @@ def analyze(
         if os.path.isdir(full) and name != artifact:
             shutil.rmtree(full, ignore_errors=True)
 
+    scanned = len(todo) + (len(keep) if new_cols else 0)
     return {
         "analyzed_version": snap.version,
         "artifact_path": out_dir,
-        "columns": columns,
+        "columns": eff_cols,
         "files_total": len(live),
-        "files_scanned": len(todo),
-        "files_reused": len(live) - len(todo),
+        "files_scanned": scanned,
+        "files_reused": len(live) - scanned,
         "files_dropped": len(prev_paths - live),
     }
 

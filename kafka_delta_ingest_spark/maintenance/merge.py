@@ -197,7 +197,11 @@ def merge_into(
     stats-sized factor (table must have been ANALYZEd over the key)."""
     job_id = job_id or f"merge-{uuid.uuid4().hex[:8]}"
     t0 = time.time()
-    if salt_factor == "stats":
+    if isinstance(salt_factor, str):
+        if salt_factor != "stats":
+            raise ValueError(
+                f"salt_factor must be an int or 'stats', got {salt_factor!r}"
+            )
         from kafka_delta_ingest_spark.plans.join_planning import (
             resolve_salt_factor,
         )

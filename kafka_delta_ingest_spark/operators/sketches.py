@@ -73,6 +73,24 @@ def _hash60(item_cols: list[Column], salt: str, family: str) -> Column:
     raise ValueError(f"unknown hash family: {family}")
 
 
+def hll_bucket_rho(
+    items: list[Column], p: int, salt: str, family: str
+) -> tuple[Column, Column]:
+    """The (bucket, rho) column pair of one item's HLL register update —
+    the single definition every register producer shares (hll_registers
+    here, per-file ANALYZE sketches in maintenance/analyze.py), so the
+    MAX-merge-equality property between them can never drift."""
+    width = HASH_BITS - p
+    h = _hash60(items, salt, family)
+    w = F.shiftright(h, p)
+    rho = (
+        F.when(w == 0, F.lit(width + 1))
+        .otherwise(F.lit(width + 1) - F.length(F.bin(w)))
+        .cast("int")
+    )
+    return F.pmod(h, F.lit(1 << p)).cast("int"), rho
+
+
 def hll_registers(
     df: DataFrame,
     item_cols: list[Column | str],
@@ -89,21 +107,10 @@ def hll_registers(
     register value 0, which :func:`hll_estimate` accounts for exactly.
     """
     group_cols = list(group_cols or [])
-    width = HASH_BITS - p
     items = [F.col(c) if isinstance(c, str) else c for c in item_cols]
-    h = _hash60(items, salt, family)
-    w = F.shiftright(h, p)
-    rho = (
-        F.when(w == 0, F.lit(width + 1))
-        .otherwise(F.lit(width + 1) - F.length(F.bin(w)))
-        .cast("int")
-    )
+    bucket, rho = hll_bucket_rho(items, p, salt, family)
     return (
-        df.select(
-            *group_cols,
-            F.pmod(h, F.lit(1 << p)).cast("int").alias("bucket"),
-            rho.alias("rho"),
-        )
+        df.select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
         .groupBy(*group_cols, "bucket")
         .agg(F.max("rho").alias("rho"))
     )
@@ -467,6 +474,7 @@ def sample_sketch(
     group_cols: list[str] | None = None,
     salt: str = "smp",
     family: str = "xxhash64",
+    shards: int = 64,
 ) -> DataFrame:
     """Per-group bottom-k uniform ROW sample: rows ``group_cols + (h, v)``.
 
@@ -495,14 +503,20 @@ def sample_sketch(
         _hash60(items, salt, family).alias("h"),
         v.cast("double").alias("v"),
     )
-    return _k_smallest_rows(d, k, group_cols)
+    return _k_smallest_rows(d, k, group_cols, shards=shards)
 
 
-def _k_smallest_rows(rows: DataFrame, k: int, group_cols: list[str]) -> DataFrame:
+def _k_smallest_rows(
+    rows: DataFrame, k: int, group_cols: list[str], shards: int = 64
+) -> DataFrame:
     """``_k_smallest`` carrying a payload column ``v``: exact k smallest
-    ``(h, v)`` rows per group, shuffle-bounded (shard phase keeps at most
-    k struct rows per shard, the final window ranks <= s*k rows)."""
-    s = 64
+    ``(h, v)`` rows per group. The shard phase OUTPUTS at most k struct
+    rows per (group, shard) so the final window ranks <= shards*k rows —
+    but its collect_list aggregation STATE holds that shard's full slice
+    (~rows/shards per group) before the sort+slice trims it; for a
+    single group far beyond executor memory, raise ``shards`` so each
+    slice fits (state is per-slice, not per-group)."""
+    s = shards
     shard = F.pmod(F.col("h"), F.lit(s)).alias("_shard")
     ph1 = (
         rows.select(*group_cols, "h", "v", shard)
@@ -526,24 +540,30 @@ def _k_smallest_rows(rows: DataFrame, k: int, group_cols: list[str]) -> DataFram
 
 
 def sample_merge(
-    a: DataFrame, b: DataFrame, k: int, group_cols: list[str] | None = None
+    a: DataFrame,
+    b: DataFrame,
+    k: int,
+    group_cols: list[str] | None = None,
+    shards: int = 64,
 ) -> DataFrame:
     """Merge two bottom-k row samples built with the same (k, salt,
     family) over DISJOINT row sets (the partition-rollup case): bottom-k
     of the union. Overlapping inputs would double-count shared rows —
     build partition-local sketches, merge up the tree."""
-    return _k_smallest_rows(a.unionByName(b), k, list(group_cols or []))
+    return _k_smallest_rows(
+        a.unionByName(b), k, list(group_cols or []), shards=shards
+    )
 
 
 def sample_quantiles(
     sketch: DataFrame,
     quantiles: list[tuple[float, str]],
-    k: int,
     group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Collapse a row-sample sketch to one row per group with discrete
     (type-1 / "lower") quantile estimates: the sampled value at rank
-    ``1 + floor(q * (n_seen - 1))`` of the at-most-k sorted sample.
+    ``1 + floor(q * (n_seen - 1))`` of the sorted sample (``n_seen`` is
+    derived from the sketch itself, at most its build-time k).
 
     Every estimate is an ACTUAL data value (no interpolation arithmetic
     to drift between engines); the rank index is one IEEE multiply of a
@@ -551,7 +571,7 @@ def sample_quantiles(
     group has fewer than k rows the sample is the whole group and the
     estimates are EXACT discrete quantiles. ``hash_xor`` is a content
     witness: an oracle mismatch pinpoints wrong sketch vs wrong
-    estimator. The sort is over <= k values per group — driver-safe."""
+    estimator. The sort is over the at-most-k sample per group."""
     group_cols = list(group_cols or [])
     agg = sketch.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_seen"),

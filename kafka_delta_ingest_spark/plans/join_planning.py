@@ -30,7 +30,6 @@ import math
 
 from pyspark.sql import SparkSession
 
-from kafka_delta_ingest_spark.plans.salting import DEFAULT_SALT_FACTOR
 from kafka_delta_ingest_spark.table.format import Table
 
 DEFAULT_ROWS_PER_TASK = 4_000_000
@@ -62,7 +61,10 @@ def merge_join_plan(
             f"maintenance.analyze.analyze(spark, table, {keys}) first"
         )
     ndv = max(est[k] for k in keys)
-    live_rows = table.snapshot().num_records()
+    # live rows: position-deleted rows don't participate in the join
+    # (snap.read anti-joins them out), so they must not inflate the
+    # multiplicity signal on a heavily-MOR-deleted table
+    live_rows = table.snapshot().num_live_records()
     avg = live_rows / max(ndv, 1.0)
     if avg <= rows_per_task:
         return {

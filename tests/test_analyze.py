@@ -124,3 +124,35 @@ def test_analyze_param_change_rebuilds(spark, tmp_table_root):
     assert load_index(t)["p"] == 10
     est = {r["column"]: r for r in ndv_df(spark, t).collect()}
     assert est["doc_id"]["zero_registers"] > 0  # p=10 -> 1024 registers
+
+
+def test_analyze_column_union_preserves_paid_for_sketches(spark, tmp_table_root):
+    """A subset re-analyze must not destroy other columns' sketches; a
+    brand-new column triggers exactly one extra pass over surviving
+    files for that column only."""
+    t = _fresh(spark, tmp_table_root, n=200)
+    m = analyze(spark, t, ["doc_id", "n_tok"], family="md5")
+    total = m["files_total"]
+
+    # subset: zero scans, both columns survive in artifact + index
+    m2 = analyze(spark, t, ["doc_id"], family="md5")
+    assert m2["files_scanned"] == 0
+    assert set(m2["columns"]) == {"doc_id", "n_tok"}
+    est = {r["column"] for r in ndv_df(spark, t).collect()}
+    assert est == {"doc_id", "n_tok"}
+
+    # superset with the preserved column: still zero scans
+    m3 = analyze(spark, t, ["doc_id", "n_tok"], family="md5")
+    assert m3["files_scanned"] == 0
+
+    # genuinely new column: one pass over the surviving files
+    m4 = analyze(spark, t, ["source"], family="md5")
+    assert m4["files_scanned"] == total
+    assert set(m4["columns"]) == {"doc_id", "n_tok", "source"}
+    from kafka_delta_ingest_spark.operators.sketches import hll_distinct
+
+    direct = hll_distinct(
+        t.snapshot().scan(spark), ["source"], family="md5"
+    ).collect()[0]
+    got = {r["column"]: r for r in ndv_df(spark, t).collect()}
+    assert got["source"]["register_checksum"] == direct["register_checksum"]

@@ -338,7 +338,7 @@ def test_sample_quantiles_exact_when_unsaturated_and_close_when_not(spark):
         r["g"]: r
         for r in sample_quantiles(
             sample_sketch(small, ["key"], "v", k=64, group_cols=["g"]),
-            qs, 64, ["g"],
+            qs, ["g"],
         ).collect()
     }
     vals = {g: sorted(
@@ -355,7 +355,7 @@ def test_sample_quantiles_exact_when_unsaturated_and_close_when_not(spark):
         r["g"]: r
         for r in sample_quantiles(
             sample_sketch(big, ["key"], "v", k=256, group_cols=["g"]),
-            qs, 256, ["g"],
+            qs, ["g"],
         ).collect()
     }
     for g in (0, 1):
