@@ -64,6 +64,14 @@ PLANNED = [
     "hll_distinct",
     "pq_topk",
     "cms_word_counts",
+    # KMV/theta + bottom-k sample: two-phase top-k must stay hash
+    # aggregated (ObjectHashAggregate for the collect_list shard phase);
+    # the estimate joins are equi-joins on the group column
+    "kmv_distinct",
+    "sampled_quantiles",
+    # IVF-PQ: the ONLY join is the broadcast equi-join on the cell id —
+    # a lost equi-condition would explode into queries x corpus
+    "ivf_pq_topk",
 ]
 
 # ann/exact pair scoring is an intentional broadcast nested-loop (queries
