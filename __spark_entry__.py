@@ -2474,6 +2474,46 @@ def q_analyze_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_symlink_export_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symlink-manifest export (maintenance/export.py): Delta's GENERATE
+    symlink_format_manifest for this table format — one text file per
+    partition dir listing the snapshot's absolute data paths, so external
+    engines (Presto/Trino/Athena) read a CONSISTENT snapshot instead of a
+    directory listing mid-OPTIMIZE. The query proves the interop loop:
+    OPTIMIZE churns every file, the manifest is regenerated, and the
+    result is computed ONLY from manifest-listed paths (partition value
+    reconstructed from the manifest dir name, exactly as an external
+    table's partition discovery does). The oracle rebuilds the same
+    per-source rollup from the tokens derivation — equality means the
+    manifest lists precisely the live snapshot."""
+    from kafka_delta_ingest_spark.maintenance.export import (
+        generate_symlink_manifest,
+        read_manifest,
+    )
+    from kafka_delta_ingest_spark.maintenance.optimize import optimize
+
+    t = _build_tokens_table(spark, sf_dir, _tmp_root("symlink"))
+    optimize(spark, t, dims=["source", "n_tok", "doc_id"], curve="zorder",
+             target_file_bytes=8 * 1024 * 1024, job_id="symlink-opt")
+    m = generate_symlink_manifest(t)
+    assert m["files_listed"] == len(t.snapshot().files)
+
+    parts = None
+    for part, paths in sorted(read_manifest(t).items()):
+        src = part.split("=", 1)[1]
+        one = (
+            spark.read.parquet(*paths)
+            .withColumn("source", F.lit(src))
+            .select("doc_id", "n_tok", "source", _tok_checksum().alias("ts"))
+        )
+        parts = one if parts is None else parts.unionByName(one)
+    return parts.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_tok").alias("sum_tok"),
+        F.sum("ts").alias("tok_checksum"),
+    )
+
+
 # ------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2498,7 +2538,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # query has at least one green driver CORRECTNESS row. Round 5's
     # window leads with (a) the nine round-5 additions (hll_distinct,
     # kmv_distinct, kmv_set_overlap, python_datasource_scan, pq_topk,
-    # cms_word_counts, ivf_pq_topk, sampled_quantiles, analyze_ndv),
+    # cms_word_counts, ivf_pq_topk, sampled_quantiles, analyze_ndv,
+    # symlink_export_scan),
     # then (b) the 41
     # queries whose last driver row is from r3 (two rounds stale —
     # refreshed here), then (c) north-rule keystones to fill the 50;
@@ -2516,6 +2557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_pq_topk": q_ivf_pq_topk,
         "sampled_quantiles": q_sampled_quantiles,
         "analyze_ndv": q_analyze_ndv,
+        "symlink_export_scan": q_symlink_export_scan,
         "ledger_resume_scan": q_ledger_resume_scan,
         "ingest_e2e": q_ingest_e2e,
         "offset_dedupe": q_offset_dedupe,
@@ -4774,6 +4816,16 @@ def oracle_sql() -> dict[str, str]:
                    ex.min_chars, ex.max_chars,
                    CAST(hash_xor AS BIGINT) AS hash_xor
             FROM agg a JOIN ex USING (lang)
+        """,
+        # symlink export: the manifest must list exactly the live
+        # snapshot, so reading ONLY manifest paths rebuilds the rollup
+        "symlink_export_scan": f"""
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+                   CAST(SUM({_TOK_CHECKSUM_SQL}) AS BIGINT) AS tok_checksum
+            FROM ({_TOKENS_SQL})
+            GROUP BY source
         """,
         # ANALYZE NDV: per-file sketches MAX-merge to the whole-table
         # sketch (the HLL merge property), so the oracle replays the

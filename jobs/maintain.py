@@ -32,7 +32,7 @@ def main():
             "branch", "drop-branch", "tag", "delete-tag", "publish", "refs",
             "evolve-partitioning", "set-properties", "partitions", "changes",
             "describe", "optimize-partitions", "plan-files",
-            "analyze", "ndv",
+            "analyze", "ndv", "generate-manifest",
         ],
     )
     p.add_argument(
@@ -273,6 +273,12 @@ def main():
             out = {"published": args.name, "head": v}
     elif args.op == "refs":
         out = {"branches": table.list_branches(), "tags": table.list_tags()}
+    elif args.op == "generate-manifest":
+        from kafka_delta_ingest_spark.maintenance.export import (
+            generate_symlink_manifest,
+        )
+
+        out = generate_symlink_manifest(table)
     elif args.op == "analyze":
         from kafka_delta_ingest_spark.maintenance.analyze import analyze
 

@@ -1,0 +1,119 @@
+"""Symlink-format manifest export — external-engine interop.
+
+Engines that cannot read this table's snapshot log (Presto, Trino,
+Athena, Hive external tables — anything that lists files itself) need a
+pinned file list to see a CONSISTENT snapshot instead of whatever
+half-committed mix a directory listing returns mid-OPTIMIZE. Delta Lake
+solves this with ``GENERATE symlink_format_manifest``: one text file per
+partition directory listing the absolute data-file paths of the current
+snapshot. This module is that operation for this table format:
+
+    _symlink_format_manifest/
+      source=src1/manifest     # one absolute path per line
+      source=src2/manifest
+      ...
+
+- Partition directories mirror the data layout exactly (derived from
+  each live file's relative path, so hidden-partitioning transforms and
+  historical specs after partition evolution come out right for free).
+- Regeneration is swap-based: the new tree is fully written next to the
+  old one and renamed into place, so a reader never sees a partially
+  written manifest (the per-partition manifest file an engine actually
+  reads appears atomically; the same guarantee Delta gives).
+- **Refuses while merge-on-read deletes are live**: an external engine
+  reads raw parquet and would resurrect deleted rows. Fold them first
+  (``rewrite_deletes`` / compaction / OPTIMIZE) — same ordering Delta
+  requires (deletion vectors must be purged before manifest generation).
+
+The export is metadata-only: O(live files) driver work, no data read —
+at 10^12 rows it costs a manifest walk, not a scan. Staleness semantics
+are Delta's: the manifest pins the snapshot at generation time; rerun
+after maintenance commits (cheap) to advance it.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from kafka_delta_ingest_spark.table.format import Table
+
+MANIFEST_DIR = "_symlink_format_manifest"
+
+
+class LiveDeletesError(RuntimeError):
+    """Export refused: merge-on-read deletes are live and an external
+    engine reading raw parquet would resurrect deleted rows."""
+
+
+def generate_symlink_manifest(table: Table, version: int | None = None) -> dict:
+    """Write the symlink manifest tree for the given (default: current)
+    snapshot. Returns ``{"version", "partitions", "files_listed",
+    "manifest_root"}``."""
+    snap = table.snapshot(version)
+    if snap.delete_entries:
+        raise LiveDeletesError(
+            f"{len(snap.delete_entries)} live merge-on-read delete "
+            "entries; run rewrite_deletes / optimize first"
+        )
+
+    # group live files by partition directory, mirrored from the data
+    # layout itself (correct across partition-spec history): keep only
+    # the hive `col=value` path segments — data files sit under
+    # per-commit staging dirs (data/<job>/<col=value>/...) that an
+    # external table's partition discovery must not see, and files of
+    # the same partition from different commits merge into one manifest
+    by_dir: dict[str, list[str]] = {}
+    for f in sorted(snap.files, key=lambda e: e.path):
+        segs = os.path.dirname(f.path).split(os.sep)
+        # only segments keyed by the file's RECORDED partition values —
+        # internal layout dirs (compaction's _gbin=N bins, staging ids)
+        # also ride in the path but are not partitions
+        part = os.sep.join(
+            s
+            for s in segs
+            if "=" in s and s.split("=", 1)[0] in f.partition_values
+        )
+        by_dir.setdefault(part, []).append(
+            os.path.join(table.root, f.path)
+        )
+
+    final_root = os.path.join(table.root, MANIFEST_DIR)
+    tmp_root = final_root + f".tmp-v{snap.version}"
+    shutil.rmtree(tmp_root, ignore_errors=True)
+    for part, paths in by_dir.items():
+        d = os.path.join(tmp_root, part) if part else tmp_root
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "manifest"), "w") as fh:
+            fh.write("\n".join(paths) + "\n")
+    os.makedirs(tmp_root, exist_ok=True)  # empty table still exports
+
+    old = final_root + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(final_root):
+        os.rename(final_root, old)
+    os.rename(tmp_root, final_root)
+    shutil.rmtree(old, ignore_errors=True)
+
+    return {
+        "version": snap.version,
+        "partitions": len(by_dir),
+        "files_listed": sum(len(p) for p in by_dir.values()),
+        "manifest_root": final_root,
+    }
+
+
+def read_manifest(table: Table) -> dict[str, list[str]]:
+    """Parse the exported tree back: ``{partition_dir: [abs paths]}`` —
+    what an external engine's partition discovery sees."""
+    root = os.path.join(table.root, MANIFEST_DIR)
+    out: dict[str, list[str]] = {}
+    for dirpath, _dirs, files in os.walk(root):
+        if "manifest" not in files:
+            continue
+        part = os.path.relpath(dirpath, root)
+        with open(os.path.join(dirpath, "manifest")) as fh:
+            out["" if part == "." else part] = [
+                ln for ln in fh.read().splitlines() if ln
+            ]
+    return out
