@@ -2514,6 +2514,50 @@ def q_symlink_export_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_clone_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy clone (maintenance/clone.py): Delta CLONE rebuilt as
+    hard links — O(files) metadata work, zero bytes copied (asserted
+    in-query via shared inodes), and unlike Delta's absolute-path
+    shallow clone the result is SELF-CONTAINED: after cloning, the
+    source is destructively updated, OPTIMIZEd, expired, and GC'd —
+    its original files are physically unlinked — and the clone still
+    derives the pristine snapshot. The oracle is the from-scratch
+    tokens derivation: equality proves full isolation."""
+    import os
+
+    from kafka_delta_ingest_spark.maintenance.clone import clone_table
+    from kafka_delta_ingest_spark.maintenance.dml import delete_where
+    from kafka_delta_ingest_spark.maintenance.expire import (
+        expire_snapshots,
+        gc_orphans,
+    )
+    from kafka_delta_ingest_spark.maintenance.optimize import optimize
+
+    t = _build_tokens_table(spark, sf_dir, _tmp_root("clone_src"))
+    dst_root = _tmp_root("clone_dst")
+    shutil.rmtree(dst_root, ignore_errors=True)
+    dst = clone_table(t, dst_root)
+
+    f0 = dst.snapshot().files[0]
+    assert (
+        os.stat(os.path.join(t.root, f0.path)).st_ino
+        == os.stat(os.path.join(dst.root, f0.path)).st_ino
+    ), "clone copied bytes"
+
+    # destroy the source: row deletes, full rewrite, expire, GC
+    orig = [f.path for f in t.snapshot().files]
+    delete_where(spark, t, [("n_tok", ">", 100)])
+    optimize(spark, t, dims=["source", "n_tok", "doc_id"], curve="zorder",
+             target_file_bytes=8 * 1024 * 1024, job_id="clone-destroy")
+    expire_snapshots(t, retain_last=1)
+    gc_orphans(spark, t, grace_s=0.0)
+    assert not any(
+        os.path.exists(os.path.join(t.root, p)) for p in orig
+    ), "source GC did not unlink the shared files"
+
+    return _scan_summary(dst.snapshot().scan(spark))
+
+
 # ------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2539,7 +2583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # window leads with (a) the nine round-5 additions (hll_distinct,
     # kmv_distinct, kmv_set_overlap, python_datasource_scan, pq_topk,
     # cms_word_counts, ivf_pq_topk, sampled_quantiles, analyze_ndv,
-    # symlink_export_scan),
+    # symlink_export_scan, clone_scan),
     # then (b) the 41
     # queries whose last driver row is from r3 (two rounds stale —
     # refreshed here), then (c) north-rule keystones to fill the 50;
@@ -2558,6 +2602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampled_quantiles": q_sampled_quantiles,
         "analyze_ndv": q_analyze_ndv,
         "symlink_export_scan": q_symlink_export_scan,
+        "clone_scan": q_clone_scan,
         "ledger_resume_scan": q_ledger_resume_scan,
         "ingest_e2e": q_ingest_e2e,
         "offset_dedupe": q_offset_dedupe,
@@ -4817,6 +4862,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(hash_xor AS BIGINT) AS hash_xor
             FROM agg a JOIN ex USING (lang)
         """,
+        # clone: after the source is destroyed the clone must still
+        # derive the pristine snapshot — oracle is the from-scratch
+        # tokens derivation
+        "clone_scan": _SCAN_SUMMARY_SQL,
         # symlink export: the manifest must list exactly the live
         # snapshot, so reading ONLY manifest paths rebuilds the rollup
         "symlink_export_scan": f"""

@@ -32,7 +32,7 @@ def main():
             "branch", "drop-branch", "tag", "delete-tag", "publish", "refs",
             "evolve-partitioning", "set-properties", "partitions", "changes",
             "describe", "optimize-partitions", "plan-files",
-            "analyze", "ndv", "generate-manifest",
+            "analyze", "ndv", "generate-manifest", "clone",
         ],
     )
     p.add_argument(
@@ -104,6 +104,9 @@ def main():
         "--columns",
         default="source,n_tok,doc_id",
         help="comma-separated columns for --op analyze",
+    )
+    p.add_argument(
+        "--dest", default=None, help="destination root for --op clone"
     )
     p.add_argument("--retain-last", type=int, default=10)
     p.add_argument(
@@ -273,6 +276,17 @@ def main():
             out = {"published": args.name, "head": v}
     elif args.op == "refs":
         out = {"branches": table.list_branches(), "tags": table.list_tags()}
+    elif args.op == "clone":
+        from kafka_delta_ingest_spark.maintenance.clone import clone_table
+
+        if not args.dest:
+            p.error("--dest is required for --op clone")
+        c = clone_table(table, args.dest, version=args.at_version)
+        out = {
+            "cloned_to": c.root,
+            "source_version": args.at_version or table.latest_version(),
+            "files_linked": len(c.snapshot().files),
+        }
     elif args.op == "generate-manifest":
         from kafka_delta_ingest_spark.maintenance.export import (
             generate_symlink_manifest,
