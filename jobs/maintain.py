@@ -252,6 +252,12 @@ def main():
                     )
 
                     m = rewrite_position_deletes(spark, table)
+                elif r.op == "analyze":
+                    from kafka_delta_ingest_spark.maintenance.analyze import (
+                        analyze,
+                    )
+
+                    m = analyze(spark, table, **r.kwargs)
                 else:
                     continue
                 executed.append({"op": r.op, "metrics": m})

@@ -194,6 +194,31 @@ def advise(
             )
         )
 
+    # NDV stats staleness: the join planner (plans/join_planning.py)
+    # and any CBO consumer read the ANALYZE artifact; once enough of the
+    # live file set postdates it, multiplicity estimates drift. Pure
+    # metadata: compare the artifact's recorded file list to the live one.
+    from kafka_delta_ingest_spark.maintenance.analyze import load_index
+
+    idx = load_index(table)
+    if idx is not None:
+        live_paths = {f.path for f in snap.files}
+        known = set(idx["file_paths"])
+        unseen = len(live_paths - known)
+        if live_paths and unseen / len(live_paths) >= 0.25:
+            recs.append(
+                Recommendation(
+                    op="analyze",
+                    reason=(
+                        f"NDV stats artifact (v{idx['analyzed_version']}) "
+                        f"missing {unseen}/{len(live_paths)} live files; "
+                        "incremental re-ANALYZE scans only those"
+                    ),
+                    severity="advisory",
+                    kwargs={"columns": list(idx["columns"])},
+                )
+            )
+
     order = {"urgent": 0, "recommended": 1, "advisory": 2}
     recs.sort(key=lambda r: order[r.severity])
     return recs

@@ -65,3 +65,40 @@ def test_mor_delete_pressure_recommends_rewrite_deletes(spark, tmp_table_root):
 
     rewrite_position_deletes(spark, t)
     assert "rewrite-deletes" not in _ops(advise(t, target_file_bytes=2 * 1024))
+
+
+def test_advisor_flags_stale_ndv_stats(spark, tmp_table_root):
+    """Once >=25% of live files postdate the ANALYZE artifact the advisor
+    recommends an incremental re-ANALYZE over the analyzed columns; a
+    fresh artifact (or none at all) stays silent."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from kafka_delta_ingest_spark.maintenance.advisor import advise
+    from kafka_delta_ingest_spark.maintenance.analyze import analyze
+    from kafka_delta_ingest_spark.table.format import Table
+    from kafka_delta_ingest_spark.table.writer import write_dataframe
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("n_tok", T.IntegerType()),
+        ]
+    )
+
+    def rows(a, n):
+        return spark.range(a, a + n).select(
+            F.col("id").cast("string").alias("doc_id"),
+            (F.col("id") % 11).cast("int").alias("n_tok"),
+        )
+
+    t = Table.create(tmp_table_root, schema)
+    write_dataframe(spark, t, rows(0, 100).repartition(2))
+    assert not [r for r in advise(t) if r.op == "analyze"]  # no artifact
+
+    analyze(spark, t, ["doc_id"])
+    assert not [r for r in advise(t) if r.op == "analyze"]  # fresh
+
+    write_dataframe(spark, t, rows(100, 100).repartition(4))
+    recs = [r for r in advise(t) if r.op == "analyze"]
+    assert recs and recs[0].kwargs["columns"] == ["doc_id"]
