@@ -2580,14 +2580,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first 50; round 4 led with the 42 LLM-pipeline queries that had
     # never had a driver row (plus keystones) — so across r3+r4 every
     # query has at least one green driver CORRECTNESS row. Round 5's
-    # window leads with (a) the nine round-5 additions (hll_distinct,
+    # window leads with (a) the ELEVEN round-5 additions (hll_distinct,
     # kmv_distinct, kmv_set_overlap, python_datasource_scan, pq_topk,
     # cms_word_counts, ivf_pq_topk, sampled_quantiles, analyze_ndv,
     # symlink_export_scan, clone_scan),
     # then (b) the 41
     # queries whose last driver row is from r3 (two rounds stale —
-    # refreshed here), then (c) north-rule keystones to fill the 50;
-    # keystones past 50 are double-green from r3+r4. Everything past 50 is
+    # refreshed here; the 11 additions push the last two stale entries
+    # and the keystone refreshes just past 50). Everything past 50 is
     # double-green from r3+r4 and continuously re-checked by
     # tools/check_oracles.py, which replays the identical comparison
     # over ALL entries every round. Rotation history: COVERAGE.md.
