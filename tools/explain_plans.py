@@ -68,6 +68,29 @@ def main():
     file_stats_df(snap.scan(spark), snap.schema, snap.partition_cols).explain(
         "formatted"
     )
+
+    print("=" * 70)
+    print("6. ANALYZE register build (expect ONE scan reading only the")
+    print("   requested columns — ReadSchema must exclude `tokens` — and")
+    print("   one hash aggregation)")
+    from kafka_delta_ingest_spark.maintenance.analyze import _register_rows
+    from kafka_delta_ingest_spark.table.scan import read_entries
+
+    df6 = read_entries(
+        spark, t.root, snap.files, snap.schema, snap.partition_cols,
+        file_path_col="_file",
+    )
+    regs = (
+        _register_rows(df6, ["doc_id", "n_tok"], 8, "hll", "xxhash64")
+        .groupBy("_file", "column", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    regs.explain("formatted")
+    plan6 = regs._jdf.queryExecution().executedPlan().toString()
+    assert "tokens" not in plan6.split("ReadSchema")[-1].split("\n")[0], (
+        "ANALYZE scan reads the token arrays it doesn't need"
+    )
+    print("ReadSchema pruned: tokens column excluded ✔")
     shutil.rmtree(root, ignore_errors=True)
 
 
