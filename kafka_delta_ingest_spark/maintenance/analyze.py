@@ -39,6 +39,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -204,18 +205,18 @@ def analyze(
             [], "path string, column string, bucket int, rho int"
         )
 
-    # run counter keeps the artifact dir distinct from the previous one:
-    # Spark reads `prev` lazily DURING the write, so a same-version
-    # re-analyze must never overwrite the directory it is merging from
-    run = (idx.get("run", 0) + 1) if idx else 0
-    artifact = f"v{snap.version:020d}_r{run:06d}"
+    # unique artifact dir per run: Spark reads `prev` lazily DURING the
+    # write, so a same-version re-analyze must never overwrite the
+    # directory it is merging from — and two CONCURRENT analyzes must
+    # never write the same directory (each lands its own artifact, the
+    # index swap below is last-writer-wins between two valid artifacts)
+    artifact = f"v{snap.version:020d}_{uuid.uuid4().hex[:8]}"
     out_dir = os.path.join(_stats_dir(table), artifact)
     merged.write.mode("overwrite").parquet(out_dir)
 
     index = {
         "analyzed_version": snap.version,
         "artifact": artifact,
-        "run": run,
         "p": p,
         "salt": salt,
         "family": family,
@@ -227,10 +228,16 @@ def analyze(
         json.dump(index, f)
     os.replace(tmp, _index_path(table))
 
-    # best-effort cleanup of superseded artifacts (never the live one)
+    # best-effort cleanup of superseded artifacts. Re-read the index
+    # first: a concurrent analyze may have swapped it after ours, and
+    # deleting the artifact ITS index points to would break every
+    # subsequent ndv_df — keep whichever artifact is currently live in
+    # addition to our own.
+    live_idx = load_index(table)
+    keep_dirs = {artifact, live_idx["artifact"] if live_idx else artifact}
     for name in os.listdir(_stats_dir(table)):
         full = os.path.join(_stats_dir(table), name)
-        if os.path.isdir(full) and name != artifact:
+        if os.path.isdir(full) and name not in keep_dirs:
             shutil.rmtree(full, ignore_errors=True)
 
     scanned = len(todo) + (len(keep) if new_cols else 0)
