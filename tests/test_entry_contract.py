@@ -2,6 +2,10 @@
 schema; every queries() entry is callable; oracle_sql() keys subset
 queries(). (Full Spark-vs-DuckDB parity runs via tools/check_oracles.py.)"""
 
+import os
+
+import pytest
+
 import __spark_entry__ as entrymod
 
 
@@ -81,3 +85,46 @@ def test_pyfiles_zip_is_importable_and_deterministic(tmp_path):
     )
     assert out.returncode == 0, out.stderr
     assert "operators.dedup" in out.stdout
+
+
+def test_spark_submit_pyfiles_runs_maintenance_end_to_end(spark, tmp_path):
+    """The north-rule launch shape, actually executed: `spark-submit
+    --py-files <zip> jobs/maintain.py` in a FRESH JVM/interpreter (no
+    repo on sys.path beyond the zip + the job file) builds, describes,
+    and OPTIMIZEs a table with verify=ON. Skips if spark-submit is not
+    on PATH."""
+    import json as _json
+    import shutil as _sh
+    import subprocess
+
+    submit = _sh.which("spark-submit")
+    if submit is None:
+        pytest.skip("spark-submit not on PATH")
+
+    import tools.package_pyfiles as pkg
+    from kafka_delta_ingest_spark.datagen import make_small_file_table
+
+    z = pkg.build(str(tmp_path / "engine.zip"))
+    root = str(tmp_path / "tbl")
+    make_small_file_table(spark, root, n_docs=300, n_files=4)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def run(*args):
+        r = subprocess.run(
+            [submit, "--master", "local[4]", "--py-files", z,
+             os.path.join(repo, "jobs", "maintain.py"),
+             "--table", root, *args],
+            capture_output=True, text=True, cwd=str(tmp_path), timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return _json.loads(r.stdout.strip().splitlines()[-1])
+
+    d = run("--op", "describe")
+    assert d["rows"] == 300 and d["files"] > 1
+
+    m = run("--op", "optimize", "--dims", "source,n_tok,doc_id",
+            "--target-file-bytes", "8388608", "--verify")
+    assert m["files_rewritten"] == d["files"] and m["rows"] == 300
+
+    d2 = run("--op", "describe")
+    assert d2["rows"] == 300 and d2["files"] < d["files"]
