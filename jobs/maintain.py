@@ -290,7 +290,11 @@ def main():
         c = clone_table(table, args.dest, version=args.at_version)
         out = {
             "cloned_to": c.root,
-            "source_version": args.at_version or table.latest_version(),
+            "source_version": (
+                args.at_version
+                if args.at_version is not None
+                else table.latest_version()
+            ),
             "files_linked": len(c.snapshot().files),
         }
     elif args.op == "generate-manifest":

@@ -205,17 +205,30 @@ def advise(
         live_paths = {f.path for f in snap.files}
         known = set(idx["file_paths"])
         unseen = len(live_paths - known)
-        if live_paths and unseen / len(live_paths) >= 0.25:
+        # removed files count too: their registers keep MAX-merging into
+        # ndv_df until re-analyzed, so delete-heavy churn overestimates
+        gone = len(known - live_paths)
+        churn = (unseen + gone) / len(live_paths) if live_paths else 0.0
+        if churn >= 0.25:
             recs.append(
                 Recommendation(
                     op="analyze",
                     reason=(
                         f"NDV stats artifact (v{idx['analyzed_version']}) "
-                        f"missing {unseen}/{len(live_paths)} live files; "
-                        "incremental re-ANALYZE scans only those"
+                        f"missing {unseen} live files and still carrying "
+                        f"{gone} removed ones ({len(live_paths)} live); "
+                        "incremental re-ANALYZE scans only the new files"
                     ),
                     severity="advisory",
-                    kwargs={"columns": list(idx["columns"])},
+                    # carry the artifact's sketch parameters: defaults
+                    # would rebuild from scratch under a different hash
+                    # family/precision instead of merging incrementally
+                    kwargs={
+                        "columns": list(idx["columns"]),
+                        "p": idx["p"],
+                        "salt": idx["salt"],
+                        "family": idx["family"],
+                    },
                 )
             )
 

@@ -39,6 +39,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -111,6 +112,7 @@ def analyze(
     p: int = 8,
     salt: str = "hll",
     family: str = "xxhash64",
+    cleanup_grace_s: float = 3600.0,
 ) -> dict:
     """Build or incrementally refresh the NDV stats artifact for the
     current snapshot. Returns metrics: files_total / files_scanned /
@@ -228,16 +230,25 @@ def analyze(
         json.dump(index, f)
     os.replace(tmp, _index_path(table))
 
-    # best-effort cleanup of superseded artifacts. Re-read the index
-    # first: a concurrent analyze may have swapped it after ours, and
-    # deleting the artifact ITS index points to would break every
-    # subsequent ndv_df — keep whichever artifact is currently live in
-    # addition to our own.
+    # Best-effort cleanup. A concurrent analyze may have WRITTEN its
+    # artifact but not yet swapped the index (deleting an unknown dir
+    # would strand its index at a missing path — TOCTOU), so only two
+    # classes of dir are safe to remove: (a) the artifact WE superseded
+    # (it was live when we started; any racer merging from it has its
+    # own copy of the rows by now or loses the index swap to us), and
+    # (b) unreferenced dirs older than ``cleanup_grace_s`` — crashed
+    # runs' leftovers, long past any plausible in-flight write. The
+    # same grace-window discipline as gc_orphans.
     live_idx = load_index(table)
     keep_dirs = {artifact, live_idx["artifact"] if live_idx else artifact}
+    superseded = idx["artifact"] if idx else None
+    now = time.time()
     for name in os.listdir(_stats_dir(table)):
         full = os.path.join(_stats_dir(table), name)
-        if os.path.isdir(full) and name not in keep_dirs:
+        if not os.path.isdir(full) or name in keep_dirs:
+            continue
+        aged = now - os.path.getmtime(full) > cleanup_grace_s
+        if name == superseded or aged:
             shutil.rmtree(full, ignore_errors=True)
 
     scanned = len(todo) + (len(keep) if new_cols else 0)

@@ -16,10 +16,11 @@ snapshot. This module is that operation for this table format:
 - Partition directories mirror the data layout exactly (derived from
   each live file's relative path, so hidden-partitioning transforms and
   historical specs after partition evolution come out right for free).
-- Regeneration is swap-based: the new tree is fully written next to the
-  old one and renamed into place, so a reader never sees a partially
-  written manifest (the per-partition manifest file an engine actually
-  reads appears atomically; the same guarantee Delta gives).
+- Regeneration is atomic per manifest file (write + ``os.replace``): the
+  path an engine opens never appears half-written and never vanishes
+  mid-regeneration. Cross-partition, a concurrent reader can observe a
+  mixed-but-individually-valid set during regeneration — the same
+  per-partition guarantee Delta's GENERATE gives.
 - **Refuses while merge-on-read deletes are live**: an external engine
   reads raw parquet and would resurrect deleted rows. Fold them first
   (``rewrite_deletes`` / compaction / OPTIMIZE) — same ordering Delta
@@ -34,7 +35,6 @@ after maintenance commits (cheap) to advance it.
 from __future__ import annotations
 
 import os
-import shutil
 
 from kafka_delta_ingest_spark.table.format import Table
 
@@ -78,22 +78,36 @@ def generate_symlink_manifest(table: Table, version: int | None = None) -> dict:
             os.path.join(table.root, f.path)
         )
 
+    # Regeneration is atomic PER MANIFEST FILE (write-then-os.replace):
+    # the path an engine actually opens never appears half-written and
+    # never vanishes mid-regeneration — a whole-tree double-rename would
+    # open an ENOENT window at the documented path (and a crash between
+    # the renames would strand the only copy under a name no reader
+    # looks at). A reader listing partitions mid-regeneration can see a
+    # mix of old- and new-snapshot manifests, each individually valid;
+    # Delta's GENERATE gives the same per-partition guarantee. A crash
+    # mid-loop leaves the same valid mix; rerunning converges.
     final_root = os.path.join(table.root, MANIFEST_DIR)
-    tmp_root = final_root + f".tmp-v{snap.version}"
-    shutil.rmtree(tmp_root, ignore_errors=True)
+    os.makedirs(final_root, exist_ok=True)
     for part, paths in by_dir.items():
-        d = os.path.join(tmp_root, part) if part else tmp_root
+        d = os.path.join(final_root, part) if part else final_root
         os.makedirs(d, exist_ok=True)
-        with open(os.path.join(d, "manifest"), "w") as fh:
+        target = os.path.join(d, "manifest")
+        tmp = target + f".tmp-v{snap.version}"
+        with open(tmp, "w") as fh:
             fh.write("\n".join(paths) + "\n")
-    os.makedirs(tmp_root, exist_ok=True)  # empty table still exports
-
-    old = final_root + ".old"
-    shutil.rmtree(old, ignore_errors=True)
-    if os.path.exists(final_root):
-        os.rename(final_root, old)
-    os.rename(tmp_root, final_root)
-    shutil.rmtree(old, ignore_errors=True)
+        os.replace(tmp, target)
+    # drop manifests of partitions that no longer exist, then empty dirs
+    for dirpath, _dirs, files in os.walk(final_root, topdown=False):
+        part = os.path.relpath(dirpath, final_root)
+        part = "" if part == "." else part
+        if "manifest" in files and part not in by_dir:
+            os.remove(os.path.join(dirpath, "manifest"))
+        for fn in files:
+            if fn.startswith("manifest.tmp-"):  # crashed-run leftovers
+                os.remove(os.path.join(dirpath, fn))
+        if dirpath != final_root and not os.listdir(dirpath):
+            os.rmdir(dirpath)
 
     return {
         "version": snap.version,

@@ -158,38 +158,42 @@ def test_analyze_column_union_preserves_paid_for_sketches(spark, tmp_table_root)
     assert got["source"]["register_checksum"] == direct["register_checksum"]
 
 
-def test_analyze_cleanup_spares_a_racing_winner(spark, tmp_table_root):
-    """Two concurrent analyzes land distinct artifact dirs; the loser's
-    cleanup must never delete the dir the LIVE index points to. Normal
-    path: exactly one artifact dir survives a re-analyze."""
+def test_analyze_cleanup_is_concurrency_safe(spark, tmp_table_root):
+    """Cleanup deletes exactly two classes of dir: the artifact this run
+    superseded, and unreferenced dirs past the grace window. A FRESH
+    unknown dir — a concurrent analyze that has written its artifact but
+    not yet swapped the index — must survive; aged crash leftovers must
+    not. The live index always points at an existing directory."""
+    import json
     import os
 
     t = _fresh(spark, tmp_table_root, n=100)
     analyze(spark, t, ["doc_id"], family="md5")
     stats_dir = os.path.join(t.root, "_stats", "ndv")
-    dirs = [d for d in os.listdir(stats_dir) if os.path.isdir(os.path.join(stats_dir, d))]
-    assert len(dirs) == 1
 
-    # re-analyze: superseded artifact is cleaned, one dir remains
+    def dirs():
+        return {
+            d
+            for d in os.listdir(stats_dir)
+            if os.path.isdir(os.path.join(stats_dir, d))
+        }
+
+    assert len(dirs()) == 1
+
+    # in-flight racer: fresh unreferenced dir — MUST survive cleanup
+    racer = os.path.join(stats_dir, "v0_inflight")
+    os.makedirs(racer)
+    # crashed leftover: unreferenced AND aged — must be removed
+    stale = os.path.join(stats_dir, "v0_crashed0")
+    os.makedirs(stale)
+    os.utime(stale, (1.0, 1.0))
+
     analyze(spark, t, ["doc_id"], family="md5")
-    dirs = [d for d in os.listdir(stats_dir) if os.path.isdir(os.path.join(stats_dir, d))]
-    assert len(dirs) == 1
-
-    # simulate losing the index race: a "winner" artifact + index appear
-    # between our write and our cleanup — replay cleanup manually and
-    # check the winner's dir is spared
-    import json
-    import shutil as _sh
-
-    winner = "v0_winner00"
-    _sh.copytree(os.path.join(stats_dir, dirs[0]), os.path.join(stats_dir, winner))
-    idx = json.load(open(os.path.join(stats_dir, "INDEX.json")))
-    idx["artifact"] = winner
-    json.dump(idx, open(os.path.join(stats_dir, "INDEX.json"), "w"))
-    analyze(spark, t, ["doc_id"], family="md5")  # reuses winner, swaps index
-    remaining = {d for d in os.listdir(stats_dir) if os.path.isdir(os.path.join(stats_dir, d))}
-    assert winner not in remaining or len(remaining) >= 1  # winner superseded by OUR run
-    # live index always points at an existing dir
+    remaining = dirs()
+    assert "v0_inflight" in remaining, "cleanup killed an in-flight racer"
+    assert "v0_crashed0" not in remaining, "aged leftover not collected"
+    # the superseded artifact went away: live artifact + racer remain
+    assert len(remaining) == 2
     live = json.load(open(os.path.join(stats_dir, "INDEX.json")))
     assert os.path.isdir(os.path.join(stats_dir, live["artifact"]))
     assert ndv_df(spark, t).count() == 1
