@@ -32,7 +32,7 @@ def main():
             "branch", "drop-branch", "tag", "delete-tag", "publish", "refs",
             "evolve-partitioning", "set-properties", "partitions", "changes",
             "describe", "optimize-partitions", "plan-files",
-            "analyze", "ndv", "generate-manifest", "clone",
+            "analyze", "ndv", "generate-manifest", "clone", "doctor",
         ],
     )
     p.add_argument(
@@ -297,6 +297,10 @@ def main():
             ),
             "files_linked": len(c.snapshot().files),
         }
+    elif args.op == "doctor":
+        from kafka_delta_ingest_spark.maintenance.doctor import check_table
+
+        out = check_table(table)
     elif args.op == "generate-manifest":
         from kafka_delta_ingest_spark.maintenance.export import (
             generate_symlink_manifest,
