@@ -89,14 +89,26 @@ def generate_symlink_manifest(table: Table, version: int | None = None) -> dict:
     # mid-loop leaves the same valid mix; rerunning converges.
     final_root = os.path.join(table.root, MANIFEST_DIR)
     os.makedirs(final_root, exist_ok=True)
+    rewritten = 0
     for part, paths in by_dir.items():
         d = os.path.join(final_root, part) if part else final_root
         os.makedirs(d, exist_ok=True)
         target = os.path.join(d, "manifest")
+        content = "\n".join(paths) + "\n"
+        # incremental: unchanged partitions keep their manifest untouched
+        # (on an object store every PUT costs; scoped maintenance touches
+        # a few partitions of thousands)
+        try:
+            with open(target) as fh:
+                if fh.read() == content:
+                    continue
+        except FileNotFoundError:
+            pass
         tmp = target + f".tmp-v{snap.version}"
         with open(tmp, "w") as fh:
-            fh.write("\n".join(paths) + "\n")
+            fh.write(content)
         os.replace(tmp, target)
+        rewritten += 1
     # drop manifests of partitions that no longer exist, then empty dirs
     for dirpath, _dirs, files in os.walk(final_root, topdown=False):
         part = os.path.relpath(dirpath, final_root)
@@ -112,6 +124,7 @@ def generate_symlink_manifest(table: Table, version: int | None = None) -> dict:
     return {
         "version": snap.version,
         "partitions": len(by_dir),
+        "manifests_rewritten": rewritten,
         "files_listed": sum(len(p) for p in by_dir.values()),
         "manifest_root": final_root,
     }

@@ -116,3 +116,23 @@ def test_live_mor_deletes_refuse_export_until_folded(spark, tmp_table_root):
     rewrite_deletes(spark, t)
     m = generate_symlink_manifest(t)
     assert m["files_listed"] == len(t.snapshot().files)
+
+
+def test_regeneration_is_incremental_per_partition(spark, tmp_table_root):
+    """Scoped maintenance touches one partition; regeneration must
+    rewrite ONLY that partition's manifest (object-store PUT economy),
+    and an unchanged-table regeneration rewrites nothing."""
+    from kafka_delta_ingest_spark.maintenance.compact import compact
+
+    t = _table(spark, tmp_table_root)
+    m = generate_symlink_manifest(t)
+    assert m["manifests_rewritten"] == m["partitions"] == 3
+
+    assert generate_symlink_manifest(t)["manifests_rewritten"] == 0
+
+    compact(spark, t, target_file_bytes=64 * 1024 * 1024,
+            job_id="exp-incr", scope=[("source", "=", "s1")])
+    m2 = generate_symlink_manifest(t)
+    assert m2["manifests_rewritten"] == 1
+    listed = {p for ps in read_manifest(t).values() for p in ps}
+    assert listed == set(t.snapshot().file_paths(absolute=True))
