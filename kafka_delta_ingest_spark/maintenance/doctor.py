@@ -146,28 +146,42 @@ def check_table(table: Table) -> dict:
                         )
                     )
 
-    # checkpoint parity: replay through the checkpoint == pure-JSON replay
+    # checkpoint parity: the checkpoint parquet's live-file set must
+    # equal a pure-JSON replay of commits 0..ckpt. Read-only: the
+    # checkpoint is read directly with pyarrow and the JSON commits are
+    # folded here (snapshot() cannot do this — it discovers checkpoint
+    # files by listing, so no amount of pointer games gives a
+    # checkpoint-free replay through the normal path).
     ckpt = table._latest_checkpoint_at_or_before(head)
-    if ckpt is not None and ckpt > 0:
-        json_replay_ok = all(
-            os.path.exists(table._version_path(v)) for v in range(head + 1)
+    if ckpt is not None and ckpt > 0 and all(
+        os.path.exists(table._version_path(v)) for v in range(ckpt + 1)
+    ):
+        import json as _json
+
+        import pyarrow.parquet as pq
+
+        ckpt_paths = set(
+            pq.read_table(
+                table._checkpoint_path(ckpt), columns=["path"]
+            )["path"].to_pylist()
         )
-        if json_replay_ok:
-            ptr = os.path.join(table.log_dir, "_last_checkpoint")
-            tmp = ptr + ".doctor"
-            os.rename(ptr, tmp)
-            try:
-                pure = {f.path for f in table.snapshot().files}
-            finally:
-                os.rename(tmp, ptr)
-            if pure != live_paths:
-                findings.append(
-                    _finding(
-                        "checkpoint", "error",
-                        f"checkpoint v{ckpt} replay diverges from JSON "
-                        f"replay: {len(pure ^ live_paths)} file(s) differ",
-                    )
+        pure: set[str] = set()
+        for v in range(ckpt + 1):
+            with open(table._version_path(v)) as fh:
+                c = _json.load(fh)
+            for r in c.get("remove", []):
+                pure.discard(r)
+            for a in c.get("add", []):
+                pure.add(a["path"])
+        if pure != ckpt_paths:
+            findings.append(
+                _finding(
+                    "checkpoint", "error",
+                    f"checkpoint v{ckpt} file set diverges from the "
+                    f"JSON replay of commits 0..{ckpt}: "
+                    f"{len(pure ^ ckpt_paths)} file(s) differ",
                 )
+            )
 
     # stats artifact sanity
     from kafka_delta_ingest_spark.maintenance.analyze import (

@@ -129,3 +129,36 @@ def test_detects_dangling_position_delete_cover(spark, tmp_table_root):
     assert any(
         e["check"] == "files" and covered in e["detail"] for e in errs
     )
+
+
+def test_detects_corrupted_checkpoint(spark, tmp_table_root):
+    """Checkpoint parity is a REAL replay comparison: tampering with the
+    checkpoint parquet's file set is caught; an intact one passes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = _table(spark, tmp_table_root, n=40)
+    # drive past the checkpoint interval (every 10th version)
+    for i in range(10):
+        write_dataframe(
+            spark, t,
+            spark.range(i, i + 1).select(
+                F.concat(F.lit("x"), F.col("id").cast("string")).alias("doc_id"),
+                F.lit(1).cast("int").alias("n_tok"),
+                F.lit("s0").alias("source"),
+            ),
+        )
+    ckpt = t._latest_checkpoint_at_or_before(t.latest_version())
+    assert ckpt and ckpt > 0
+    assert check_table(t)["ok"]
+
+    # tamper: drop one row from the checkpoint's file list
+    path = t._checkpoint_path(ckpt)
+    tbl = pq.read_table(path)
+    meta = tbl.schema.metadata
+    tampered = tbl.slice(1)
+    tampered = tampered.replace_schema_metadata(meta)
+    pq.write_table(tampered, path)
+
+    errs = _errors(check_table(t))
+    assert any(e["check"] == "checkpoint" for e in errs)
