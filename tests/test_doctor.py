@@ -134,7 +134,6 @@ def test_detects_dangling_position_delete_cover(spark, tmp_table_root):
 def test_detects_corrupted_checkpoint(spark, tmp_table_root):
     """Checkpoint parity is a REAL replay comparison: tampering with the
     checkpoint parquet's file set is caught; an intact one passes."""
-    import pyarrow as pa
     import pyarrow.parquet as pq
 
     t = _table(spark, tmp_table_root, n=40)
