@@ -177,6 +177,36 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _scan_summary(t.snapshot().scan(spark))
 
 
+def q_bloom_prune_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE through per-file key bloom filters (maintenance/bloom.py —
+    the Iceberg-Puffin/Delta bloom-index layer): the artifact is built
+    once (one scan, pure-Catalyst double-hashed probe bits, per-file
+    sizing from manifest num_records), then the CDC merge elects touched
+    files by bloom membership instead of min/max ranges — the decisive
+    prune for random doc_ids, where every file's range overlaps every
+    batch. ``use_bloom=True`` makes the pruned path mandatory; the oracle
+    replays the merge arithmetically, so a false negative (a matched file
+    wrongly pruned ⇒ a duplicate key survives) hash-mismatches."""
+    from kafka_delta_ingest_spark.maintenance.bloom import build_bloom
+    from kafka_delta_ingest_spark.maintenance.merge import merge_into
+
+    t = _build_tokens_table(spark, sf_dir, _tmp_root("bloom_merge"))
+    build_bloom(spark, t, ["doc_id"], bits_per_key=16)
+    base = tokens_from_documents(spark, sf_dir)
+    did = F.col("doc_id").cast("long")
+    upd = base.where(did % 37 == 0).withColumn(
+        "tokens", F.transform("tokens", lambda x: x + F.lit(2))
+    )
+    ins = base.where(did % 41 == 0).withColumn(
+        "doc_id", (did + 30_000_000).cast("string")
+    )
+    merge_into(
+        spark, t, upd.unionByName(ins), key="doc_id",
+        job_id="q-bloom-merge", use_bloom=True,
+    )
+    return _scan_summary(t.snapshot().scan(spark))
+
+
 def q_merge_clauses_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tri-clause ANSI MERGE in one salted full-outer join pass:
     WHEN MATCHED AND n_tok<=100 DELETE; WHEN MATCHED UPDATE SET tokens =
@@ -2649,6 +2679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "optimize_scan": q_optimize_scan,
         "hilbert_scan": q_hilbert_scan,
         "merge_upsert": q_merge_upsert,
+        "bloom_prune_merge": q_bloom_prune_merge,
         "expire_gc_scan": q_expire_gc_scan,
         "manifest_stats": q_manifest_stats,
         "minhash_near_dups": q_minhash_near_dups,
@@ -3746,6 +3777,28 @@ def oracle_sql() -> dict[str, str]:
               SELECT CAST(CAST(doc_id AS BIGINT) + 10000000 AS VARCHAR) AS doc_id,
                      tokens, n_tok, source
               FROM base WHERE CAST(doc_id AS BIGINT) % 25 = 0
+            ),
+            final AS (
+              SELECT * FROM kept UNION ALL SELECT * FROM updated
+              UNION ALL SELECT * FROM inserted
+            )
+            SELECT doc_id, n_tok, source, {_TOK_CHECKSUM_SQL} AS tok_sum FROM final
+        """,
+        "bloom_prune_merge": f"""
+            WITH base AS ({_TOKENS_SQL}),
+            kept AS (
+              SELECT * FROM base WHERE CAST(doc_id AS BIGINT) % 37 <> 0
+            ),
+            updated AS (
+              SELECT doc_id,
+                     list_transform(tokens, x -> x + 2) AS tokens,
+                     n_tok, source
+              FROM base WHERE CAST(doc_id AS BIGINT) % 37 = 0
+            ),
+            inserted AS (
+              SELECT CAST(CAST(doc_id AS BIGINT) + 30000000 AS VARCHAR) AS doc_id,
+                     tokens, n_tok, source
+              FROM base WHERE CAST(doc_id AS BIGINT) % 41 = 0
             ),
             final AS (
               SELECT * FROM kept UNION ALL SELECT * FROM updated

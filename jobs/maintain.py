@@ -32,7 +32,8 @@ def main():
             "branch", "drop-branch", "tag", "delete-tag", "publish", "refs",
             "evolve-partitioning", "set-properties", "partitions", "changes",
             "describe", "optimize-partitions", "plan-files",
-            "analyze", "ndv", "generate-manifest", "clone", "doctor",
+            "analyze", "ndv", "bloom", "generate-manifest", "clone",
+            "doctor",
         ],
     )
     p.add_argument(
@@ -311,6 +312,12 @@ def main():
         from kafka_delta_ingest_spark.maintenance.analyze import analyze
 
         out = analyze(
+            spark, table, [c.strip() for c in args.columns.split(",")]
+        )
+    elif args.op == "bloom":
+        from kafka_delta_ingest_spark.maintenance.bloom import build_bloom
+
+        out = build_bloom(
             spark, table, [c.strip() for c in args.columns.split(",")]
         )
     elif args.op == "ndv":

@@ -154,6 +154,35 @@ def _touched_files(spark: SparkSession, snap, source: DataFrame, key: str) -> li
     return sorted({r["path"] for r in touched} | set(no_stats))
 
 
+def _bloom_filtered(
+    spark: SparkSession,
+    table: Table,
+    key: str,
+    source: DataFrame,
+    touched: list[str],
+    use_bloom,
+) -> list[str]:
+    """Third pruning dimension, applied AFTER min/max + partition
+    membership: per-file key bloom filters (maintenance/bloom.py). The
+    decisive prune for a random-key CDC batch against a non-bucketed
+    table, where ranges and membership cannot discriminate. ``"auto"``
+    uses the artifact when one covers the key (stale artifacts stay safe:
+    uncovered files remain touched); ``True`` insists; ``False`` skips."""
+    if use_bloom is False or not touched:
+        return touched
+    from kafka_delta_ingest_spark.maintenance.bloom import bloom_prune
+
+    pruned = bloom_prune(spark, table, key, source, touched)
+    if pruned is None:
+        if use_bloom is True:
+            raise ValueError(
+                f"use_bloom=True but no bloom artifact covers {key!r} "
+                f"(run build_bloom / --op bloom first)"
+            )
+        return touched
+    return pruned
+
+
 def _stat_str(v) -> str | None:
     """Render a manifest stat bound as a string Spark can cast back to the
     column type (bools via JSON rendering would be 'True'/'False' from
@@ -177,6 +206,7 @@ def merge_into(
     when_matched: "str | list[MergeClause]" = "update",  # update | delete | clauses
     when_not_matched: "bool | MergeClause" = True,
     when_not_matched_by_source: "list[MergeClause] | None" = None,
+    use_bloom: "bool | str" = "auto",
 ) -> dict:
     """MERGE ``source`` into the table by ``key``.
 
@@ -224,9 +254,13 @@ def merge_into(
             spark, table, snap, source, key, salt_factor, hot_keys,
             auto_detect_skew, job_id, t0,
             when_matched, when_not_matched, when_not_matched_by_source,
+            use_bloom,
         )
 
-    touched = _touched_files(spark, snap, source, key)
+    touched = _bloom_filtered(
+        spark, table, key, source,
+        _touched_files(spark, snap, source, key), use_bloom,
+    )
     untouched = [f.path for f in snap.files if f.path not in set(touched)]
 
     tset = set(touched)
@@ -313,6 +347,7 @@ def _merge_clauses(
     when_matched,
     when_not_matched,
     when_not_matched_by_source,
+    use_bloom="auto",
 ) -> dict:
     """General tri-clause MERGE: ONE salted full-outer join pass.
 
@@ -357,7 +392,10 @@ def _merge_clauses(
 
     # ---- touched files: key overlap ∪ each NMBS clause's pruned scope
     key_touched = (
-        set(_touched_files(spark, snap, source, key))
+        set(_bloom_filtered(
+            spark, table, key, source,
+            _touched_files(spark, snap, source, key), use_bloom,
+        ))
         if (matched_clauses or ins_clause)
         else set()
     )
