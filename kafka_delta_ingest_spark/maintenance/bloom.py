@@ -311,6 +311,45 @@ def build_bloom(
     }
 
 
+def prune_entries_by_conjuncts(
+    spark: SparkSession,
+    table: Table,
+    schema,
+    conjuncts,
+    entries: list,
+) -> list:
+    """Narrow a candidate ``FileEntry`` list using per-file blooms for the
+    **equality / IN conjuncts** of a DML predicate (``=`` and ``in`` are
+    the point-lookup shapes a bloom can answer; ranges cannot). Each
+    covered conjunct independently prunes and the survivors intersect —
+    AND semantics, matching the manifest pruner. No artifact, or no
+    covered column ⇒ the list is returned unchanged (conservative)."""
+    idx = load_index(table)
+    if idx is None or not entries:
+        return entries
+    from pyspark.sql import types as T
+
+    keep = {f.path for f in entries}
+    by_path = {f.path: f for f in entries}
+    for col, op, lit in conjuncts:
+        if col not in idx["columns"] or not keep:
+            continue
+        if op in ("=", "=="):
+            vals = [lit]
+        elif op == "in":
+            vals = list(lit)
+        else:
+            continue
+        keys = spark.createDataFrame(
+            [(v,) for v in vals],
+            T.StructType([T.StructField(col, schema[col].dataType)]),
+        )
+        got = bloom_prune(spark, table, col, keys, sorted(keep))
+        if got is not None:
+            keep &= set(got)
+    return [by_path[p] for p in sorted(keep)]
+
+
 def bloom_prune(
     spark: SparkSession,
     table: Table,

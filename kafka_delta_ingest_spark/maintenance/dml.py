@@ -66,6 +66,21 @@ def predicate_column(conjuncts: list[Conjunct]) -> Column:
     return out
 
 
+def _bloom_narrowed(spark, table, snap, touched, conjuncts):
+    """Fourth DML pruning layer: per-file key blooms answer the
+    equality / IN conjuncts (maintenance/bloom.py) — the prune that works
+    when a point predicate's column is randomly distributed and min/max
+    ranges overlap every file. Conservative by construction: no artifact,
+    uncovered files, or range-only predicates leave ``touched`` as-is."""
+    from kafka_delta_ingest_spark.maintenance.bloom import (
+        prune_entries_by_conjuncts,
+    )
+
+    return prune_entries_by_conjuncts(
+        spark, table, snap.schema, conjuncts, touched
+    )
+
+
 def _rewrite_touched(
     spark: SparkSession,
     table: Table,
@@ -75,8 +90,12 @@ def _rewrite_touched(
 ) -> dict:
     t0 = time.time()
     snap = table.snapshot()
-    touched = prune_files(snap.files, conjuncts, snap.schema,
-                          spec=snap.partition_cols)
+    touched = _bloom_narrowed(
+        spark, table, snap,
+        prune_files(snap.files, conjuncts, snap.schema,
+                    spec=snap.partition_cols),
+        conjuncts,
+    )
     metrics = {
         "operation": operation,
         "files_total": len(snap.files),
@@ -153,8 +172,12 @@ def _delete_merge_on_read(
 
     t0 = time.time()
     snap = table.snapshot()
-    touched = prune_files(snap.files, conjuncts, snap.schema,
-                          spec=snap.partition_cols)
+    touched = _bloom_narrowed(
+        spark, table, snap,
+        prune_files(snap.files, conjuncts, snap.schema,
+                    spec=snap.partition_cols),
+        conjuncts,
+    )
     metrics = {
         "operation": "delete-mor",
         "files_total": len(snap.files),

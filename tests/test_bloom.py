@@ -206,6 +206,56 @@ def test_bloom_incremental_refresh_scans_only_churn(spark, tmp_table_root):
     assert r3["files_scanned"] == 8 and r3["files_reused"] == 0
 
 
+def test_delete_where_uses_bloom_for_point_predicates(spark, tmp_path):
+    from kafka_delta_ingest_spark.maintenance.dml import delete_where
+
+    def _mk(root):
+        return make_small_file_table(
+            spark, str(root), n_docs=400, n_files=8,
+            partition_by_source=False, max_tok=8,
+        )
+
+    victims = [f"doc-{n:012d}" for n in (3, 77)]
+
+    t_plain = _mk(tmp_path / "plain")
+    m_plain = delete_where(spark, t_plain, [("doc_id", "in", victims)])
+
+    t_bloom = _mk(tmp_path / "bloom")
+    build_bloom(spark, t_bloom, ["doc_id"], bits_per_key=16)
+    m_bloom = delete_where(spark, t_bloom, [("doc_id", "in", victims)])
+
+    # identical end state, strictly fewer files rewritten (random string
+    # ids make min/max pruning touch all 8 files)
+    assert content_fingerprint(t_plain.snapshot().scan(spark)) == \
+        content_fingerprint(t_bloom.snapshot().scan(spark))
+    assert m_plain["rows_before"] - 2 == m_plain["rows_after"]
+    assert m_bloom["rows_after"] == m_plain["rows_after"]
+    assert m_plain["files_touched"] == 8
+    assert m_bloom["files_touched"] < m_plain["files_touched"]
+
+    # range predicates are untouched by blooms: same result either way
+    m_rng = delete_where(spark, t_bloom, [("n_tok", ">=", 7)])
+    assert m_rng["rows_after"] == t_bloom.snapshot().scan(spark).count()
+
+
+def test_mor_delete_uses_bloom(spark, tmp_path):
+    from kafka_delta_ingest_spark.maintenance.dml import delete_where
+
+    t = make_small_file_table(
+        spark, str(tmp_path / "mor"), n_docs=300, n_files=6,
+        partition_by_source=False, max_tok=8,
+    )
+    build_bloom(spark, t, ["doc_id"], bits_per_key=16)
+    m = delete_where(
+        spark, t, [("doc_id", "=", f"doc-{11:012d}")], mode="merge_on_read"
+    )
+    assert m["files_touched"] < 6
+    assert m["rows_deleted"] == 1
+    assert t.snapshot().scan(spark).where(
+        F.col("doc_id") == f"doc-{11:012d}"
+    ).count() == 0
+
+
 def test_bloom_covers_all_null_files(spark, tmp_table_root):
     from pyspark.sql import types as T
 
