@@ -259,6 +259,12 @@ def main():
                     )
 
                     m = analyze(spark, table, **r.kwargs)
+                elif r.op == "bloom":
+                    from kafka_delta_ingest_spark.maintenance.bloom import (
+                        build_bloom,
+                    )
+
+                    m = build_bloom(spark, table, **r.kwargs)
                 else:
                     continue
                 executed.append({"op": r.op, "metrics": m})

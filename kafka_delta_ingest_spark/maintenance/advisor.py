@@ -232,6 +232,46 @@ def advise(
                 )
             )
 
+    # Bloom artifact staleness: MERGE/DML point-lookup pruning
+    # (maintenance/bloom.py) keeps correctness when stale — uncovered
+    # files are conservatively touched — but every uncovered file is a
+    # file the prune can no longer skip, so effectiveness decays with
+    # churn. Same metadata-only comparison as the NDV check; a lower
+    # threshold because the cost of staleness is paid by every merge.
+    from kafka_delta_ingest_spark.maintenance.bloom import (
+        load_index as load_bloom_index,
+    )
+
+    bidx = load_bloom_index(table)
+    if bidx is not None:
+        live_paths = {f.path for f in snap.files}
+        unseen = len(live_paths - set(bidx["file_paths"]))
+        frac = unseen / len(live_paths) if live_paths else 0.0
+        if frac >= 0.10:
+            recs.append(
+                Recommendation(
+                    op="bloom",
+                    reason=(
+                        f"bloom artifact (v{bidx['analyzed_version']}) "
+                        f"does not cover {unseen}/{len(live_paths)} live "
+                        "files — those can never be pruned by MERGE/DML "
+                        "point lookups; incremental rebuild scans only "
+                        "the uncovered files"
+                    ),
+                    severity="advisory",
+                    # carry parameters: defaults would rebuild from
+                    # scratch under a different probe function
+                    kwargs={
+                        "columns": list(bidx["columns"]),
+                        "bits_per_key": bidx["bits_per_key"],
+                        "k": bidx["k"],
+                        "salt": bidx["salt"],
+                        "family": bidx["family"],
+                        "m_max": bidx["m_max"],
+                    },
+                )
+            )
+
     order = {"urgent": 0, "recommended": 1, "advisory": 2}
     recs.sort(key=lambda r: order[r.severity])
     return recs

@@ -102,3 +102,48 @@ def test_advisor_flags_stale_ndv_stats(spark, tmp_table_root):
     write_dataframe(spark, t, rows(100, 100).repartition(4))
     recs = [r for r in advise(t) if r.op == "analyze"]
     assert recs and recs[0].kwargs["columns"] == ["doc_id"]
+
+
+def test_advisor_flags_stale_bloom_artifact(spark, tmp_table_root):
+    """Once >=10% of live files postdate the bloom artifact the advisor
+    recommends an incremental rebuild carrying the artifact's probe
+    parameters; a fresh artifact (or none) stays silent. Stale blooms are
+    still CORRECT (uncovered files stay touched) — the recommendation is
+    about pruning effectiveness, hence the lower threshold than NDV."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from kafka_delta_ingest_spark.maintenance.advisor import advise
+    from kafka_delta_ingest_spark.maintenance.bloom import build_bloom
+    from kafka_delta_ingest_spark.table.format import Table
+    from kafka_delta_ingest_spark.table.writer import write_dataframe
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("n_tok", T.IntegerType()),
+        ]
+    )
+
+    def rows(a, n):
+        return spark.range(a, a + n).select(
+            F.col("id").cast("string").alias("doc_id"),
+            (F.col("id") % 11).cast("int").alias("n_tok"),
+        )
+
+    t = Table.create(tmp_table_root, schema)
+    write_dataframe(spark, t, rows(0, 100).repartition(4))
+    assert not [r for r in advise(t) if r.op == "bloom"]  # no artifact
+
+    build_bloom(spark, t, ["doc_id"], bits_per_key=12, k=5)
+    assert not [r for r in advise(t) if r.op == "bloom"]  # fresh
+
+    write_dataframe(spark, t, rows(100, 50).repartition(2))
+    recs = [r for r in advise(t) if r.op == "bloom"]
+    assert recs
+    kw = recs[0].kwargs
+    assert kw["columns"] == ["doc_id"]
+    assert (kw["bits_per_key"], kw["k"]) == (12, 5)
+    # executing the recommendation restores silence
+    build_bloom(spark, t, **kw)
+    assert not [r for r in advise(t) if r.op == "bloom"]
