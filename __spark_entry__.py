@@ -207,6 +207,49 @@ def q_bloom_prune_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _scan_summary(t.snapshot().scan(spark))
 
 
+def q_overwrite_where_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT OVERWRITE WHERE source='src2' (Delta replaceWhere,
+    maintenance/overwrite.py): the daily-backfill idiom — recompute one
+    partition's rows (tokens shifted +9) and swap them in atomically.
+    The predicate is partition-aligned, so removal is METADATA-ONLY
+    (files_rewritten == 0 is asserted in-query: zero old bytes read); new
+    rows are validated against the predicate before anything stages. The
+    oracle replays kept ∪ replaced arithmetically — a row leaked from the
+    replaced region, a lost survivor, or a double-write all mismatch."""
+    from kafka_delta_ingest_spark.maintenance.overwrite import overwrite_where
+
+    t = _build_tokens_table(spark, sf_dir, _tmp_root("ow_where"))
+    base = tokens_from_documents(spark, sf_dir)
+    new = base.where(F.col("source") == "src2").withColumn(
+        "tokens", F.transform("tokens", lambda x: x + F.lit(9))
+    )
+    m = overwrite_where(spark, t, new, [("source", "=", "src2")],
+                        job_id="q-ow-where")
+    assert m["files_rewritten"] == 0, m  # partition-aligned ⇒ no data read
+    return _scan_summary(t.snapshot().scan(spark))
+
+
+def q_overwrite_dynamic_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite (Spark partitionOverwriteMode=dynamic /
+    Iceberg overwritePartitions): replace exactly the partitions PRESENT
+    in the new batch — here src1, tokens shifted +4 — leaving every other
+    partition's files byte-identical. The covered-partition set is taken
+    from the staged files' RECORDED partition values, so batch and
+    manifest can never disagree on partition rendering."""
+    from kafka_delta_ingest_spark.maintenance.overwrite import (
+        overwrite_dynamic,
+    )
+
+    t = _build_tokens_table(spark, sf_dir, _tmp_root("ow_dyn"))
+    base = tokens_from_documents(spark, sf_dir)
+    new = base.where(F.col("source") == "src1").withColumn(
+        "tokens", F.transform("tokens", lambda x: x + F.lit(4))
+    )
+    m = overwrite_dynamic(spark, t, new, job_id="q-ow-dyn")
+    assert m["partitions_replaced"] == 1, m
+    return _scan_summary(t.snapshot().scan(spark))
+
+
 def q_merge_clauses_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tri-clause ANSI MERGE in one salted full-outer join pass:
     WHEN MATCHED AND n_tok<=100 DELETE; WHEN MATCHED UPDATE SET tokens =
@@ -2680,6 +2723,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hilbert_scan": q_hilbert_scan,
         "merge_upsert": q_merge_upsert,
         "bloom_prune_merge": q_bloom_prune_merge,
+        "overwrite_where_scan": q_overwrite_where_scan,
+        "overwrite_dynamic_scan": q_overwrite_dynamic_scan,
         "expire_gc_scan": q_expire_gc_scan,
         "manifest_stats": q_manifest_stats,
         "minhash_near_dups": q_minhash_near_dups,
@@ -3804,6 +3849,28 @@ def oracle_sql() -> dict[str, str]:
               SELECT * FROM kept UNION ALL SELECT * FROM updated
               UNION ALL SELECT * FROM inserted
             )
+            SELECT doc_id, n_tok, source, {_TOK_CHECKSUM_SQL} AS tok_sum FROM final
+        """,
+        "overwrite_where_scan": f"""
+            WITH base AS ({_TOKENS_SQL}),
+            kept AS (SELECT * FROM base WHERE source <> 'src2'),
+            repl AS (
+              SELECT doc_id, list_transform(tokens, x -> x + 9) AS tokens,
+                     n_tok, source
+              FROM base WHERE source = 'src2'
+            ),
+            final AS (SELECT * FROM kept UNION ALL SELECT * FROM repl)
+            SELECT doc_id, n_tok, source, {_TOK_CHECKSUM_SQL} AS tok_sum FROM final
+        """,
+        "overwrite_dynamic_scan": f"""
+            WITH base AS ({_TOKENS_SQL}),
+            kept AS (SELECT * FROM base WHERE source <> 'src1'),
+            repl AS (
+              SELECT doc_id, list_transform(tokens, x -> x + 4) AS tokens,
+                     n_tok, source
+              FROM base WHERE source = 'src1'
+            ),
+            final AS (SELECT * FROM kept UNION ALL SELECT * FROM repl)
             SELECT doc_id, n_tok, source, {_TOK_CHECKSUM_SQL} AS tok_sum FROM final
         """,
         "manifest_stats": f"""

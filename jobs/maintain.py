@@ -33,7 +33,7 @@ def main():
             "evolve-partitioning", "set-properties", "partitions", "changes",
             "describe", "optimize-partitions", "plan-files",
             "analyze", "ndv", "bloom", "generate-manifest", "clone",
-            "doctor",
+            "doctor", "overwrite", "overwrite-dynamic",
         ],
     )
     p.add_argument(
@@ -194,6 +194,24 @@ def main():
             if not args.set_exprs:
                 p.error("--set is required for --op update")
             out = update_where(spark, table, conjuncts, json.loads(args.set_exprs))
+    elif args.op in ("overwrite", "overwrite-dynamic"):
+        from kafka_delta_ingest_spark.maintenance.overwrite import (
+            overwrite_dynamic,
+            overwrite_where,
+        )
+
+        if not args.source_parquet:
+            p.error(f"--source-parquet is required for --op {args.op}")
+        src = spark.read.parquet(args.source_parquet)
+        if args.op == "overwrite":
+            if not args.where:
+                p.error("--where is required for --op overwrite")
+            conjuncts = [tuple(c) for c in json.loads(args.where)]
+            out = overwrite_where(
+                spark, table, src, conjuncts, job_id=args.job_id
+            )
+        else:
+            out = overwrite_dynamic(spark, table, src, job_id=args.job_id)
     elif args.op == "rewrite-deletes":
         from kafka_delta_ingest_spark.maintenance.dml import (
             rewrite_position_deletes,
