@@ -207,6 +207,39 @@ def q_bloom_prune_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _scan_summary(t.snapshot().scan(spark))
 
 
+def q_column_mapping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only column rename (Delta column-mapping semantics,
+    table/format.py rename_column): ``n_tok`` becomes ``tok_len`` with
+    ZERO data files moving — parquet pages keep the immutable PHYSICAL
+    name, scans alias it back (scan.py read_files). The query then
+    appends NEW rows (written under the physical name) and runs a fused
+    OPTIMIZE across the mixed pre/post-rename files, so the value hash
+    proves the physical↔logical aliasing is consistent across old files,
+    new files, and maintenance rewrites. Oracle: the same rows with a
+    plain SQL alias."""
+    from kafka_delta_ingest_spark.maintenance.optimize import optimize
+
+    t = _build_tokens_table(spark, sf_dir, _tmp_root("colmap"))
+    pre_files = {f.path for f in t.snapshot().files}
+    t.rename_column("n_tok", "tok_len")
+    assert {f.path for f in t.snapshot().files} == pre_files  # zero moved
+    from kafka_delta_ingest_spark.table.writer import write_dataframe
+
+    base = tokens_from_documents(spark, sf_dir)
+    did = F.col("doc_id").cast("long")
+    extra = (
+        base.where(did % 13 == 0)
+        .withColumn("doc_id", (did + 40_000_000).cast("string"))
+        .withColumnRenamed("n_tok", "tok_len")
+    )
+    write_dataframe(spark, t, extra)
+    optimize(spark, t, dims=["source", "tok_len", "doc_id"], curve="zorder",
+             target_file_bytes=8 * 1024 * 1024)
+    return t.snapshot().scan(spark).select(
+        "doc_id", "tok_len", "source", _tok_checksum().alias("tok_sum")
+    )
+
+
 def q_overwrite_where_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INSERT OVERWRITE WHERE source='src2' (Delta replaceWhere,
     maintenance/overwrite.py): the daily-backfill idiom — recompute one
@@ -2725,6 +2758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_prune_merge": q_bloom_prune_merge,
         "overwrite_where_scan": q_overwrite_where_scan,
         "overwrite_dynamic_scan": q_overwrite_dynamic_scan,
+        "column_mapping_scan": q_column_mapping_scan,
         "expire_gc_scan": q_expire_gc_scan,
         "manifest_stats": q_manifest_stats,
         "minhash_near_dups": q_minhash_near_dups,
@@ -3850,6 +3884,18 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT * FROM inserted
             )
             SELECT doc_id, n_tok, source, {_TOK_CHECKSUM_SQL} AS tok_sum FROM final
+        """,
+        "column_mapping_scan": f"""
+            WITH base AS ({_TOKENS_SQL}),
+            extra AS (
+              SELECT CAST(CAST(doc_id AS BIGINT) + 40000000 AS VARCHAR) AS doc_id,
+                     tokens, n_tok, source
+              FROM base WHERE CAST(doc_id AS BIGINT) % 13 = 0
+            ),
+            final AS (SELECT * FROM base UNION ALL SELECT * FROM extra)
+            SELECT doc_id, n_tok AS tok_len, source,
+                   {_TOK_CHECKSUM_SQL} AS tok_sum
+            FROM final
         """,
         "overwrite_where_scan": f"""
             WITH base AS ({_TOKENS_SQL}),

@@ -33,8 +33,17 @@ def main():
             "evolve-partitioning", "set-properties", "partitions", "changes",
             "describe", "optimize-partitions", "plan-files",
             "analyze", "ndv", "bloom", "generate-manifest", "clone",
-            "doctor", "overwrite", "overwrite-dynamic",
+            "doctor", "overwrite", "overwrite-dynamic", "rename-column",
+            "drop-column",
         ],
+    )
+    p.add_argument(
+        "--column", default=None,
+        help="column name for --op rename-column/drop-column",
+    )
+    p.add_argument(
+        "--to-name", default=None,
+        help="new name for --op rename-column",
     )
     p.add_argument(
         "--max-partitions", type=int, default=None,
@@ -338,6 +347,17 @@ def main():
         out = analyze(
             spark, table, [c.strip() for c in args.columns.split(",")]
         )
+    elif args.op in ("rename-column", "drop-column"):
+        if not args.column:
+            p.error(f"--column is required for --op {args.op}")
+        if args.op == "rename-column":
+            if not args.to_name:
+                p.error("--to-name is required for --op rename-column")
+            v = table.rename_column(args.column, args.to_name)
+            out = {"version": v, "renamed": {args.column: args.to_name}}
+        else:
+            v = table.drop_column(args.column)
+            out = {"version": v, "dropped": args.column}
     elif args.op == "bloom":
         from kafka_delta_ingest_spark.maintenance.bloom import build_bloom
 

@@ -165,6 +165,7 @@ def analyze(
             snap.schema,
             snap.partition_cols,
             file_path_col="_file",
+            column_mapping=snap.column_mapping,
         )
         return (
             _register_rows(df, cols, p, salt, family)

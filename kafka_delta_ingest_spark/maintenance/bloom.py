@@ -175,7 +175,7 @@ def build_bloom(
     def _scan(entries, cols) -> DataFrame:
         df = read_entries(
             spark, table.root, entries, snap.schema, snap.partition_cols,
-            file_path_col="_file",
+            file_path_col="_file", column_mapping=snap.column_mapping,
         ).withColumn(
             "path", F.expr(f"substring(_file, {len(root_prefix) + 1})")
         )

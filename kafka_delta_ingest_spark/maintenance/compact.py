@@ -79,11 +79,16 @@ def _rewrite_bins(
     # tasks two bins (stragglers); partitionBy still emits exactly one file
     # per bin because a bin's rows never split across tasks
     n_part = max(2 * len(bins), spark.sparkContext.defaultParallelism, 1)
-    from kafka_delta_ingest_spark.table.writer import apply_write_options
+    from kafka_delta_ingest_spark.table.writer import (
+        apply_write_options,
+        to_physical,
+    )
 
     (
         apply_write_options(
-            df.repartition(n_part, "_bin").write.mode("overwrite"),
+            to_physical(df, snap.column_mapping)
+            .repartition(n_part, "_bin")
+            .write.mode("overwrite"),
             snap.properties,
         )
         .partitionBy(*(pkeys + ["_bin"]))
@@ -91,7 +96,8 @@ def _rewrite_bins(
     )
     # stats over staged output; _bin is a synthetic partition col we strip
     adds = compute_add_entries(
-        spark, table.root, absd, snap.schema, pkeys + ["_bin"]
+        spark, table.root, absd, snap.schema, pkeys + ["_bin"],
+        column_mapping=snap.column_mapping,
     )
     by_bin: dict[int, list] = {}
     for fe in adds:

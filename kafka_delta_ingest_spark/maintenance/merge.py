@@ -302,15 +302,18 @@ def merge_into(
         apply_constraints,
         apply_sort_order,
         apply_write_options,
+        to_physical,
     )
 
     out = apply_sort_order(apply_constraints(out, snap.properties),
                            snap.properties, pkeys)
+    out = to_physical(out, snap.column_mapping)
     w = apply_write_options(out.write.mode("overwrite"), snap.properties)
     if pkeys:
         w = w.partitionBy(*pkeys)
     w.parquet(absd)
-    adds = compute_add_entries(spark, table.root, absd, snap.schema, pkeys)
+    adds = compute_add_entries(spark, table.root, absd, snap.schema, pkeys,
+                               column_mapping=snap.column_mapping)
 
     v = table.commit(
         Transaction(
@@ -506,15 +509,18 @@ def _merge_clauses(
         apply_constraints,
         apply_sort_order,
         apply_write_options,
+        to_physical,
     )
 
     out = apply_sort_order(apply_constraints(out, snap.properties),
                            snap.properties, pkeys)
+    out = to_physical(out, snap.column_mapping)
     wtr = apply_write_options(out.write.mode("overwrite"), snap.properties)
     if pkeys:
         wtr = wtr.partitionBy(*pkeys)
     wtr.parquet(absd)
-    adds = compute_add_entries(spark, table.root, absd, snap.schema, pkeys)
+    adds = compute_add_entries(spark, table.root, absd, snap.schema, pkeys,
+                               column_mapping=snap.column_mapping)
 
     v = table.commit(
         Transaction(

@@ -83,6 +83,18 @@ def rollback(table: Table, to_version: int) -> dict:
     schema_update: T.StructType | None = None
     if json.loads(target.schema.json()) != json.loads(head_snap.schema.json()):
         schema_update = target.schema
+    # column mapping is versioned with the schema: restoring a pre-rename/
+    # pre-drop snapshot must restore its mapping + tombstones too, or the
+    # restored logical names would read the wrong physical columns
+    mapping_update: dict | None = None
+    if (
+        target.column_mapping != head_snap.column_mapping
+        or target.dropped_physical != head_snap.dropped_physical
+    ):
+        mapping_update = {
+            "map": target.column_mapping,
+            "dropped": target.dropped_physical,
+        }
     txn = Transaction(
         operation="rollback",
         adds=adds,
@@ -92,6 +104,7 @@ def rollback(table: Table, to_version: int) -> dict:
         data_change=True,  # table contents change
         metadata={"rolled_back_to": to_version, "from_version": head_snap.version},
         schema_update=schema_update,
+        mapping_update=mapping_update,
     )
     v = table.commit(txn)
     return {

@@ -503,6 +503,7 @@ def cluster(
                 [f for f in scoped if f.path in sset],
                 snap.schema,
                 pkeys,
+                column_mapping=snap.column_mapping,
             )
             for k, expr in dexprs.items():
                 bounds_in = bounds_in.withColumn(k, expr)
@@ -560,8 +561,12 @@ def cluster(
         if sort_rows:
             out = out.sortWithinPartitions("_gbin", "_ckey")
         out = out.drop("_ckey")
-        from kafka_delta_ingest_spark.table.writer import apply_write_options
+        from kafka_delta_ingest_spark.table.writer import (
+            apply_write_options,
+            to_physical,
+        )
 
+        out = to_physical(out, snap.column_mapping)
         (
             apply_write_options(out.write.mode("overwrite"), snap.properties)
             .partitionBy(*(pkeys + ["_gbin"]))
@@ -576,7 +581,8 @@ def cluster(
 
     t_stats0 = time.time()
     adds = compute_add_entries(
-        spark, table.root, absd, snap.schema, pkeys + ["_gbin"]
+        spark, table.root, absd, snap.schema, pkeys + ["_gbin"],
+        column_mapping=snap.column_mapping,
     )
     for fe in adds:
         fe.partition_values.pop("_gbin", None)

@@ -223,6 +223,15 @@ def schema_and_spec(
     """The table schema + partition spec at ``version`` WITHOUT replaying
     the file list: parquet footer metadata of the covering checkpoint
     (a metadata-only read) plus any schema-bearing tail commits."""
+    schema, spec, _cmap = schema_spec_mapping(table, version)
+    return schema, spec
+
+
+def schema_spec_mapping(
+    table: Table, version: int | None = None
+) -> "tuple[T.StructType, list[str], dict]":
+    """schema + spec + column mapping (logical → physical) at ``version``,
+    from checkpoint footer metadata and tail commits only."""
     import pyarrow.parquet as pq
 
     head = table.latest_version()
@@ -230,6 +239,7 @@ def schema_and_spec(
     ckpt = table._latest_checkpoint_at_or_before(v)
     schema: T.StructType | None = None
     spec: list[str] = []
+    cmap: dict = {}
     start = 0
     if ckpt is not None:
         meta = json.loads(
@@ -238,15 +248,18 @@ def schema_and_spec(
         )
         schema = T.StructType.fromJson(meta["schema"])
         spec = meta["partition_cols"]
+        cmap = dict(meta.get("column_mapping", {}).get("map", {}))
         start = ckpt + 1
     for i in range(start, v + 1):
         c = table._read_commit(i)
         if "metadata" in c and c["metadata"].get("schema"):
             schema = T.StructType.fromJson(c["metadata"]["schema"])
             spec = c["metadata"].get("partition_cols", [])
+        if "metadata" in c and "column_mapping" in c["metadata"]:
+            cmap = dict(c["metadata"]["column_mapping"].get("map", {}))
     if schema is None:
         raise ValueError(f"no schema found for version {v}")
-    return schema, spec
+    return schema, spec, cmap
 
 
 def delete_entries_at(table: Table, version: int | None = None) -> list:
@@ -314,7 +327,7 @@ def scan_planned(
     from kafka_delta_ingest_spark.table.format import FileEntry
     from kafka_delta_ingest_spark.table.scan import read_files_applying_deletes
 
-    schema, spec = schema_and_spec(table, version)
+    schema, spec, cmap = schema_spec_mapping(table, version)
     mdf = manifest_df(spark, table, version)
     survivors = prune_manifest(mdf, conjuncts, schema, spec).collect()
     entries = [
@@ -339,6 +352,7 @@ def scan_planned(
         schema,
         transforms.keys(spec),
         predicate=predicate,
+        column_mapping=cmap,
     )
     if predicate is not None:
         # the reader only pushes data-column predicates into the parquet

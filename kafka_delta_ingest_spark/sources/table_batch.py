@@ -369,7 +369,18 @@ class KdiTableDataSource(DataSource):
         root = self.options.get("path")
         if not root:
             raise ValueError("kdi-table requires .option('path', ...)")
-        return Table(root).snapshot(self._version()).schema
+        snap = Table(root).snapshot(self._version())
+        if snap.column_mapping or snap.dropped_physical:
+            # this source's arrow reader selects parquet columns by the
+            # logical schema names; a renamed/dropped table needs the
+            # physical mapping the native scan applies (scan.py) — use
+            # Table.snapshot().scan() for such tables
+            raise ValueError(
+                "kdi-table does not support column-mapped tables "
+                "(rename_column/drop_column applied) — read via "
+                "Table.snapshot().scan(spark)"
+            )
+        return snap.schema
 
     def writer(self, schema: T.StructType, overwrite: bool):
         from kafka_delta_ingest_spark.table import transforms

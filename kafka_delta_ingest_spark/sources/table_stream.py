@@ -414,6 +414,13 @@ class TableAppendsDataSource(DataSource):
         if not root:
             raise ValueError("kdi-table-appends requires .option('path', ...)")
         snap = Table(root).snapshot()
+        if snap.column_mapping or snap.dropped_physical:
+            # the arrow reader selects parquet columns by logical name;
+            # column-mapped tables need the native scan's physical aliasing
+            raise ValueError(
+                "kdi-table-appends does not support column-mapped tables "
+                "(rename_column/drop_column applied)"
+            )
         return T.StructType(
             list(snap.schema.fields)
             + [T.StructField(VERSION_COL, T.LongType(), False)]

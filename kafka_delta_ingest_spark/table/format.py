@@ -239,6 +239,12 @@ class Transaction:
     # when set, this commit merges these entries into the table properties
     # (a None value deletes the key) — metadata-only, like schema updates
     properties_update: "dict[str, Any] | None" = None
+    # when set, this commit REPLACES the column mapping state:
+    # {"map": {logical_name: physical_name}, "dropped": [physical, ...]}.
+    # Physical names are parquet column names and NEVER change; renames
+    # and drops are metadata-only (Delta column-mapping / Iceberg
+    # field-id semantics rebuilt over names)
+    mapping_update: "dict | None" = None
 
 
 class Snapshot:
@@ -257,6 +263,8 @@ class Snapshot:
         app_txns: dict[str, int],
         deletes: "dict[str, DeleteEntry] | None" = None,
         properties: dict | None = None,
+        column_mapping: dict | None = None,
+        dropped_physical: list | None = None,
     ):
         self.table = table
         self.version = version
@@ -268,6 +276,13 @@ class Snapshot:
         # table/writer.py parquet_write_options) — versioned like schema
         self.properties = dict(properties or {})
         self._deletes = deletes or {}
+        # logical -> PHYSICAL (parquet) column name, for renamed columns
+        # only (identity entries omitted); versioned like the schema, so
+        # pinned pre-rename snapshots read under their own names
+        self.column_mapping = dict(column_mapping or {})
+        # physical names of dropped columns — tombstones that block a new
+        # column from silently resurrecting old files' data
+        self.dropped_physical = list(dropped_physical or [])
 
     @property
     def files(self) -> list[FileEntry]:
@@ -369,6 +384,7 @@ class Snapshot:
             file_path_col=file_path_col,
             predicate=predicate,
             row_index_col=row_index_col,
+            column_mapping=self.column_mapping,
         )
 
 
@@ -511,6 +527,7 @@ class Table:
         schema: T.StructType | None = None
         partition_cols: list[str] = []
         properties: dict = {}
+        colmap: dict = {"map": {}, "dropped": []}
 
         start = 0
         ckpt = self._latest_checkpoint_at_or_before(v)
@@ -521,6 +538,7 @@ class Table:
             partition_cols = meta["partition_cols"]
             app_txns = dict(meta.get("app_txns", {}))
             properties = dict(meta.get("properties", {}))
+            colmap = dict(meta.get("column_mapping", colmap))
             for d in meta.get("delete_entries", []):
                 de = DeleteEntry.from_json(d)
                 deletes[de.path] = de
@@ -546,6 +564,8 @@ class Table:
                 partition_cols = c["metadata"].get("partition_cols", [])
             if "metadata" in c and "properties" in c["metadata"]:
                 properties = dict(c["metadata"]["properties"])
+            if "metadata" in c and "column_mapping" in c["metadata"]:
+                colmap = dict(c["metadata"]["column_mapping"])
             removed = c.get("remove", [])
             for rp in removed:
                 files.pop(rp, None)
@@ -604,6 +624,8 @@ class Table:
         return Snapshot(
             self, v, files, schema, partition_cols, app_txns, deletes,
             properties=properties,
+            column_mapping=colmap.get("map", {}),
+            dropped_physical=colmap.get("dropped", []),
         )
 
     # --------------------------------------------------------------- commit
@@ -668,11 +690,123 @@ class Table:
         bad = sorted(n for n, f in new.items() if n not in old and not f.nullable)
         if bad:
             raise SchemaEvolutionError(f"new columns must be nullable: {bad}")
+        # a new logical name that equals a dropped column's PHYSICAL name
+        # (or a renamed column's physical name) would make scans of OLD
+        # files resurrect the old bytes into the new column
+        taken = set(snap.dropped_physical) | (
+            {snap.column_mapping.get(f.name, f.name) for f in snap.schema.fields}
+            - {f.name for f in snap.schema.fields}
+        )
+        ghost = sorted(n for n in new if n not in old and n in taken)
+        if ghost:
+            raise SchemaEvolutionError(
+                f"new columns shadow existing physical names: {ghost} "
+                "(dropped or renamed-away columns leave their parquet "
+                "name occupied in old files)"
+            )
         return self.commit(
             Transaction(
                 operation="evolve-schema",
                 data_change=False,
                 schema_update=new_schema,
+            )
+        )
+
+    def _mapping_preconditions(self, snap: "Snapshot", col: str, op: str):
+        from kafka_delta_ingest_spark.table import transforms
+
+        if col not in {f.name for f in snap.schema.fields}:
+            raise SchemaEvolutionError(f"cannot {op} unknown column {col!r}")
+        sources = set()
+        for e in snap.partition_cols:
+            _k, c, _p = transforms.parse(e)
+            sources.add(c)
+        if col in sources:
+            raise SchemaEvolutionError(
+                f"cannot {op} partition-spec source column {col!r} "
+                "(evolve the partition spec first)"
+            )
+        if snap.delete_entries:
+            raise SchemaEvolutionError(
+                f"cannot {op} a column while merge-on-read deletes are "
+                "live (equality-delete files reference columns by name — "
+                "fold them first: rewrite_deletes / compact / optimize)"
+            )
+
+    def rename_column(self, old: str, new: str) -> int:
+        """Metadata-only column rename (Delta column-mapping semantics).
+
+        The PHYSICAL parquet name never changes — old files and new files
+        keep writing the original name; scans read physical names and
+        alias them back to the current logical schema. Zero data moves;
+        pinned pre-rename snapshots keep their old logical names (the
+        mapping is versioned with the log). Refused for partition-spec
+        source columns (their name is baked into recorded partition
+        values) and while MOR deletes are live."""
+        snap = self.snapshot()
+        self._mapping_preconditions(snap, old, "rename")
+        names = {f.name for f in snap.schema.fields}
+        if new in names:
+            raise SchemaEvolutionError(f"rename target {new!r} already exists")
+        physical = snap.column_mapping.get(old, old)
+        active_physical = {
+            snap.column_mapping.get(f.name, f.name) for f in snap.schema.fields
+        }
+        if new != physical and (
+            new in active_physical or new in snap.dropped_physical
+        ):
+            # a logical name that shadows someone else's PHYSICAL name
+            # would make scans read the wrong parquet column
+            raise SchemaEvolutionError(
+                f"rename target {new!r} collides with a physical column name"
+            )
+        new_schema = T.StructType(
+            [
+                T.StructField(new if f.name == old else f.name, f.dataType,
+                              f.nullable)
+                for f in snap.schema.fields
+            ]
+        )
+        mapping = dict(snap.column_mapping)
+        mapping.pop(old, None)
+        if new != physical:
+            mapping[new] = physical
+        return self.commit(
+            Transaction(
+                operation="rename-column",
+                data_change=False,
+                schema_update=new_schema,
+                mapping_update={
+                    "map": mapping,
+                    "dropped": snap.dropped_physical,
+                },
+                metadata={"renamed": {old: new}},
+            )
+        )
+
+    def drop_column(self, name: str) -> int:
+        """Metadata-only column drop. Data files keep the bytes (pinned
+        pre-drop snapshots still read them); the physical name goes into
+        a tombstone list so a later ``evolve_schema`` cannot add a column
+        that would silently resurrect the old files' values."""
+        snap = self.snapshot()
+        self._mapping_preconditions(snap, name, "drop")
+        if len(snap.schema.fields) == 1:
+            raise SchemaEvolutionError("cannot drop the only column")
+        physical = snap.column_mapping.get(name, name)
+        new_schema = T.StructType(
+            [f for f in snap.schema.fields if f.name != name]
+        )
+        mapping = dict(snap.column_mapping)
+        mapping.pop(name, None)
+        dropped = sorted(set(snap.dropped_physical) | {physical})
+        return self.commit(
+            Transaction(
+                operation="drop-column",
+                data_change=False,
+                schema_update=new_schema,
+                mapping_update={"map": mapping, "dropped": dropped},
+                metadata={"dropped_column": name},
             )
         )
 
@@ -846,6 +980,16 @@ class Table:
                     else:
                         merged[k] = pv
                 commit.setdefault("metadata", {})["properties"] = merged
+            if txn.mapping_update is not None:
+                # a mapping change always rides with its schema_update;
+                # replay applies them from the same commit atomically
+                commit.setdefault("metadata", {}).setdefault(
+                    "schema", json.loads((txn.schema_update or snap.schema).json())
+                )
+                commit["metadata"].setdefault(
+                    "partition_cols", snap.partition_cols
+                )
+                commit["metadata"]["column_mapping"] = txn.mapping_update
             try:
                 self._atomic_write_version(v, commit)
             except FileExistsError:
@@ -881,6 +1025,10 @@ class Table:
             "partition_cols": snap.partition_cols,
             "app_txns": snap.app_txns,
             "properties": snap.properties,
+            "column_mapping": {
+                "map": snap.column_mapping,
+                "dropped": snap.dropped_physical,
+            },
             # position-delete entries ride in the metadata blob: they are
             # few by construction (rewrite_position_deletes folds them in,
             # replay drops them with their covered files), unlike the

@@ -94,7 +94,8 @@ def incremental_scan(
         return df.select(*columns) if columns else df
     from kafka_delta_ingest_spark.table.scan import read_files
 
-    df = read_files(spark, paths, snap.schema, snap.partition_cols)
+    df = read_files(spark, paths, snap.schema, snap.partition_cols,
+                    column_mapping=snap.column_mapping)
     return df.select(*columns) if columns else df
 
 

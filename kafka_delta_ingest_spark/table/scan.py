@@ -31,6 +31,7 @@ def read_files(
     file_path_col: str | None = None,
     predicate=None,
     row_index_col: str | None = None,
+    column_mapping: "dict[str, str] | None" = None,
 ) -> DataFrame:
     """Read explicit parquet leaf files as the full table schema.
 
@@ -41,7 +42,13 @@ def read_files(
     partition-column reconstruction: ``input_file_name`` is nondeterministic,
     so a filter placed after it cannot push into the parquet scan — placed
     here it reaches PushedFilters. Predicates referencing partition columns
-    fall back to post-reconstruction filtering (caller re-applies)."""
+    fall back to post-reconstruction filtering (caller re-applies).
+
+    ``column_mapping`` (logical → PHYSICAL parquet name, renamed columns
+    only): the data pages are read under their immutable physical names
+    and aliased back to the logical schema — Delta column-mapping
+    semantics, what makes ``Table.rename_column`` metadata-only. The
+    rename is a projection, so predicates still reach PushedFilters."""
     if not paths:
         out = spark.createDataFrame([], schema)
         if file_path_col:
@@ -50,8 +57,21 @@ def read_files(
             out = out.withColumn(row_index_col, F.lit(None).cast("long"))
         return out
     pset = set(partition_cols)
-    data_schema = T.StructType([f for f in schema.fields if f.name not in pset])
+    cmap = {
+        k: v
+        for k, v in (column_mapping or {}).items()
+        if k not in pset and v != k
+    }
+    data_schema = T.StructType(
+        [
+            T.StructField(cmap.get(f.name, f.name), f.dataType, f.nullable)
+            for f in schema.fields
+            if f.name not in pset
+        ]
+    )
     df = spark.read.schema(data_schema).parquet(*paths)
+    for logical, physical in cmap.items():
+        df = df.withColumnRenamed(physical, logical)
     if predicate is not None:
         try:
             df = df.filter(predicate)
@@ -97,6 +117,7 @@ def read_entries(
     file_path_col: str | None = None,
     predicate=None,
     row_index_col: str | None = None,
+    column_mapping: "dict[str, str] | None" = None,
 ) -> DataFrame:
     """Read manifest entries, grouped by the partition spec each file was
     written under.
@@ -124,6 +145,7 @@ def read_entries(
             file_path_col=file_path_col,
             predicate=predicate,
             row_index_col=row_index_col,
+            column_mapping=column_mapping,
         )
         for key, fes in sorted(groups.items(), key=lambda kv: sorted(kv[0]))
     ]
@@ -143,6 +165,7 @@ def read_files_applying_deletes(
     file_path_col: str | None = None,
     predicate=None,
     row_index_col: str | None = None,
+    column_mapping: "dict[str, str] | None" = None,
 ) -> DataFrame:
     """Read live data files with merge-on-read deletes applied.
 
@@ -195,6 +218,7 @@ def read_files_applying_deletes(
                 file_path_col=file_path_col,
                 predicate=predicate,
                 row_index_col=row_index_col,
+                column_mapping=column_mapping,
             )
         )
     if covered:
@@ -208,6 +232,7 @@ def read_files_applying_deletes(
             schema,
             partition_cols,
             file_path_col="_kdi_abs",
+            column_mapping=column_mapping,
             predicate=predicate,
             # row index must come off the scan relation itself (metadata
             # columns do not survive joins), so request it whenever the

@@ -222,19 +222,62 @@ def compute_add_entries(
     staged_dir: str,
     schema: T.StructType,
     partition_cols: list[str],
+    column_mapping: "dict[str, str] | None" = None,
 ) -> list[FileEntry]:
     """Build FileEntry (Add) records for every parquet file under
     ``staged_dir`` — from parquet *footers* (no data scan; the reference's
     approach, writer.rs:655-707). Falls back to the Spark aggregation path
-    (``compute_add_entries_scan``) if footer reading fails."""
+    (``compute_add_entries_scan``) if footer reading fails.
+
+    ``column_mapping`` (logical → physical, renamed columns only): staged
+    files carry PHYSICAL column names (table/writer.py to_physical), so
+    stats are extracted under the physical schema and the stat keys are
+    mapped back to the CURRENT logical names — manifest stats always key
+    by the logical name at write time, and pruning on a freshly renamed
+    column works for new files immediately (old files degrade to the
+    conservative no-stats path until a rewrite refreshes them)."""
     from kafka_delta_ingest_spark.table.footer_stats import footer_add_entries
 
+    cmap = {k: v for k, v in (column_mapping or {}).items() if v != k}
+    phys_schema = T.StructType(
+        [
+            T.StructField(cmap.get(f.name, f.name), f.dataType, f.nullable)
+            for f in schema.fields
+        ]
+    )
     try:
-        return footer_add_entries(table_root, staged_dir, schema, partition_cols)
-    except Exception:  # noqa: BLE001 — exotic footer shapes: rescan instead
-        return compute_add_entries_scan(
-            spark, table_root, staged_dir, schema, partition_cols
+        entries = footer_add_entries(
+            table_root, staged_dir, phys_schema, partition_cols
         )
+    except Exception:  # noqa: BLE001 — exotic footer shapes: rescan instead
+        entries = compute_add_entries_scan(
+            spark, table_root, staged_dir, phys_schema, partition_cols
+        )
+    return _rekey_stats_logical(entries, cmap)
+
+
+def _rekey_stats_logical(
+    entries: list[FileEntry], cmap: "dict[str, str]"
+) -> list[FileEntry]:
+    """Map stat keys physical → logical (top-level path segment only:
+    renames apply to top-level fields)."""
+    if not cmap:
+        return entries
+    rev = {v: k for k, v in cmap.items()}
+
+    def mk(d: dict) -> dict:
+        out = {}
+        for key, val in d.items():
+            head, sep, rest = key.partition(".")
+            out[rev.get(head, head) + sep + rest] = val
+        return out
+
+    for e in entries:
+        e.stats = {
+            sect: (mk(vals) if isinstance(vals, dict) else vals)
+            for sect, vals in e.stats.items()
+        }
+    return entries
 
 
 def compute_add_entries_scan(

@@ -142,6 +142,16 @@ def _enforce_schema(df: DataFrame, schema) -> DataFrame:
     return df.select(*cols)
 
 
+def to_physical(df: DataFrame, column_mapping: "dict[str, str] | None") -> DataFrame:
+    """Rename logical columns to their immutable PHYSICAL parquet names
+    just before a data write (Delta column-mapping semantics; inverse of
+    the alias in scan.py read_files). Identity for unrenamed tables."""
+    for logical, physical in (column_mapping or {}).items():
+        if physical != logical:
+            df = df.withColumnRenamed(logical, physical)
+    return df
+
+
 def stage_dataframe(
     spark: SparkSession,
     table: Table,
@@ -149,6 +159,7 @@ def stage_dataframe(
     partition_cols: list[str],
     schema,
     properties: dict | None = None,
+    column_mapping: "dict[str, str] | None" = None,
 ) -> tuple[str, list[FileEntry]]:
     """Write ``df`` to a fresh per-commit data dir; return (dir, adds).
 
@@ -160,19 +171,25 @@ def stage_dataframe(
     writer options); None loads them from the current snapshot."""
     from kafka_delta_ingest_spark.table import transforms
 
-    if properties is None:
-        properties = table.snapshot().properties
+    if properties is None or column_mapping is None:
+        snap = table.snapshot()
+        if properties is None:
+            properties = snap.properties
+        if column_mapping is None:
+            column_mapping = snap.column_mapping
     absd, _rel = table.new_data_dir()
     out = apply_constraints(_enforce_schema(df, schema), properties)
     pkeys = transforms.keys(partition_cols)
     for k, expr in transforms.derived_exprs(partition_cols, schema).items():
         out = out.withColumn(k, expr)
     out = apply_sort_order(out, properties, pkeys)
+    out = to_physical(out, column_mapping)
     w = apply_write_options(out.write.mode("overwrite"), properties)
     if pkeys:
         w = w.partitionBy(*pkeys)
     w.parquet(absd)
-    adds = compute_add_entries(spark, table.root, absd, schema, pkeys)
+    adds = compute_add_entries(spark, table.root, absd, schema, pkeys,
+                               column_mapping=column_mapping)
     return absd, adds
 
 

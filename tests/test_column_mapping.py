@@ -1,0 +1,186 @@
+"""Column mapping (table/format.py rename_column / drop_column):
+metadata-only renames and drops, Delta column-mapping semantics over
+immutable PHYSICAL parquet names.
+
+The property under test everywhere: ZERO data files move on a rename or
+drop, yet every read path (scan, maintenance rewrites, time travel,
+rollback, checkpointed replay) sees the correct logical names and the
+correct values."""
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_delta_ingest_spark.datagen import make_small_file_table, tokens_df
+from kafka_delta_ingest_spark.functions.verify import content_fingerprint
+from kafka_delta_ingest_spark.table.format import SchemaEvolutionError
+from kafka_delta_ingest_spark.table.writer import write_dataframe
+
+
+def _mk(spark, root, **kw):
+    kw.setdefault("n_docs", 120)
+    kw.setdefault("n_files", 4)
+    kw.setdefault("max_tok", 8)
+    return make_small_file_table(spark, root, **kw)
+
+
+def test_rename_is_metadata_only_and_value_preserving(spark, tmp_table_root):
+    t = _mk(spark, tmp_table_root)
+    pre_files = {f.path for f in t.snapshot().files}
+    pre = {r["doc_id"]: r["n_tok"] for r in t.snapshot().scan(spark).collect()}
+    t.rename_column("n_tok", "tok_len")
+    snap = t.snapshot()
+    assert snap.column_mapping == {"tok_len": "n_tok"}
+    assert {f.path for f in snap.files} == pre_files  # zero data moved
+    got = {r["doc_id"]: r["tok_len"] for r in snap.scan(spark).collect()}
+    assert got == pre
+    # time travel: the pre-rename snapshot keeps its old logical name
+    v1 = snap.version - 1
+    old_cols = t.snapshot(v1).scan(spark).columns
+    assert "n_tok" in old_cols and "tok_len" not in old_cols
+
+
+def test_writes_after_rename_use_physical_names(spark, tmp_table_root):
+    t = _mk(spark, tmp_table_root)
+    pre_files = {f.path for f in t.snapshot().files}
+    t.rename_column("n_tok", "tok_len")
+    extra = (
+        tokens_df(spark, 30, seed=5, max_tok=8)
+        .withColumnRenamed("n_tok", "tok_len")
+        .withColumn("doc_id", F.concat(F.lit("x-"), F.col("doc_id")))
+    )
+    write_dataframe(spark, t, extra)
+    snap = t.snapshot()
+    newf = sorted({f.path for f in snap.files} - pre_files)
+    assert newf
+    for p in newf:
+        names = pq.read_schema(os.path.join(t.root, p)).names
+        # parquet pages carry the immutable PHYSICAL name
+        assert "n_tok" in names and "tok_len" not in names
+    # ...while manifest stats key by the CURRENT logical name
+    fe = next(f for f in snap.files if f.path == newf[0])
+    assert "tok_len" in fe.stats["min"] and "n_tok" not in fe.stats["min"]
+    assert snap.scan(spark).count() == 150
+
+
+def test_maintenance_rewrites_under_mapping(spark, tmp_table_root):
+    from kafka_delta_ingest_spark.maintenance.merge import merge_into
+    from kafka_delta_ingest_spark.maintenance.optimize import optimize
+
+    t = _mk(spark, tmp_table_root)
+    t.rename_column("n_tok", "tok_len")
+    fp = content_fingerprint(t.snapshot().scan(spark))
+    optimize(spark, t, dims=["source", "tok_len", "doc_id"], curve="zorder",
+             target_file_bytes=64 * 1024 * 1024)
+    assert content_fingerprint(t.snapshot().scan(spark)) == fp
+
+    # MERGE by the renamed key column's table: upsert one doc
+    src = (
+        tokens_df(spark, 120, max_tok=8)
+        .withColumnRenamed("n_tok", "tok_len")
+        .where(F.col("doc_id") == f"doc-{7:012d}")
+        .withColumn("tokens", F.transform("tokens", lambda x: x + F.lit(1)))
+    )
+    merge_into(spark, t, src, key="doc_id", job_id="cm-merge")
+    assert content_fingerprint(t.snapshot().scan(spark)) != fp
+    assert t.snapshot().scan(spark).count() == 120
+
+
+def test_drop_column_and_ghost_guard(spark, tmp_table_root):
+    from pyspark.sql import types as T
+
+    t = _mk(spark, tmp_table_root, partition_by_source=False)
+    pre_files = {f.path for f in t.snapshot().files}
+    v_pre = t.latest_version()
+    t.drop_column("n_tok")
+    snap = t.snapshot()
+    assert {f.path for f in snap.files} == pre_files
+    assert "n_tok" not in snap.scan(spark).columns
+    assert snap.dropped_physical == ["n_tok"]
+    # pinned pre-drop snapshot still reads the column
+    assert "n_tok" in t.snapshot(v_pre).scan(spark).columns
+    # re-adding the same name would resurrect old files' bytes — refused
+    with pytest.raises(SchemaEvolutionError, match="shadow"):
+        t.evolve_schema(
+            T.StructType(
+                list(snap.schema.fields)
+                + [T.StructField("n_tok", T.IntegerType(), True)]
+            )
+        )
+    # a fresh name is fine
+    t.evolve_schema(
+        T.StructType(
+            list(snap.schema.fields)
+            + [T.StructField("n_tok2", T.IntegerType(), True)]
+        )
+    )
+    assert "n_tok2" in t.snapshot().scan(spark).columns
+
+
+def test_rename_guards(spark, tmp_table_root):
+    from kafka_delta_ingest_spark.maintenance.dml import delete_where
+
+    t = _mk(spark, tmp_table_root)  # partitioned by source
+    with pytest.raises(SchemaEvolutionError, match="partition-spec"):
+        t.rename_column("source", "origin")
+    with pytest.raises(SchemaEvolutionError, match="already exists"):
+        t.rename_column("n_tok", "doc_id")
+    with pytest.raises(SchemaEvolutionError, match="unknown column"):
+        t.rename_column("nope", "x")
+    # rename back onto the physical name is allowed (identity mapping)
+    t.rename_column("n_tok", "tok_len")
+    t.rename_column("tok_len", "n_tok")
+    assert t.snapshot().column_mapping == {}
+    # refused while MOR deletes are live
+    delete_where(spark, t, [("doc_id", "=", f"doc-{3:012d}")],
+                 mode="merge_on_read")
+    with pytest.raises(SchemaEvolutionError, match="merge-on-read"):
+        t.rename_column("n_tok", "tok_len")
+
+
+def test_rollback_restores_mapping(spark, tmp_table_root):
+    from kafka_delta_ingest_spark.maintenance.rollback import rollback
+
+    t = _mk(spark, tmp_table_root)
+    v_pre = t.latest_version()
+    fp = content_fingerprint(t.snapshot().scan(spark))
+    t.rename_column("n_tok", "tok_len")
+    extra = (
+        tokens_df(spark, 10, seed=6, max_tok=8)
+        .withColumnRenamed("n_tok", "tok_len")
+        .withColumn("doc_id", F.concat(F.lit("y-"), F.col("doc_id")))
+    )
+    write_dataframe(spark, t, extra)
+    rollback(t, v_pre)
+    snap = t.snapshot()
+    assert snap.column_mapping == {} and "n_tok" in snap.scan(spark).columns
+    assert content_fingerprint(snap.scan(spark)) == fp
+
+
+def test_mapping_survives_checkpointed_replay(spark, tmp_table_root):
+    from kafka_delta_ingest_spark.table.format import Table
+
+    t = _mk(spark, tmp_table_root, n_files=2)
+    t.rename_column("n_tok", "tok_len")
+    fp = content_fingerprint(t.snapshot().scan(spark))
+    # push past a checkpoint boundary (every 10th version)
+    for i in range(10):
+        t.set_properties({f"k{i}": str(i)})
+    assert t._latest_checkpoint_at_or_before(t.latest_version()) is not None
+    # fresh Table object replays from the checkpoint
+    t2 = Table(t.root)
+    snap = t2.snapshot()
+    assert snap.column_mapping == {"tok_len": "n_tok"}
+    assert content_fingerprint(snap.scan(spark)) == fp
+
+
+def test_python_datasource_refuses_mapped_tables(spark, tmp_table_root):
+    t = _mk(spark, tmp_table_root, n_files=2)
+    t.rename_column("n_tok", "tok_len")
+    from kafka_delta_ingest_spark.sources.table_batch import register
+
+    register(spark)
+    with pytest.raises(Exception, match="column-mapped"):
+        spark.read.format("kdi-table").option("path", t.root).load().count()
