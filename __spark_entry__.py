@@ -207,6 +207,29 @@ def q_bloom_prune_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _scan_summary(t.snapshot().scan(spark))
 
 
+def q_adopt_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Migrate-in-place (maintenance/adopt.py, the Iceberg snapshot/
+    migrate + Delta CONVERT procedure): a plain hive-partitioned parquet
+    directory becomes a table by HARD LINK — zero bytes copied, footer
+    stats in the manifest from commit one, the source dir deleted
+    afterwards to prove self-containment. The scan of the adopted table
+    must hash-match the original rows exactly."""
+    import shutil
+
+    from kafka_delta_ingest_spark.maintenance.adopt import adopt_parquet
+
+    src_dir = _tmp_root("adopt_src")
+    root = _tmp_root("adopt_tbl")
+    shutil.rmtree(src_dir, ignore_errors=True)
+    shutil.rmtree(root, ignore_errors=True)
+    tokens_from_documents(spark, sf_dir).repartition(8).write.partitionBy(
+        "source"
+    ).parquet(src_dir)
+    t = adopt_parquet(spark, root, src_dir, job_id="q-adopt")
+    shutil.rmtree(src_dir)  # the table must survive its source
+    return _scan_summary(t.snapshot().scan(spark))
+
+
 def q_column_mapping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only column rename (Delta column-mapping semantics,
     table/format.py rename_column): ``n_tok`` becomes ``tok_len`` with
@@ -2759,6 +2782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overwrite_where_scan": q_overwrite_where_scan,
         "overwrite_dynamic_scan": q_overwrite_dynamic_scan,
         "column_mapping_scan": q_column_mapping_scan,
+        "adopt_scan": q_adopt_scan,
         "expire_gc_scan": q_expire_gc_scan,
         "manifest_stats": q_manifest_stats,
         "minhash_near_dups": q_minhash_near_dups,
@@ -3884,6 +3908,11 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT * FROM inserted
             )
             SELECT doc_id, n_tok, source, {_TOK_CHECKSUM_SQL} AS tok_sum FROM final
+        """,
+        "adopt_scan": f"""
+            WITH base AS ({_TOKENS_SQL})
+            SELECT doc_id, n_tok, source, {_TOK_CHECKSUM_SQL} AS tok_sum
+            FROM base
         """,
         "column_mapping_scan": f"""
             WITH base AS ({_TOKENS_SQL}),

@@ -34,7 +34,7 @@ def main():
             "describe", "optimize-partitions", "plan-files",
             "analyze", "ndv", "bloom", "generate-manifest", "clone",
             "doctor", "overwrite", "overwrite-dynamic", "rename-column",
-            "drop-column",
+            "drop-column", "adopt",
         ],
     )
     p.add_argument(
@@ -145,6 +145,24 @@ def main():
     from kafka_delta_ingest_spark.table.format import Table
 
     spark = SparkSession.builder.getOrCreate()
+    if args.op == "adopt":
+        # adopt CREATES the table — no existing log to load
+        from kafka_delta_ingest_spark.maintenance.adopt import adopt_parquet
+
+        if not args.source_parquet:
+            p.error("--source-parquet is required for --op adopt")
+        t = adopt_parquet(
+            spark, args.table, args.source_parquet,
+            job_id=args.job_id or "adopt",
+        )
+        snap = t.snapshot()
+        print(json.dumps({
+            "version": snap.version,
+            "files": len(snap.files),
+            "rows": snap.num_records(),
+            "partition_spec": snap.partition_cols,
+        }))
+        return
     table = Table(args.table)
 
     scope = [tuple(c) for c in json.loads(args.scope)] if args.scope else None
