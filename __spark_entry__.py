@@ -207,6 +207,75 @@ def q_bloom_prune_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _scan_summary(t.snapshot().scan(spark))
 
 
+def q_default_values_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-v3 initial column defaults (table/format.py evolve_schema
+    defaults=): ``weight int DEFAULT 7`` is added metadata-only — files
+    that predate the column read 7 via the data-sequence-number test
+    (scan.py read_entries), while rows appended AFTER the add keep their
+    writer-supplied values. The oracle replays both populations
+    arithmetically, so a default leaking onto new rows, a NULL where 7
+    belongs, or a wrong seq comparison all hash-mismatch."""
+    from pyspark.sql import types as T
+
+    from kafka_delta_ingest_spark.table.writer import write_dataframe
+
+    t = _build_tokens_table(spark, sf_dir, _tmp_root("defaults"))
+    snap = t.snapshot()
+    t.evolve_schema(
+        T.StructType(
+            list(snap.schema.fields)
+            + [T.StructField("weight", T.IntegerType(), True)]
+        ),
+        defaults={"weight": 7},
+    )
+    base = tokens_from_documents(spark, sf_dir)
+    did = F.col("doc_id").cast("long")
+    extra = (
+        base.where(did % 17 == 0)
+        .withColumn("doc_id", (did + 50_000_000).cast("string"))
+        .withColumn("weight", F.col("n_tok").cast("int"))
+    )
+    write_dataframe(spark, t, extra)
+    return t.snapshot().scan(spark).select(
+        "doc_id", "n_tok", "source", "weight",
+        _tok_checksum().alias("tok_sum"),
+    )
+
+
+def q_type_widening_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type widening (Iceberg promotion rules, table/format.py
+    evolve_schema): ``n_tok`` int → bigint is metadata-only — parquet
+    pages keep INT32 and Spark's vectorized reader up-casts at scan.
+    Rows appended after the widen carry values only a bigint can hold
+    (> 2^31), so a scan that silently re-narrowed, or failed to read the
+    old physical type under the wide schema, hash-mismatches."""
+    from pyspark.sql import types as T
+
+    from kafka_delta_ingest_spark.table.writer import write_dataframe
+
+    t = _build_tokens_table(spark, sf_dir, _tmp_root("widen"))
+    snap = t.snapshot()
+    t.evolve_schema(
+        T.StructType(
+            [
+                T.StructField("n_tok", T.LongType(), f.nullable)
+                if f.name == "n_tok" else f
+                for f in snap.schema.fields
+            ]
+        )
+    )
+    base = tokens_from_documents(spark, sf_dir)
+    did = F.col("doc_id").cast("long")
+    big = base.where(did % 23 == 0).select(
+        (did + 60_000_000).cast("string").alias("doc_id"),
+        F.col("tokens"),
+        (F.lit(2**31) + F.col("n_tok").cast("long")).alias("n_tok"),
+        F.col("source"),
+    )
+    write_dataframe(spark, t, big)
+    return _scan_summary(t.snapshot().scan(spark))
+
+
 def q_adopt_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Migrate-in-place (maintenance/adopt.py, the Iceberg snapshot/
     migrate + Delta CONVERT procedure): a plain hive-partitioned parquet
@@ -2783,6 +2852,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overwrite_dynamic_scan": q_overwrite_dynamic_scan,
         "column_mapping_scan": q_column_mapping_scan,
         "adopt_scan": q_adopt_scan,
+        "default_values_scan": q_default_values_scan,
+        "type_widening_scan": q_type_widening_scan,
         "expire_gc_scan": q_expire_gc_scan,
         "manifest_stats": q_manifest_stats,
         "minhash_near_dups": q_minhash_near_dups,
@@ -3913,6 +3984,38 @@ def oracle_sql() -> dict[str, str]:
             WITH base AS ({_TOKENS_SQL})
             SELECT doc_id, n_tok, source, {_TOK_CHECKSUM_SQL} AS tok_sum
             FROM base
+        """,
+        "type_widening_scan": f"""
+            WITH base AS ({_TOKENS_SQL}),
+            old AS (
+              SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, source, tokens
+              FROM base
+            ),
+            big AS (
+              SELECT CAST(CAST(doc_id AS BIGINT) + 60000000 AS VARCHAR) AS doc_id,
+                     CAST(2147483648 + n_tok AS BIGINT) AS n_tok, source, tokens
+              FROM base WHERE CAST(doc_id AS BIGINT) % 23 = 0
+            ),
+            final AS (SELECT * FROM old UNION ALL SELECT * FROM big)
+            SELECT doc_id, n_tok, source, {_TOK_CHECKSUM_SQL} AS tok_sum
+            FROM final
+        """,
+        "default_values_scan": f"""
+            WITH base AS ({_TOKENS_SQL}),
+            old AS (
+              SELECT doc_id, n_tok, source, CAST(7 AS INTEGER) AS weight,
+                     tokens
+              FROM base
+            ),
+            extra AS (
+              SELECT CAST(CAST(doc_id AS BIGINT) + 50000000 AS VARCHAR) AS doc_id,
+                     n_tok, source, CAST(n_tok AS INTEGER) AS weight, tokens
+              FROM base WHERE CAST(doc_id AS BIGINT) % 17 = 0
+            ),
+            final AS (SELECT * FROM old UNION ALL SELECT * FROM extra)
+            SELECT doc_id, n_tok, source, weight,
+                   {_TOK_CHECKSUM_SQL} AS tok_sum
+            FROM final
         """,
         "column_mapping_scan": f"""
             WITH base AS ({_TOKENS_SQL}),

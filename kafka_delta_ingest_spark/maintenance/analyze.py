@@ -166,6 +166,7 @@ def analyze(
             snap.partition_cols,
             file_path_col="_file",
             column_mapping=snap.column_mapping,
+            file_defaults=snap.defaults,
         )
         return (
             _register_rows(df, cols, p, salt, family)

@@ -176,6 +176,7 @@ def build_bloom(
         df = read_entries(
             spark, table.root, entries, snap.schema, snap.partition_cols,
             file_path_col="_file", column_mapping=snap.column_mapping,
+            file_defaults=snap.defaults,
         ).withColumn(
             "path", F.expr(f"substring(_file, {len(root_prefix) + 1})")
         )

@@ -95,6 +95,9 @@ def rollback(table: Table, to_version: int) -> dict:
             "map": target.column_mapping,
             "dropped": target.dropped_physical,
         }
+    defaults_update: dict | None = None
+    if target.defaults != head_snap.defaults:
+        defaults_update = target.defaults
     txn = Transaction(
         operation="rollback",
         adds=adds,
@@ -105,6 +108,7 @@ def rollback(table: Table, to_version: int) -> dict:
         metadata={"rolled_back_to": to_version, "from_version": head_snap.version},
         schema_update=schema_update,
         mapping_update=mapping_update,
+        defaults_update=defaults_update,
     )
     v = table.commit(txn)
     return {

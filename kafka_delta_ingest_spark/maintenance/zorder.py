@@ -504,6 +504,7 @@ def cluster(
                 snap.schema,
                 pkeys,
                 column_mapping=snap.column_mapping,
+                file_defaults=snap.defaults,
             )
             for k, expr in dexprs.items():
                 bounds_in = bounds_in.withColumn(k, expr)

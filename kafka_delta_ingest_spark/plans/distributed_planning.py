@@ -232,6 +232,15 @@ def schema_spec_mapping(
 ) -> "tuple[T.StructType, list[str], dict]":
     """schema + spec + column mapping (logical → physical) at ``version``,
     from checkpoint footer metadata and tail commits only."""
+    schema, spec, cmap, _d = schema_spec_mapping_defaults(table, version)
+    return schema, spec, cmap
+
+
+def schema_spec_mapping_defaults(
+    table: Table, version: int | None = None
+) -> "tuple[T.StructType, list[str], dict, dict]":
+    """schema + spec + column mapping + column defaults at ``version``,
+    from checkpoint footer metadata and tail commits only."""
     import pyarrow.parquet as pq
 
     head = table.latest_version()
@@ -240,6 +249,7 @@ def schema_spec_mapping(
     schema: T.StructType | None = None
     spec: list[str] = []
     cmap: dict = {}
+    defaults: dict = {}
     start = 0
     if ckpt is not None:
         meta = json.loads(
@@ -249,6 +259,7 @@ def schema_spec_mapping(
         schema = T.StructType.fromJson(meta["schema"])
         spec = meta["partition_cols"]
         cmap = dict(meta.get("column_mapping", {}).get("map", {}))
+        defaults = dict(meta.get("column_defaults", {}))
         start = ckpt + 1
     for i in range(start, v + 1):
         c = table._read_commit(i)
@@ -257,9 +268,11 @@ def schema_spec_mapping(
             spec = c["metadata"].get("partition_cols", [])
         if "metadata" in c and "column_mapping" in c["metadata"]:
             cmap = dict(c["metadata"]["column_mapping"].get("map", {}))
+        if "metadata" in c and "column_defaults" in c["metadata"]:
+            defaults = dict(c["metadata"]["column_defaults"])
     if schema is None:
         raise ValueError(f"no schema found for version {v}")
-    return schema, spec, cmap
+    return schema, spec, cmap, defaults
 
 
 def delete_entries_at(table: Table, version: int | None = None) -> list:
@@ -327,7 +340,7 @@ def scan_planned(
     from kafka_delta_ingest_spark.table.format import FileEntry
     from kafka_delta_ingest_spark.table.scan import read_files_applying_deletes
 
-    schema, spec, cmap = schema_spec_mapping(table, version)
+    schema, spec, cmap, defaults = schema_spec_mapping_defaults(table, version)
     mdf = manifest_df(spark, table, version)
     survivors = prune_manifest(mdf, conjuncts, schema, spec).collect()
     entries = [
@@ -353,6 +366,7 @@ def scan_planned(
         transforms.keys(spec),
         predicate=predicate,
         column_mapping=cmap,
+        file_defaults=defaults,
     )
     if predicate is not None:
         # the reader only pushes data-column predicates into the parquet

@@ -370,6 +370,13 @@ class KdiTableDataSource(DataSource):
         if not root:
             raise ValueError("kdi-table requires .option('path', ...)")
         snap = Table(root).snapshot(self._version())
+        if snap.defaults:
+            # this source's arrow reader would surface NULLs where the
+            # native scan applies initial defaults (scan.py read_entries)
+            raise ValueError(
+                "kdi-table does not support tables with column defaults "
+                "— read via Table.snapshot().scan(spark)"
+            )
         if snap.column_mapping or snap.dropped_physical:
             # this source's arrow reader selects parquet columns by the
             # logical schema names; a renamed/dropped table needs the

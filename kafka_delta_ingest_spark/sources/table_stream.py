@@ -414,6 +414,12 @@ class TableAppendsDataSource(DataSource):
         if not root:
             raise ValueError("kdi-table-appends requires .option('path', ...)")
         snap = Table(root).snapshot()
+        if snap.defaults:
+            raise ValueError(
+                "kdi-table-appends does not support tables with column "
+                "defaults — the arrow reader would surface NULLs where "
+                "the native scan applies them"
+            )
         if snap.column_mapping or snap.dropped_physical:
             # the arrow reader selects parquet columns by logical name;
             # column-mapped tables need the native scan's physical aliasing

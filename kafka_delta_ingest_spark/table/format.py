@@ -52,6 +52,20 @@ CHECKPOINT_INTERVAL = 10  # ref src/delta_helpers.rs:46
 DEFAULT_COMMIT_RETRIES = 64  # ref src/lib.rs:73 uses 10_000_000; we bound sanely
 HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"  # ref src/writer.rs:43
 
+# type-widening promotion lattice (Iceberg evolution rules): the parquet
+# pages keep the narrow physical type, Spark's reader up-casts at scan
+# (probed: vectorized reader reads INT32 under a bigint read schema)
+_WIDEN: "dict[type, tuple[type, ...]]" = {
+    T.ByteType: (T.ShortType, T.IntegerType, T.LongType),
+    T.ShortType: (T.IntegerType, T.LongType),
+    T.IntegerType: (T.LongType,),
+    T.FloatType: (T.DoubleType,),
+}
+
+
+def _is_widening(old: T.DataType, new: T.DataType) -> bool:
+    return type(new) in _WIDEN.get(type(old), ())
+
 
 class TableError(Exception):
     pass
@@ -245,6 +259,13 @@ class Transaction:
     # and drops are metadata-only (Delta column-mapping / Iceberg
     # field-id semantics rebuilt over names)
     mapping_update: "dict | None" = None
+    # when set, this commit REPLACES the column-defaults state:
+    # {col: {"value": <json literal>, "added_seq": int|None}} — Iceberg
+    # v3 initial-defaults: rows of files whose data sequence number
+    # predates ``added_seq`` read the default instead of NULL. An
+    # ``added_seq`` of None is stamped with the actual committed version
+    # inside commit() (CAS retries may bump it)
+    defaults_update: "dict | None" = None
 
 
 class Snapshot:
@@ -265,6 +286,7 @@ class Snapshot:
         properties: dict | None = None,
         column_mapping: dict | None = None,
         dropped_physical: list | None = None,
+        defaults: dict | None = None,
     ):
         self.table = table
         self.version = version
@@ -283,6 +305,9 @@ class Snapshot:
         # physical names of dropped columns — tombstones that block a new
         # column from silently resurrecting old files' data
         self.dropped_physical = list(dropped_physical or [])
+        # Iceberg-v3 initial defaults: {col: {"value": lit, "added_seq": v}}
+        # — files with seq < added_seq read the default instead of NULL
+        self.defaults = dict(defaults or {})
 
     @property
     def files(self) -> list[FileEntry]:
@@ -385,6 +410,7 @@ class Snapshot:
             predicate=predicate,
             row_index_col=row_index_col,
             column_mapping=self.column_mapping,
+            file_defaults=self.defaults,
         )
 
 
@@ -528,6 +554,7 @@ class Table:
         partition_cols: list[str] = []
         properties: dict = {}
         colmap: dict = {"map": {}, "dropped": []}
+        defaults: dict = {}
 
         start = 0
         ckpt = self._latest_checkpoint_at_or_before(v)
@@ -539,6 +566,7 @@ class Table:
             app_txns = dict(meta.get("app_txns", {}))
             properties = dict(meta.get("properties", {}))
             colmap = dict(meta.get("column_mapping", colmap))
+            defaults = dict(meta.get("column_defaults", {}))
             for d in meta.get("delete_entries", []):
                 de = DeleteEntry.from_json(d)
                 deletes[de.path] = de
@@ -566,6 +594,8 @@ class Table:
                 properties = dict(c["metadata"]["properties"])
             if "metadata" in c and "column_mapping" in c["metadata"]:
                 colmap = dict(c["metadata"]["column_mapping"])
+            if "metadata" in c and "column_defaults" in c["metadata"]:
+                defaults = dict(c["metadata"]["column_defaults"])
             removed = c.get("remove", [])
             for rp in removed:
                 files.pop(rp, None)
@@ -626,6 +656,7 @@ class Table:
             properties=properties,
             column_mapping=colmap.get("map", {}),
             dropped_physical=colmap.get("dropped", []),
+            defaults=defaults,
         )
 
     # --------------------------------------------------------------- commit
@@ -659,8 +690,17 @@ class Table:
             )
         )
 
-    def evolve_schema(self, new_schema: T.StructType) -> int:
+    def evolve_schema(
+        self, new_schema: T.StructType, defaults: "dict[str, Any] | None" = None
+    ) -> int:
         """Additive schema evolution as a metadata-only atomic commit.
+
+        ``defaults``: optional ``{new_column: literal}`` initial defaults
+        (Iceberg v3): rows of files written BEFORE the column existed
+        read the default instead of NULL — metadata-only, applied at scan
+        by the data-sequence-number test ``file.seq < added_seq``. Rows
+        written after the add keep whatever the writer supplied
+        (explicit NULL stays NULL). Primitive literals only.
 
         Only ADD-nullable-column is allowed: every existing field must
         appear unchanged (name, type, nullability) and every new field
@@ -681,11 +721,22 @@ class Table:
             raise SchemaEvolutionError(f"cannot drop columns: {dropped}")
         for name, f in old.items():
             nf = new[name]
-            if nf.dataType != f.dataType or nf.nullable != f.nullable:
+            type_ok = nf.dataType == f.dataType or _is_widening(
+                f.dataType, nf.dataType
+            )
+            # relaxing NOT NULL -> nullable is always safe (Iceberg's
+            # make_column_optional); the reverse is not provable
+            null_ok = nf.nullable == f.nullable or (
+                nf.nullable and not f.nullable
+            )
+            if not (type_ok and null_ok):
                 raise SchemaEvolutionError(
                     f"cannot change column {name!r}: "
                     f"{f.dataType.simpleString()} (nullable={f.nullable}) -> "
-                    f"{nf.dataType.simpleString()} (nullable={nf.nullable})"
+                    f"{nf.dataType.simpleString()} (nullable={nf.nullable}) "
+                    "— only widening promotions "
+                    "(byte→short→int→long, float→double) and NOT NULL "
+                    "relaxation are allowed"
                 )
         bad = sorted(n for n, f in new.items() if n not in old and not f.nullable)
         if bad:
@@ -704,11 +755,33 @@ class Table:
                 "(dropped or renamed-away columns leave their parquet "
                 "name occupied in old files)"
             )
+        defaults_update = None
+        if defaults:
+            added = set(new) - set(old)
+            bad_cols = sorted(set(defaults) - added)
+            if bad_cols:
+                raise SchemaEvolutionError(
+                    f"defaults only apply to newly added columns: {bad_cols}"
+                )
+            for c, val in defaults.items():
+                if not isinstance(val, (int, float, str, bool)):
+                    raise SchemaEvolutionError(
+                        f"default for {c!r} must be a primitive literal, "
+                        f"got {type(val).__name__}"
+                    )
+            defaults_update = {
+                **snap.defaults,
+                **{
+                    c: {"value": v, "added_seq": None}  # stamped in commit()
+                    for c, v in defaults.items()
+                },
+            }
         return self.commit(
             Transaction(
                 operation="evolve-schema",
                 data_change=False,
                 schema_update=new_schema,
+                defaults_update=defaults_update,
             )
         )
 
@@ -771,6 +844,10 @@ class Table:
         mapping.pop(old, None)
         if new != physical:
             mapping[new] = physical
+        defaults_update = None
+        if old in snap.defaults:
+            defaults_update = dict(snap.defaults)
+            defaults_update[new] = defaults_update.pop(old)
         return self.commit(
             Transaction(
                 operation="rename-column",
@@ -780,6 +857,7 @@ class Table:
                     "map": mapping,
                     "dropped": snap.dropped_physical,
                 },
+                defaults_update=defaults_update,
                 metadata={"renamed": {old: new}},
             )
         )
@@ -800,12 +878,17 @@ class Table:
         mapping = dict(snap.column_mapping)
         mapping.pop(name, None)
         dropped = sorted(set(snap.dropped_physical) | {physical})
+        defaults_update = None
+        if name in snap.defaults:
+            defaults_update = dict(snap.defaults)
+            defaults_update.pop(name)
         return self.commit(
             Transaction(
                 operation="drop-column",
                 data_change=False,
                 schema_update=new_schema,
                 mapping_update={"map": mapping, "dropped": dropped},
+                defaults_update=defaults_update,
                 metadata={"dropped_column": name},
             )
         )
@@ -990,6 +1073,25 @@ class Table:
                     "partition_cols", snap.partition_cols
                 )
                 commit["metadata"]["column_mapping"] = txn.mapping_update
+            if txn.defaults_update is not None:
+                commit.setdefault("metadata", {}).setdefault(
+                    "schema", json.loads((txn.schema_update or snap.schema).json())
+                )
+                commit["metadata"].setdefault(
+                    "partition_cols", snap.partition_cols
+                )
+                # stamp the ACTUAL version: CAS retries bump v, and the
+                # applies-to test (file.seq < added_seq) must not claim
+                # files committed by the racers we lost to
+                stamped = {
+                    c: {
+                        "value": d["value"],
+                        "added_seq": v if d.get("added_seq") is None
+                        else d["added_seq"],
+                    }
+                    for c, d in txn.defaults_update.items()
+                }
+                commit["metadata"]["column_defaults"] = stamped
             try:
                 self._atomic_write_version(v, commit)
             except FileExistsError:
@@ -1029,6 +1131,7 @@ class Table:
                 "map": snap.column_mapping,
                 "dropped": snap.dropped_physical,
             },
+            "column_defaults": snap.defaults,
             # position-delete entries ride in the metadata blob: they are
             # few by construction (rewrite_position_deletes folds them in,
             # replay drops them with their covered files), unlike the

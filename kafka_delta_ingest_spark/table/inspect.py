@@ -34,6 +34,7 @@ from pyspark.sql import types as T
 
 from kafka_delta_ingest_spark.table.format import (
     HIVE_DEFAULT_PARTITION,
+    FileEntry,
     Table,
     TableError,
 )
@@ -67,6 +68,7 @@ def incremental_scan(
         )
     snap = table.snapshot(to_version)  # schema as of to_version
     paths: list[str] = []
+    entries: list = []
     for v in range(from_version + 1, to_version + 1):
         c = table._read_commit(v)
         if not c.get("data_change", True):
@@ -82,7 +84,12 @@ def incremental_scan(
                 "(merge-on-read DELETE); the range is not expressible as "
                 "an append-only delta"
             )
-        paths.extend(os.path.join(table.root, a["path"]) for a in c.get("add", []))
+        for a in c.get("add", []):
+            fe = FileEntry.from_json(a)
+            if fe.seq is None:
+                fe.seq = v
+            entries.append(fe)
+            paths.append(os.path.join(table.root, a["path"]))
     missing = [p for p in paths if not os.path.exists(p)]
     if missing:
         raise IncrementalScanError(
@@ -92,10 +99,12 @@ def incremental_scan(
     if not paths:
         df = spark.createDataFrame([], snap.schema)
         return df.select(*columns) if columns else df
-    from kafka_delta_ingest_spark.table.scan import read_files
+    from kafka_delta_ingest_spark.table.scan import read_entries
 
-    df = read_files(spark, paths, snap.schema, snap.partition_cols,
-                    column_mapping=snap.column_mapping)
+    df = read_entries(spark, table.root, entries, snap.schema,
+                      snap.partition_cols,
+                      column_mapping=snap.column_mapping,
+                      file_defaults=snap.defaults)
     return df.select(*columns) if columns else df
 
 

@@ -118,9 +118,17 @@ def read_entries(
     predicate=None,
     row_index_col: str | None = None,
     column_mapping: "dict[str, str] | None" = None,
+    file_defaults: "dict | None" = None,
 ) -> DataFrame:
     """Read manifest entries, grouped by the partition spec each file was
     written under.
+
+    ``file_defaults`` (``{col: {"value": lit, "added_seq": v}}``, Iceberg
+    v3 initial defaults): files whose data sequence number predates a
+    column's ``added_seq`` never contained it, so their rows read the
+    recorded default instead of NULL. Applied per GROUP (files sharing
+    the same missing-column set), as a literal projection — free in
+    codegen, no data rewritten.
 
     A file's spec is its ``partition_values`` key set — recorded per file
     at write time, so after ``Table.evolve_partitioning`` old files keep
@@ -131,24 +139,36 @@ def read_entries(
     stay tiny (one per evolution), so this is one extra scan relation per
     historical spec, not per file; a rewrite (compaction/optimize)
     migrates files to the current spec lazily."""
-    groups: dict[frozenset, list] = {}
+    fd = file_defaults or {}
+    groups: dict[tuple, list] = {}
     for fe in file_entries:
-        groups.setdefault(frozenset(fe.partition_values.keys()), []).append(fe)
+        missing = frozenset(
+            c
+            for c, d in fd.items()
+            if (fe.seq if fe.seq is not None else 0) < d["added_seq"]
+        )
+        key = (frozenset(fe.partition_values.keys()), missing)
+        groups.setdefault(key, []).append(fe)
     if not groups:
-        groups[frozenset(partition_cols)] = []
-    parts = [
-        read_files(
+        groups[(frozenset(partition_cols), frozenset())] = []
+    types = {f.name: f.dataType for f in schema.fields}
+    parts = []
+    for (pvkey, missing), fes in sorted(
+        groups.items(), key=lambda kv: (sorted(kv[0][0]), sorted(kv[0][1]))
+    ):
+        df = read_files(
             spark,
             [f"{root}/{fe.path}" for fe in fes],
             schema,
-            sorted(key),
+            sorted(pvkey),
             file_path_col=file_path_col,
             predicate=predicate,
             row_index_col=row_index_col,
             column_mapping=column_mapping,
         )
-        for key, fes in sorted(groups.items(), key=lambda kv: sorted(kv[0]))
-    ]
+        for c in sorted(missing):
+            df = df.withColumn(c, F.lit(fd[c]["value"]).cast(types[c]))
+        parts.append(df)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -166,6 +186,7 @@ def read_files_applying_deletes(
     predicate=None,
     row_index_col: str | None = None,
     column_mapping: "dict[str, str] | None" = None,
+    file_defaults: "dict | None" = None,
 ) -> DataFrame:
     """Read live data files with merge-on-read deletes applied.
 
@@ -219,6 +240,7 @@ def read_files_applying_deletes(
                 predicate=predicate,
                 row_index_col=row_index_col,
                 column_mapping=column_mapping,
+                file_defaults=file_defaults,
             )
         )
     if covered:
@@ -233,6 +255,7 @@ def read_files_applying_deletes(
             partition_cols,
             file_path_col="_kdi_abs",
             column_mapping=column_mapping,
+            file_defaults=file_defaults,
             predicate=predicate,
             # row index must come off the scan relation itself (metadata
             # columns do not survive joins), so request it whenever the
