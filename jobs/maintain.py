@@ -34,7 +34,7 @@ def main():
             "describe", "optimize-partitions", "plan-files",
             "analyze", "ndv", "bloom", "generate-manifest", "clone",
             "doctor", "overwrite", "overwrite-dynamic", "rename-column",
-            "drop-column", "adopt",
+            "drop-column", "adopt", "truncate",
         ],
     )
     p.add_argument(
@@ -365,6 +365,9 @@ def main():
         out = analyze(
             spark, table, [c.strip() for c in args.columns.split(",")]
         )
+    elif args.op == "truncate":
+        v = table.truncate()
+        out = {"version": v, "rows": 0}
     elif args.op in ("rename-column", "drop-column"):
         if not args.column:
             p.error(f"--column is required for --op {args.op}")

@@ -201,6 +201,26 @@ def check_table(table: Table) -> dict:
                 )
             )
 
+    # bloom artifact sanity (same contract as the NDV artifact): the
+    # index must point at an existing directory; a stale-but-valid index
+    # is fine (uncovered files are conservatively touched by consumers)
+    from kafka_delta_ingest_spark.maintenance.bloom import (
+        _bloom_dir,
+        load_index as load_bloom_index,
+    )
+
+    bidx = load_bloom_index(table)
+    if bidx is not None:
+        bart = os.path.join(_bloom_dir(table), bidx["artifact"])
+        if not os.path.isdir(bart):
+            findings.append(
+                _finding(
+                    "bloom", "error",
+                    f"bloom INDEX.json points at missing artifact "
+                    f"{bidx['artifact']}",
+                )
+            )
+
     # orphan pressure (informational): unreferenced bytes under data/
     orphan_bytes = 0
     for dirpath, _dirs, files in os.walk(table.data_dir):

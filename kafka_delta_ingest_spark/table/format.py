@@ -893,6 +893,23 @@ class Table:
             )
         )
 
+    def truncate(self) -> int:
+        """TRUNCATE TABLE: one metadata-only commit removing every live
+        data file and delete entry — zero data I/O at any scale. Pinned
+        pre-truncate snapshots keep reading their files until snapshot
+        expiry + orphan GC reclaims them (Delta TRUNCATE semantics:
+        logical emptiness now, physical reclamation later)."""
+        snap = self.snapshot()
+        return self.commit(
+            Transaction(
+                operation="truncate",
+                removes=[f.path for f in snap.files],
+                remove_deletes=[de.path for de in snap.delete_entries],
+                data_change=True,
+            ),
+            expected_schema=snap.schema,
+        )
+
     def evolve_partitioning(self, new_partition_cols: list[str]) -> int:
         """Partition-spec evolution as a metadata-only atomic commit.
 
