@@ -389,6 +389,79 @@ def main():
         print(json.dumps(out))
         return
 
+    if "--bloom-ab" in sys.argv:
+        # A/B evidence for the bloom-prune claim: the SAME point-merge
+        # (CDC batch of existing keys) against the SAME non-bucketed
+        # bench-size table, with and without the per-file key bloom
+        # artifact. Random doc_ids make min/max ranges overlap every
+        # file, so plain MERGE rewrites the whole table; the artifact
+        # cuts the rewrite to the files that actually hold the keys.
+        from kafka_delta_ingest_spark.datagen import (
+            make_small_file_table,
+            tokens_df,
+        )
+        from kafka_delta_ingest_spark.maintenance.bloom import build_bloom
+        from kafka_delta_ingest_spark.maintenance.merge import merge_into
+        from kafka_delta_ingest_spark.session import get_spark
+        from pyspark.sql import functions as F
+
+        spark = get_spark(app_name="kdi-bloom-ab", cores=CPUS,
+                          shuffle_partitions=CPUS)
+        base = "/tmp/kdi_bloom_ab_base"
+        if os.path.exists(base):
+            shutil.rmtree(base)
+        make_small_file_table(
+            spark, base, n_docs=N_DOCS, n_files=N_SMALL_FILES, seed=42,
+            partition_by_source=False, max_tok=MAX_TOK,
+        )
+        # keys ≪ files — the 10^12-row regime (a CDC batch touches a
+        # vanishing fraction of a million-file table); KDI_AB_KEYS scales
+        n_keys = int(os.environ.get("KDI_AB_KEYS", "12"))
+        keys = [f"doc-{n:012d}" for n in range(0, N_DOCS, N_DOCS // n_keys)]
+        cdc = tokens_df(spark, N_DOCS, max_tok=MAX_TOK).where(
+            F.col("doc_id").isin(keys)
+        ).withColumn("tokens", F.transform("tokens", lambda x: x + F.lit(1)))
+        cdc.persist().count()
+
+        results = {}
+        for tag in ("plain", "bloom"):
+            root = f"/tmp/kdi_bloom_ab_{tag}"
+            shutil.rmtree(root, ignore_errors=True)
+            shutil.copytree(base, root)
+            from kafka_delta_ingest_spark.table.format import Table
+
+            t = Table(root)
+            t0 = time.time()
+            build_s = 0.0
+            if tag == "bloom":
+                build_bloom(spark, t, ["doc_id"])
+                build_s = time.time() - t0
+            t1 = time.time()
+            m = merge_into(spark, t, cdc, key="doc_id",
+                           use_bloom=(tag == "bloom"), job_id=f"ab-{tag}")
+            results[tag] = {
+                "merge_sec": round(time.time() - t1, 3),
+                "bloom_build_sec": round(build_s, 3),
+                "touched_files": m["touched_files"],
+                "untouched_files": m["untouched_files"],
+                "rows_written": m["rows_written"],
+            }
+            shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(base, ignore_errors=True)
+        print(json.dumps({
+            "metric": "point-MERGE plain vs bloom-pruned "
+            f"({len(keys)} keys, {N_DOCS} docs, {N_SMALL_FILES} files)",
+            **{f"{k}_{kk}": vv for k, v in results.items()
+               for kk, vv in v.items()},
+            "touched_reduction":
+                round(1 - results["bloom"]["touched_files"]
+                      / max(1, results["plain"]["touched_files"]), 3),
+            "merge_speedup":
+                round(results["plain"]["merge_sec"]
+                      / max(1e-9, results["bloom"]["merge_sec"]), 2),
+        }))
+        return
+
     from kafka_delta_ingest_spark.session import get_spark
 
     spark = get_spark(app_name="kdi-bench", cores=CPUS, shuffle_partitions=CPUS)
