@@ -266,7 +266,12 @@ def main():
             table,
             target_file_bytes=args.target_file_bytes,
             retain_last=args.retain_last,
-            cluster_dims=args.dims.split(",") if args.dims else None,
+            # --dims auto: derive dims from the NDV stats artifact
+            # (advisor.suggest_cluster_dims) instead of prescribing them
+            cluster_dims=(
+                None if args.dims in (None, "", "auto")
+                else args.dims.split(",")
+            ),
         )
         out = {"plan": [r.to_json() for r in recs]}
         if args.op == "auto":

@@ -40,6 +40,95 @@ class Recommendation:
         }
 
 
+def suggest_cluster_dims(
+    table: Table, snap=None, max_dims: int = 3
+) -> "list[str] | None":
+    """Stats-driven Z-order dimension selection — the CBO cousin of
+    ``resolve_salt_factor``: pick cluster dims from the NDV artifact and
+    manifest ALONE (zero data reads). Rules, per Delta's own Z-ORDER
+    guidance:
+
+    - candidates = ANALYZEd columns still in the schema, minus
+      partition-spec source columns (the layout already separates those —
+      clustering on them is wasted key bits);
+    - a dim must be PRUNABLE: at least half the live files carry min/max
+      stats for it (arrays/structs never do, per the reference's stat
+      rules);
+    - rank by NDV descending — high-cardinality columns divide the curve
+      finest (a 6-value column gives 6 distinguishable stripes no matter
+      how many key bits it gets) — and cap at ``max_dims`` (the morton
+      expression packs ≤3 dims losslessly).
+
+    Returns None when no NDV artifact covers any usable column (caller
+    falls back to explicit dims)."""
+    from kafka_delta_ingest_spark.maintenance.analyze import load_index
+    from kafka_delta_ingest_spark.table import transforms
+
+    idx = load_index(table)
+    if idx is None:
+        return None
+    snap = snap or table.snapshot()
+    schema_names = {f.name for f in snap.schema.fields}
+    psources = set()
+    for e in snap.partition_cols:
+        _k, c, _p = transforms.parse(e)
+        psources.add(c)
+    files = snap.files
+    n = len(files)
+
+    def _prunable(c: str) -> bool:
+        if not n:
+            return False
+        with_stats = sum(
+            1
+            for f in files
+            if f.stats.get("min", {}).get(c) is not None
+            and f.stats.get("max", {}).get(c) is not None
+        )
+        return with_stats * 2 >= n
+
+    cands = [
+        c
+        for c in idx["columns"]
+        if c in schema_names and c not in psources and _prunable(c)
+    ]
+    if not cands:
+        return None
+    # NDV per candidate from the artifact (no data read). ndv_estimates
+    # needs a SparkSession to MAX-merge registers; rank driver-side from
+    # the artifact parquet instead — tiny (files × columns × 256 rows)
+    import os
+
+    import pyarrow.parquet as pq
+
+    from kafka_delta_ingest_spark.maintenance.analyze import _stats_dir
+
+    tbl = pq.read_table(
+        os.path.join(_stats_dir(table), idx["artifact"]),
+        columns=["column", "bucket", "rho"],
+    )
+    regs: dict[str, dict[int, int]] = {}
+    cols = tbl["column"].to_pylist()
+    buckets = tbl["bucket"].to_pylist()
+    rhos = tbl["rho"].to_pylist()
+    for c, b, r in zip(cols, buckets, rhos):
+        d = regs.setdefault(c, {})
+        if r > d.get(b, 0):
+            d[b] = r
+    m = 1 << idx["p"]
+    width = 60 - idx["p"]
+
+    def _ndv(c: str) -> float:
+        d = regs.get(c, {})
+        denom = sum(1 << (width + 1 - r) for r in d.values())
+        denom += (m - len(d)) * (1 << (width + 1))
+        alpha = 0.7213 / (1 + 1.079 / m)
+        return alpha * m * m * (1 << (width + 1)) / denom if denom else 0.0
+
+    ranked = sorted(cands, key=lambda c: -_ndv(c))
+    return ranked[:max_dims]
+
+
 def advise(
     table: Table,
     target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
@@ -55,6 +144,10 @@ def advise(
     length vs ``max_retained_versions``."""
     snap = table.snapshot()
     recs: list[Recommendation] = []
+    if cluster_dims is None:
+        # stats-driven fallback: derive dims from the NDV artifact when
+        # the caller doesn't prescribe them (suggest_cluster_dims)
+        cluster_dims = suggest_cluster_dims(table, snap)
 
     cutoff = int(target_file_bytes * small_file_threshold)
     n_files = len(snap.files)

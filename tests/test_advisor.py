@@ -104,6 +104,36 @@ def test_advisor_flags_stale_ndv_stats(spark, tmp_table_root):
     assert recs and recs[0].kwargs["columns"] == ["doc_id"]
 
 
+def test_suggest_cluster_dims_from_ndv(spark, tmp_path):
+    """Stats-driven Z-order dim selection: high-NDV columns first,
+    partition-source columns excluded, None without an artifact."""
+    from kafka_delta_ingest_spark.datagen import make_small_file_table
+    from kafka_delta_ingest_spark.maintenance.advisor import (
+        advise,
+        suggest_cluster_dims,
+    )
+    from kafka_delta_ingest_spark.maintenance.analyze import analyze
+
+    t = make_small_file_table(spark, str(tmp_path / "p"), n_docs=300,
+                              n_files=6, max_tok=32)  # partitioned by source
+    assert suggest_cluster_dims(t) is None  # no artifact yet
+    analyze(spark, t, ["doc_id", "n_tok", "source"])
+    dims = suggest_cluster_dims(t)
+    # source is a partition-spec source column -> excluded; doc_id has
+    # the highest NDV (unique) -> first
+    assert dims == ["doc_id", "n_tok"]
+    # advise() with no prescribed dims uses the suggestion
+    recs = advise(t)
+    opt = [r for r in recs if r.op == "optimize"]
+    assert opt and opt[0].kwargs["dims"] == ["doc_id", "n_tok"]
+
+    t2 = make_small_file_table(spark, str(tmp_path / "u"), n_docs=300,
+                               n_files=6, max_tok=32,
+                               partition_by_source=False)
+    analyze(spark, t2, ["doc_id", "n_tok", "source"])
+    assert suggest_cluster_dims(t2) == ["doc_id", "n_tok", "source"]
+
+
 def test_advisor_flags_stale_bloom_artifact(spark, tmp_table_root):
     """Once >=10% of live files postdate the bloom artifact the advisor
     recommends an incremental rebuild carrying the artifact's probe
