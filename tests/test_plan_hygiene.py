@@ -151,6 +151,80 @@ def test_pack_sequences_plan_is_range_partitioned(spark):
     assert "SortAggregate" not in plan
 
 
+def test_bloom_build_plan_is_hash_aggregated(spark, tmp_path):
+    """The bloom build's two aggregations (bit_or word fold, word-map
+    assembly) must stay hash-aggregated with map-side combine; the
+    per-file m join must broadcast; no sort aggregation, no cartesian."""
+    from kafka_delta_ingest_spark.datagen import make_small_file_table
+    from kafka_delta_ingest_spark.maintenance import bloom as bl
+
+    t = make_small_file_table(spark, str(tmp_path / "b"), n_docs=100,
+                              n_files=2, max_tok=8,
+                              partition_by_source=False)
+    snap = t.snapshot()
+    # reproduce the build's scan stage without writing the artifact
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kafka_delta_ingest_spark.table.scan import read_entries
+
+    prefix = os.path.abspath(t.root) + os.sep
+    src = read_entries(spark, t.root, snap.files, snap.schema,
+                       snap.partition_cols, file_path_col="_file")
+    src = src.withColumn("path", F.expr(f"substring(_file, {len(prefix)+1})"))
+    mdf = spark.createDataFrame(
+        [(f.path, bl.file_m_bits(f.num_records, 10, 1 << 23))
+         for f in snap.files],
+        "_mpath string, m int",
+    )
+    src = src.join(F.broadcast(mdf), src["path"] == mdf["_mpath"])
+    h1, h2 = bl._hash_pair(F.col("doc_id"), "bloom", "xxhash64")
+    pos = F.transform(F.sequence(F.lit(0), F.lit(6)),
+                      lambda i: bl._position(h1, h2, i, F.col("m")))
+    bits = (
+        src.select("path", "m", F.explode(pos).alias("pos"))
+        .groupBy("path", "m", (F.col("pos") / 64).cast("int").alias("w"))
+        .agg(F.bit_or(bl._bit_mask(F.pmod(F.col("pos"), F.lit(64)))).alias("word"))
+    )
+    plan = bits._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan
+    assert "SortAggregate" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # the per-file m map
+
+
+def test_bloom_probe_broadcasts_keys(spark, tmp_path):
+    """The probe is |candidates| x |batch keys| bit tests: the artifact
+    side must stay distributed while the key side broadcasts (a
+    BroadcastNestedLoopJoin is the intended shape — the predicate is a
+    bit test, not an equi-join)."""
+    from pyspark.sql import functions as F
+
+    from kafka_delta_ingest_spark.datagen import make_small_file_table
+    from kafka_delta_ingest_spark.maintenance.bloom import build_bloom
+
+    t = make_small_file_table(spark, str(tmp_path / "p"), n_docs=100,
+                              n_files=2, max_tok=8,
+                              partition_by_source=False)
+    build_bloom(spark, t, ["doc_id"], bits_per_key=8)
+    # reproduce bloom_prune's joined plan shape
+    import os
+
+    from kafka_delta_ingest_spark.maintenance.bloom import (
+        _bloom_dir,
+        load_index,
+    )
+
+    idx = load_index(t)
+    art = spark.read.parquet(os.path.join(_bloom_dir(t), idx["artifact"]))
+    keys = spark.createDataFrame([("k1",), ("k2",)], "doc_id string")
+    joined = art.crossJoin(F.broadcast(keys.distinct()))
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_mix_resample_filter_is_row_local(spark):
     """After the driver-side rate computation, membership is a pure filter:
     no exchange in the surviving plan (scan -> filter -> project only)."""
