@@ -34,7 +34,7 @@ def main():
             "describe", "optimize-partitions", "plan-files",
             "analyze", "ndv", "bloom", "generate-manifest", "clone",
             "doctor", "overwrite", "overwrite-dynamic", "rename-column",
-            "drop-column", "adopt", "truncate",
+            "drop-column", "adopt", "truncate", "compact-deletes",
         ],
     )
     p.add_argument(
@@ -245,6 +245,12 @@ def main():
         )
 
         out = rewrite_position_deletes(spark, table)
+    elif args.op == "compact-deletes":
+        from kafka_delta_ingest_spark.maintenance.dml import (
+            compact_position_deletes,
+        )
+
+        out = compact_position_deletes(spark, table, job_id=args.job_id)
     elif args.op == "upsert":
         from kafka_delta_ingest_spark.maintenance.upsert import upsert
 

@@ -258,6 +258,84 @@ def _delete_merge_on_read(
     return metrics
 
 
+def compact_position_deletes(
+    spark: SparkSession, table: Table, job_id: str | None = None
+) -> dict:
+    """Minor delete compaction (Iceberg ``rewrite_position_delete_files``):
+    consolidate many small position-delete files into ONE without
+    touching any data file. Every point DELETE adds a delete file, and
+    every scan of a covered file pays one anti-join per overlapping
+    delete relation — at 10^12 rows the delete-file count, not the
+    deleted-row count, becomes the scan tax. The major fold
+    (``rewrite_deletes``) rewrites the covered DATA files; this op is
+    the cheap middle ground: O(deleted rows) I/O, zero data movement.
+
+    Rows referencing data files that have since been rewritten are
+    dropped (snapshot replay already pruned them from the manifest
+    counts, so the ``data_change=False`` conservation check proves the
+    consolidated file deletes EXACTLY the same live rows)."""
+    t0 = time.time()
+    snap = table.snapshot()
+    pos = [de for de in snap.delete_entries if de.kind == "position"]
+    metrics = {
+        "operation": "compact-deletes",
+        "delete_files_before": len(pos),
+    }
+    if len(pos) < 2:
+        metrics.update(delete_files_after=len(pos), version=snap.version,
+                       duration_s=time.time() - t0)
+        return metrics
+    covered = sorted({p for de in pos for p in de.counts})
+    dl = spark.read.schema("data_path string, pos long").parquet(
+        *[f"{table.root}/{de.path}" for de in pos]
+    )
+    cov_df = spark.createDataFrame([(p,) for p in covered], "_c string")
+    dl = (
+        dl.join(F.broadcast(cov_df), dl["data_path"] == cov_df["_c"])
+        .drop("_c")
+        .dropDuplicates(["data_path", "pos"])
+    )
+    import os
+
+    absd, reld = table.new_data_dir()
+    dl.coalesce(1).write.mode("overwrite").parquet(absd)
+    written = [
+        os.path.join(absd, n)
+        for n in os.listdir(absd)
+        if n.endswith(".parquet")
+    ]
+    assert len(written) == 1, f"expected one delete file, got {len(written)}"
+    counts_rows = (
+        spark.read.parquet(absd).groupBy("data_path").count().collect()
+    )
+    counts = {r["data_path"]: r["count"] for r in counts_rows}
+    from kafka_delta_ingest_spark.table.format import DeleteEntry
+
+    entry = DeleteEntry(
+        path=f"{reld}/{os.path.basename(written[0])}",
+        size=sum(os.path.getsize(p) for p in written),
+        counts=counts,
+    )
+    v = table.commit(
+        Transaction(
+            operation="compact-deletes",
+            add_deletes=[entry],
+            remove_deletes=[de.path for de in pos],
+            # zero data change: the conservation check verifies the new
+            # file deletes exactly the rows the old ones did
+            data_change=False,
+            metadata={"job_id": job_id or "compact-deletes"},
+        )
+    )
+    metrics.update(
+        delete_files_after=1,
+        rows_deleted=sum(counts.values()),
+        version=v,
+        duration_s=time.time() - t0,
+    )
+    return metrics
+
+
 def rewrite_deletes(spark: SparkSession, table: Table) -> dict:
     """Fold every live delete file (position AND equality) back into pure
     parquet: read affected data files (deletes applied via Snapshot.read),

@@ -155,3 +155,52 @@ def test_gc_keeps_referenced_delete_files(tmp_table_root, spark):
     entry = t.snapshot().delete_entries[0]
     assert entry.path in t.all_referenced_paths()
     assert os.path.exists(os.path.join(t.root, entry.path))
+
+def test_compact_position_deletes_consolidates(spark, tmp_table_root):
+    """Minor delete compaction: N delete files -> 1, zero data movement,
+    scan identical; dead refs (covered files since rewritten away) are
+    dropped from the consolidated parquet and the data_change=False
+    conservation check still passes."""
+    from kafka_delta_ingest_spark.maintenance.dml import (
+        compact_position_deletes,
+    )
+
+    t = _mk(spark, tmp_table_root)  # partitioned by source
+    rows0 = t.snapshot().scan(spark).collect()
+    web = [r["doc_id"] for r in rows0 if r["source"] == "web"][:2]
+    other = [r["doc_id"] for r in rows0 if r["source"] != "web"][:3]
+    # one delete file covering files in BOTH web and non-web partitions,
+    # plus two single-key delete files
+    delete_where(spark, t, [("doc_id", "in", web + other[:1])],
+                 mode="merge_on_read")
+    delete_where(spark, t, [("doc_id", "=", other[1])],
+                 mode="merge_on_read")
+    delete_where(spark, t, [("doc_id", "=", other[2])],
+                 mode="merge_on_read")
+    assert len(t.snapshot().delete_entries) == 3
+    # a partition-scoped CoW delete rewrites ONLY the web files: the
+    # mixed entry's web counts leave the manifest, but its parquet rows
+    # still reference the removed web files (dead refs)
+    delete_where(spark, t, [("source", "=", "web")], mode="copy_on_write")
+    snap1 = t.snapshot()
+    assert len(snap1.delete_entries) == 3  # all survive with pruned counts
+
+    fp = content_fingerprint(snap1.scan(spark))
+    rows = snap1.scan(spark).count()
+    del_before = snap1.num_deleted()
+    data_files = {f.path for f in snap1.files}
+
+    m = compact_position_deletes(spark, t)
+    assert m["delete_files_before"] == 3
+    assert m["delete_files_after"] == 1
+    snap = t.snapshot()
+    assert len(snap.delete_entries) == 1
+    assert snap.num_deleted() == del_before
+    assert {f.path for f in snap.files} == data_files  # zero data moved
+    assert content_fingerprint(snap.scan(spark)) == fp
+    assert snap.scan(spark).count() == rows
+
+    # a single remaining entry is a no-op
+    m2 = compact_position_deletes(spark, t)
+    assert m2["delete_files_after"] == 1
+    assert m2["version"] == snap.version
