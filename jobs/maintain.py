@@ -309,6 +309,12 @@ def main():
                     )
 
                     m = rewrite_position_deletes(spark, table)
+                elif r.op == "compact-deletes":
+                    from kafka_delta_ingest_spark.maintenance.dml import (
+                        compact_position_deletes,
+                    )
+
+                    m = compact_position_deletes(spark, table)
                 elif r.op == "analyze":
                     from kafka_delta_ingest_spark.maintenance.analyze import (
                         analyze,

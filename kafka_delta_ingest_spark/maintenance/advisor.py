@@ -245,15 +245,35 @@ def advise(
         # key anti-join AND stack (each upsert batch adds one), so they
         # trigger on accumulation alone
         n_eq = len(snap.equality_entries)
+        n_pos = len(snap.delete_entries) - n_eq
         if len(snap.delete_entries) >= 8 or del_frac >= 0.05 or n_eq >= 4:
+            # two remedies, priced differently: when only the delete-FILE
+            # count hurts (many point deletes, few deleted rows), the
+            # minor compaction (one consolidated delete file, zero data
+            # movement) removes the per-scan anti-join stack for
+            # O(deleted rows) I/O; the major fold (rewrite covered data
+            # files) is reserved for material deleted fractions or
+            # equality-delete accumulation, where scans pay per ROW
+            minor_enough = (
+                n_pos >= 8 and del_frac < 0.05 and n_eq < 4
+            )
             recs.append(
                 Recommendation(
-                    op="rewrite-deletes",
+                    op=(
+                        "compact-deletes" if minor_enough
+                        else "rewrite-deletes"
+                    ),
                     reason=(
                         f"{len(snap.delete_entries)} live delete files "
                         f"({n_eq} equality) mark {snap.num_deleted()} rows "
                         f"position-deleted across {len(covered_paths)} data "
                         f"files ({del_frac:.1%} of covered rows)"
+                        + (
+                            "; deleted fraction immaterial — consolidate "
+                            "delete files instead of rewriting data"
+                            if minor_enough
+                            else ""
+                        )
                     ),
                     severity=(
                         "recommended"

@@ -104,6 +104,30 @@ def test_advisor_flags_stale_ndv_stats(spark, tmp_table_root):
     assert recs and recs[0].kwargs["columns"] == ["doc_id"]
 
 
+def test_delete_file_accumulation_prefers_minor_compaction(spark, tmp_table_root):
+    """Many point-delete files with an immaterial deleted fraction get
+    the cheap remedy (consolidate delete files) instead of the data
+    rewrite; executing it clears the recommendation."""
+    from kafka_delta_ingest_spark.maintenance.dml import (
+        compact_position_deletes,
+        delete_where,
+    )
+
+    t = Table.create(tmp_table_root, TOKENS_SCHEMA, [])
+    write_dataframe(
+        spark, t, tokens_df(spark, 2000, max_tok=16).repartition(2)
+    )
+    for n in range(8):
+        delete_where(spark, t, [("doc_id", "=", f"doc-{n:012d}")],
+                     mode="merge_on_read")
+    recs = advise(t, target_file_bytes=2 * 1024)
+    ops = _ops(recs)
+    assert "compact-deletes" in ops and "rewrite-deletes" not in ops
+    compact_position_deletes(spark, t)
+    ops2 = _ops(advise(t, target_file_bytes=2 * 1024))
+    assert "compact-deletes" not in ops2 and "rewrite-deletes" not in ops2
+
+
 def test_suggest_cluster_dims_from_ndv(spark, tmp_path):
     """Stats-driven Z-order dim selection: high-NDV columns first,
     partition-source columns excluded, None without an artifact."""
