@@ -221,6 +221,65 @@ def check_table(table: Table) -> dict:
                 )
             )
 
+    # column-mapping / defaults metadata sanity: the scan trusts these
+    # without re-validation, so a hand-edited or corrupted commit that
+    # breaks their invariants must surface here
+    schema_names = {f.name for f in snap.schema.fields}
+    bad_map = sorted(set(snap.column_mapping) - schema_names)
+    if bad_map:
+        findings.append(
+            _finding(
+                "mapping", "error",
+                f"column mapping references unknown columns: {bad_map}",
+            )
+        )
+    physicals = [
+        snap.column_mapping.get(f.name, f.name) for f in snap.schema.fields
+    ]
+    if len(set(physicals)) != len(physicals):
+        findings.append(
+            _finding(
+                "mapping", "error",
+                "two logical columns map to the same physical name",
+            )
+        )
+    ghost = sorted(set(snap.dropped_physical) & set(physicals))
+    if ghost:
+        findings.append(
+            _finding(
+                "mapping", "error",
+                f"dropped physical names are also active: {ghost}",
+            )
+        )
+    bad_def = sorted(set(snap.defaults) - schema_names)
+    if bad_def:
+        findings.append(
+            _finding(
+                "defaults", "error",
+                f"column defaults reference unknown columns: {bad_def}",
+            )
+        )
+    for c, d in snap.defaults.items():
+        if c in bad_def:
+            continue
+        if not isinstance(d, dict) or "value" not in d or not isinstance(
+            d.get("added_seq"), int
+        ):
+            findings.append(
+                _finding(
+                    "defaults", "error",
+                    f"malformed default entry for {c!r}: {d!r}",
+                )
+            )
+        elif d["added_seq"] > head:
+            findings.append(
+                _finding(
+                    "defaults", "error",
+                    f"default for {c!r} has added_seq {d['added_seq']} "
+                    f"beyond head {head}",
+                )
+            )
+
     # orphan pressure (informational): unreferenced bytes under data/
     orphan_bytes = 0
     for dirpath, _dirs, files in os.walk(table.data_dir):

@@ -161,3 +161,42 @@ def test_detects_corrupted_checkpoint(spark, tmp_table_root):
 
     errs = _errors(check_table(t))
     assert any(e["check"] == "checkpoint" for e in errs)
+
+
+def test_doctor_validates_mapping_and_defaults(spark, tmp_table_root):
+    """Healthy mapped+defaulted tables pass; corrupted mapping metadata
+    (hand-edited commit) is flagged."""
+    import json
+    import os
+
+    from pyspark.sql import types as T
+
+    from kafka_delta_ingest_spark.datagen import make_small_file_table
+    from kafka_delta_ingest_spark.maintenance.doctor import check_table
+    from kafka_delta_ingest_spark.table.format import Table
+
+    t = make_small_file_table(spark, tmp_table_root, n_docs=40, n_files=2,
+                              max_tok=8, partition_by_source=False)
+    t.rename_column("n_tok", "tok_len")
+    t.evolve_schema(
+        T.StructType(
+            list(t.snapshot().schema.fields)
+            + [T.StructField("weight", T.IntegerType(), True)]
+        ),
+        defaults={"weight": 7},
+    )
+    assert check_table(t)["ok"]
+
+    # corrupt the head commit's mapping: point a logical at a name that
+    # duplicates another column's physical
+    head = t.latest_version()
+    cpath = t._version_path(head)
+    c = json.load(open(cpath))
+    c.setdefault("metadata", {})["column_mapping"] = {
+        "map": {"tok_len": "doc_id"}, "dropped": [],
+    }
+    os.chmod(cpath, 0o644)
+    json.dump(c, open(cpath, "w"))
+    rep = check_table(Table(tmp_table_root))
+    assert not rep["ok"]
+    assert any(f["check"] == "mapping" for f in rep["findings"])

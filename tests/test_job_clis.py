@@ -107,3 +107,53 @@ def test_ingest_cli_batch_source_exactly_once(
     assert res2["rows"] == 0  # exactly-once replay
 
     assert Table(root).snapshot().scan(spark).count() == 10
+
+
+def test_maintain_cli_new_ops_roundtrip(spark, tmp_path, monkeypatch, capsys):
+    """The restart-session ops driven through jobs/maintain.py's REAL
+    argv parsing: bloom, overwrite(-dynamic), rename-column,
+    compact-deletes (no-op path), truncate, adopt."""
+    import jobs.maintain as maintain
+    from kafka_delta_ingest_spark.datagen import (
+        make_small_file_table,
+        tokens_df,
+    )
+
+    root = str(tmp_path / "t")
+    make_small_file_table(spark, root, n_docs=80, n_files=2, max_tok=8,
+                          partition_by_source=False)
+    res = _run_cli(monkeypatch, capsys, maintain,
+                   ["--table", root, "--op", "bloom",
+                    "--columns", "doc_id"])
+    assert res["files_scanned"] == 2
+
+    batch = str(tmp_path / "batch")
+    tokens_df(spark, 10, seed=3, max_tok=8).coalesce(1).write.parquet(batch)
+    res = _run_cli(monkeypatch, capsys, maintain,
+                   ["--table", root, "--op", "overwrite-dynamic",
+                    "--source-parquet", batch])
+    assert res["files_removed"] == 2  # unpartitioned => full replace
+
+    res = _run_cli(monkeypatch, capsys, maintain,
+                   ["--table", root, "--op", "overwrite",
+                    "--source-parquet", batch,
+                    "--where", '[["n_tok", ">=", 0]]'])
+    assert res["rows_written"] == 10
+
+    res = _run_cli(monkeypatch, capsys, maintain,
+                   ["--table", root, "--op", "rename-column",
+                    "--column", "n_tok", "--to-name", "tok_len"])
+    assert res["renamed"] == {"n_tok": "tok_len"}
+
+    res = _run_cli(monkeypatch, capsys, maintain,
+                   ["--table", root, "--op", "compact-deletes"])
+    assert res["delete_files_after"] == 0  # nothing to consolidate
+
+    res = _run_cli(monkeypatch, capsys, maintain,
+                   ["--table", root, "--op", "truncate"])
+    assert res["rows"] == 0
+
+    res = _run_cli(monkeypatch, capsys, maintain,
+                   ["--table", str(tmp_path / "t2"), "--op", "adopt",
+                    "--source-parquet", batch])
+    assert res["rows"] == 10 and res["version"] == 1
