@@ -64,6 +64,20 @@ def clone_table(
         partition_cols=list(snap.partition_cols),
         properties=dict(snap.properties),
     )
+    # Data-sequence-number remap: initial defaults apply by the test
+    # ``file.seq < added_seq`` (table/format.py), so the clone must
+    # preserve each pinned file's position in the source's seq ORDER
+    # while guaranteeing every FUTURE clone commit (seq = version >= 2)
+    # sorts above every threshold. Map the k distinct source seqs
+    # order-isomorphically onto -k..-1 and each default's added_seq onto
+    # the matching rank boundary (<= 0): membership over the cloned
+    # files is preserved exactly, and no future file can ever match.
+    seqs = sorted({f.seq if f.seq is not None else 0 for f in snap.files})
+    seq_rank = {s: i - len(seqs) for i, s in enumerate(seqs)}
+
+    def _rebase_threshold(t: int) -> int:
+        return sum(1 for s in seqs if s < t) - len(seqs)
+
     adds: list[FileEntry] = []
     for f in sorted(snap.files, key=lambda e: e.path):
         src_abs = os.path.join(src.root, f.path)
@@ -77,12 +91,30 @@ def clone_table(
                 num_records=f.num_records,
                 partition_values=dict(f.partition_values),
                 stats=f.stats,
+                seq=seq_rank[f.seq if f.seq is not None else 0],
             )
         )
+    # the clone's v1 carries the source snapshot's FULL metadata state:
+    # column mapping (clone scans read the same physical parquet names),
+    # drop tombstones, and initial defaults with thresholds rebased into
+    # the remapped seq space above — per-file applicability is preserved
+    # exactly, including the mixed case where only SOME pinned files
+    # predate a default
+    defaults = {
+        c: {"value": d["value"], "added_seq": _rebase_threshold(d["added_seq"])}
+        for c, d in snap.defaults.items()
+    }
     dst.commit(
         Transaction(
             operation="clone",
             adds=adds,
+            mapping_update={
+                "map": dict(snap.column_mapping),
+                "dropped": list(snap.dropped_physical),
+            }
+            if (snap.column_mapping or snap.dropped_physical)
+            else None,
+            defaults_update=defaults if defaults else None,
             metadata={
                 "source_root": os.path.abspath(src.root),
                 "source_version": snap.version,

@@ -41,7 +41,12 @@ from kafka_delta_ingest_spark.table.format import Table
 MANIFEST_DIR = "_symlink_format_manifest"
 
 
-class LiveDeletesError(RuntimeError):
+class ExportRefusedError(RuntimeError):
+    """Export refused: the snapshot's raw parquet does not equal its
+    logical scan, so an external engine would read wrong answers."""
+
+
+class LiveDeletesError(ExportRefusedError):
     """Export refused: merge-on-read deletes are live and an external
     engine reading raw parquet would resurrect deleted rows."""
 
@@ -55,6 +60,19 @@ def generate_symlink_manifest(table: Table, version: int | None = None) -> dict:
         raise LiveDeletesError(
             f"{len(snap.delete_entries)} live merge-on-read delete "
             "entries; run rewrite_deletes / optimize first"
+        )
+    # an external engine reads the raw parquet pages: with a column
+    # mapping it would see PHYSICAL names where the logical schema
+    # differs, and with initial defaults it would read NULLs where this
+    # engine's scan applies the default — both silent wrong answers.
+    # A full rewrite (OPTIMIZE) materializes defaults; renames keep
+    # physical names by design, so mapped tables stay unexportable until
+    # the mapping is identity again.
+    if snap.column_mapping or snap.defaults:
+        raise ExportRefusedError(
+            "table has a column mapping or initial defaults an external "
+            "engine cannot apply; materialize first (OPTIMIZE folds "
+            "defaults; renames keep physical names by design)"
         )
 
     # group live files by partition directory, mirrored from the data

@@ -184,3 +184,95 @@ def test_python_datasource_refuses_mapped_tables(spark, tmp_table_root):
     register(spark)
     with pytest.raises(Exception, match="column-mapped"):
         spark.read.format("kdi-table").option("path", t.root).load().count()
+
+def test_export_refuses_mapped_or_defaulted_tables(spark, tmp_table_root):
+    """External engines read raw parquet: physical names and NULLs where
+    defaults belong are silent wrong answers — export refuses."""
+    from pyspark.sql import types as T
+
+    from kafka_delta_ingest_spark.maintenance.export import (
+        ExportRefusedError,
+        generate_symlink_manifest,
+    )
+
+    t = _mk(spark, tmp_table_root, partition_by_source=False)
+    t.rename_column("n_tok", "tok_len")
+    with pytest.raises(ExportRefusedError, match="column mapping"):
+        generate_symlink_manifest(t)
+    t.rename_column("tok_len", "n_tok")  # identity again
+    generate_symlink_manifest(t)  # ok now
+    t.evolve_schema(
+        T.StructType(
+            list(t.snapshot().schema.fields)
+            + [T.StructField("w", T.IntegerType(), True)]
+        ),
+        defaults={"w": 1},
+    )
+    with pytest.raises(ExportRefusedError):
+        generate_symlink_manifest(t)
+
+
+def test_clone_preserves_mapping_and_defaults(spark, tmp_path):
+    """CLONE copies the log, so the mapping and defaults ride along —
+    the clone scans identically to the source."""
+    from pyspark.sql import types as T
+
+    from kafka_delta_ingest_spark.maintenance.clone import clone_table
+
+    t = _mk(spark, str(tmp_path / "src"), partition_by_source=False)
+    t.rename_column("n_tok", "tok_len")
+    t.evolve_schema(
+        T.StructType(
+            list(t.snapshot().schema.fields)
+            + [T.StructField("w", T.IntegerType(), True)]
+        ),
+        defaults={"w": 5},
+    )
+    fp = content_fingerprint(t.snapshot().scan(spark))
+    clone_table(t, str(tmp_path / "dst"))
+    from kafka_delta_ingest_spark.table.format import Table
+
+    c = Table(str(tmp_path / "dst"))
+    snap = c.snapshot()
+    assert snap.column_mapping == {"tok_len": "n_tok"}
+    assert snap.defaults["w"]["value"] == 5
+    assert content_fingerprint(snap.scan(spark)) == fp
+
+
+def test_clone_preserves_mixed_default_applicability(spark, tmp_path):
+    """A default added BETWEEN two appends applies to the first batch
+    only; the clone's seq remap must preserve exactly that split, and
+    rows appended to the CLONE afterwards must not inherit it."""
+    from pyspark.sql import types as T
+
+    from kafka_delta_ingest_spark.maintenance.clone import clone_table
+    from kafka_delta_ingest_spark.table.format import Table
+
+    t = _mk(spark, str(tmp_path / "src"), n_docs=40, n_files=2,
+            partition_by_source=False)
+    t.evolve_schema(
+        T.StructType(
+            list(t.snapshot().schema.fields)
+            + [T.StructField("w", T.IntegerType(), True)]
+        ),
+        defaults={"w": 9},
+    )
+    post = tokens_df(spark, 10, seed=11, max_tok=8).withColumn(
+        "doc_id", F.concat(F.lit("p-"), F.col("doc_id"))
+    ).withColumn("w", F.lit(None).cast("int"))
+    write_dataframe(spark, t, post)  # postdates the default: w stays NULL
+
+    clone_table(t, str(tmp_path / "dst"))
+    c = Table(str(tmp_path / "dst"))
+    got = c.snapshot().scan(spark)
+    assert got.where(F.col("w") == 9).count() == 40   # pre-default batch
+    assert got.where(F.col("w").isNull()).count() == 10  # explicit NULLs
+
+    # rows appended to the CLONE never inherit the default
+    newer = tokens_df(spark, 5, seed=12, max_tok=8).withColumn(
+        "doc_id", F.concat(F.lit("c-"), F.col("doc_id"))
+    ).withColumn("w", F.lit(None).cast("int"))
+    write_dataframe(spark, c, newer)
+    got = c.snapshot().scan(spark)
+    assert got.where(F.col("w") == 9).count() == 40
+    assert got.where(F.col("w").isNull()).count() == 15
