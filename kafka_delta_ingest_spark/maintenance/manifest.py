@@ -64,6 +64,12 @@ def rewrite_manifests(spark: SparkSession, table: Table, job_id: str = "manifest
                 if old
                 else _partition_values_from_path(rel, snap.partition_cols),
                 stats={"min": mins, "max": maxs, "null_count": nulls},
+                # preserve the data sequence number: replay would restamp
+                # a missing seq with the rewrite version, silently ending
+                # initial-default applicability (file.seq < added_seq)
+                # and equality-delete applicability (file.seq < del.seq)
+                # for every file whose manifest was refreshed
+                seq=old.seq if old else None,
             )
         )
     adds.sort(key=lambda e: e.path)

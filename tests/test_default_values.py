@@ -118,3 +118,22 @@ def test_incremental_scan_applies_defaults(spark, tmp_table_root):
     # the appended files predate the column -> default applies
     assert inc.count() == 10
     assert inc.where(F.col("weight") == 2).count() == 10
+
+def test_manifest_rewrite_preserves_default_applicability(spark, tmp_table_root):
+    """rewrite_manifests re-Adds entries; losing their data sequence
+    numbers would silently end initial-default (and equality-delete)
+    applicability for every refreshed file."""
+    from kafka_delta_ingest_spark.maintenance.manifest import (
+        rewrite_manifests,
+    )
+
+    t = make_small_file_table(spark, tmp_table_root, n_docs=60, n_files=2,
+                              max_tok=8, partition_by_source=False)
+    t.evolve_schema(_with_weight(t.snapshot().schema), defaults={"weight": 4})
+    assert t.snapshot().scan(spark).where(
+        F.col("weight") == 4
+    ).count() == 60
+    rewrite_manifests(spark, t)
+    got = t.snapshot().scan(spark)
+    assert got.where(F.col("weight") == 4).count() == 60  # still applies
+    assert got.where(F.col("weight").isNull()).count() == 0
