@@ -265,16 +265,22 @@ def _rekey_stats_logical(
         return entries
     rev = {v: k for k, v in cmap.items()}
 
-    def mk(d: dict) -> dict:
-        out = {}
-        for key, val in d.items():
-            head, sep, rest = key.partition(".")
-            out[rev.get(head, head) + sep + rest] = val
-        return out
+    def mk_key(key: str) -> str:
+        head, sep, rest = key.partition(".")
+        return rev.get(head, head) + sep + rest
 
     for e in entries:
         e.stats = {
-            sect: (mk(vals) if isinstance(vals, dict) else vals)
+            sect: (
+                {mk_key(k): v for k, v in vals.items()}
+                if isinstance(vals, dict)
+                # "inexact" is a LIST of column names (truncated string
+                # bounds) — its entries re-key too, or a renamed column's
+                # truncated bound would read as exact downstream
+                else [mk_key(k) for k in vals]
+                if isinstance(vals, list)
+                else vals
+            )
             for sect, vals in e.stats.items()
         }
     return entries

@@ -276,3 +276,26 @@ def test_clone_preserves_mixed_default_applicability(spark, tmp_path):
     got = c.snapshot().scan(spark)
     assert got.where(F.col("w") == 9).count() == 40
     assert got.where(F.col("w").isNull()).count() == 15
+
+
+def test_inexact_stat_markers_rekey_to_logical_names(spark, tmp_table_root):
+    """Truncated string bounds are flagged in stats['inexact'] (a LIST of
+    column names): after a rename, new files' markers must carry the
+    LOGICAL name, or metadata aggregates would read a truncated bound as
+    exact."""
+    t = _mk(spark, tmp_table_root, n_files=1, partition_by_source=False)
+    t.rename_column("doc_id", "document_id")
+    extra = (
+        tokens_df(spark, 5, seed=9, max_tok=8)
+        .withColumn(
+            "doc_id", F.concat(F.lit("x" * 100), F.col("doc_id"))
+        )  # > STRING_STAT_TRUNCATE -> inexact bound
+        .withColumnRenamed("doc_id", "document_id")
+    )
+    pre = {f.path for f in t.snapshot().files}
+    write_dataframe(spark, t, extra)
+    new = [f for f in t.snapshot().files if f.path not in pre]
+    fe = max(new, key=lambda f: f.num_records)  # skip empty-task parts
+    assert fe.num_records > 0
+    assert "document_id" in fe.stats.get("inexact", []), fe.stats
+    assert "doc_id" not in fe.stats.get("inexact", [])
