@@ -167,6 +167,21 @@ def main():
 
     scope = [tuple(c) for c in json.loads(args.scope)] if args.scope else None
 
+    if args.dims == "auto" and args.op in ("zorder", "hilbert", "optimize"):
+        # NDV-driven dim selection (advisor.suggest_cluster_dims): rank
+        # ANALYZEd columns by cardinality, no data read
+        from kafka_delta_ingest_spark.maintenance.advisor import (
+            suggest_cluster_dims,
+        )
+
+        dims = suggest_cluster_dims(table)
+        if not dims:
+            p.error(
+                "--dims auto needs an NDV stats artifact covering at "
+                "least one prunable column (run --op analyze first)"
+            )
+        args.dims = ",".join(dims)
+
     if args.op == "compact":
         from kafka_delta_ingest_spark.maintenance.compact import compact
 
