@@ -100,6 +100,13 @@ class ScanFilePartition(InputPartition):
     # [(absolute path, [key col, ...])] equality deletes applicable to
     # this file (seq + key-range election already done at planning)
     eq_deletes: list = field(default_factory=list)
+    # logical -> PHYSICAL parquet name for renamed columns (column
+    # mapping, table/format.py) — the task reads physical, emits logical
+    column_mapping: dict = field(default_factory=dict)
+    # {logical col: python literal} initial defaults for columns this
+    # file PREDATES (seq < added_seq, decided at planning) — emitted as
+    # constant arrays, mirroring scan.py read_entries
+    fill_defaults: dict = field(default_factory=dict)
 
 
 def to_conjuncts(filters: list[Filter]) -> list[tuple]:
@@ -220,6 +227,7 @@ class KdiTableBatchReader(DataSourceReader):
         eq = [de for de in snap.delete_entries if de.kind == "equality"]
         out = []
         for fe in kept:
+            fseq = fe.seq if fe.seq is not None else 0
             out.append(
                 ScanFilePartition(
                     path=os.path.join(self.root, fe.path),
@@ -235,6 +243,12 @@ class KdiTableBatchReader(DataSourceReader):
                         for de in eq
                         if de.applies_to(fe)
                     ],
+                    column_mapping=dict(snap.column_mapping),
+                    fill_defaults={
+                        c: d["value"]
+                        for c, d in snap.defaults.items()
+                        if fseq < d["added_seq"]
+                    },
                 )
             )
         if not out:
@@ -277,8 +291,16 @@ class KdiTableBatchReader(DataSourceReader):
         arrays = []
         for f in self.schema.fields:
             at = target.field(f.name).type
-            if f.name in tbl.column_names:
-                col = tbl[f.name].combine_chunks()
+            # physical parquet name under column mapping (renames are
+            # metadata-only; pages keep the original name)
+            phys = partition.column_mapping.get(f.name, f.name)
+            if f.name in partition.fill_defaults:
+                # initial default: this file predates the column
+                arrays.append(
+                    pa.array([partition.fill_defaults[f.name]] * n).cast(at)
+                )
+            elif phys in tbl.column_names:
+                col = tbl[phys].combine_chunks()
                 arrays.append(col if col.type == at else col.cast(at))
             else:
                 v = _typed_py(partition.partition_values.get(f.name), f.dataType)
@@ -369,31 +391,24 @@ class KdiTableDataSource(DataSource):
         root = self.options.get("path")
         if not root:
             raise ValueError("kdi-table requires .option('path', ...)")
-        snap = Table(root).snapshot(self._version())
-        if snap.defaults:
-            # this source's arrow reader would surface NULLs where the
-            # native scan applies initial defaults (scan.py read_entries)
-            raise ValueError(
-                "kdi-table does not support tables with column defaults "
-                "— read via Table.snapshot().scan(spark)"
-            )
-        if snap.column_mapping or snap.dropped_physical:
-            # this source's arrow reader selects parquet columns by the
-            # logical schema names; a renamed/dropped table needs the
-            # physical mapping the native scan applies (scan.py) — use
-            # Table.snapshot().scan() for such tables
-            raise ValueError(
-                "kdi-table does not support column-mapped tables "
-                "(rename_column/drop_column applied) — read via "
-                "Table.snapshot().scan(spark)"
-            )
-        return snap.schema
+        # column mapping and initial defaults are applied per task (the
+        # planner threads them through ScanFilePartition), so mapped and
+        # defaulted tables read correctly here
+        return Table(root).snapshot(self._version()).schema
 
     def writer(self, schema: T.StructType, overwrite: bool):
         from kafka_delta_ingest_spark.table import transforms
 
         root = os.path.abspath(self.options["path"])
         snap = Table(root).snapshot()
+        if snap.column_mapping or snap.dropped_physical:
+            # the arrow writer emits parquet under the frame's column
+            # names; a mapped table needs logical→physical renaming
+            # (table/writer.py to_physical) — use write_dataframe
+            raise ValueError(
+                "kdi-table write does not support column-mapped tables "
+                "— use table/writer.py write_dataframe"
+            )
         want = [(f.name, f.dataType) for f in snap.schema.fields]
         got = [(f.name, f.dataType) for f in schema.fields]
         if want != got:

@@ -176,14 +176,50 @@ def test_mapping_survives_checkpointed_replay(spark, tmp_table_root):
     assert content_fingerprint(snap.scan(spark)) == fp
 
 
-def test_python_datasource_refuses_mapped_tables(spark, tmp_table_root):
-    t = _mk(spark, tmp_table_root, n_files=2)
-    t.rename_column("n_tok", "tok_len")
+def test_python_datasource_reads_mapped_and_defaulted_tables(spark, tmp_table_root):
+    """The batch DataSource applies the column mapping and per-file
+    initial defaults per task (ScanFilePartition threads them), so its
+    scan equals the native scan; the arrow WRITER still refuses mapped
+    tables (it cannot rename to physical)."""
+    from pyspark.sql import types as T
+
     from kafka_delta_ingest_spark.sources.table_batch import register
 
+    t = _mk(spark, tmp_table_root, n_files=2)
+    t.rename_column("n_tok", "tok_len")
+    t.evolve_schema(
+        T.StructType(
+            list(t.snapshot().schema.fields)
+            + [T.StructField("w", T.IntegerType(), True)]
+        ),
+        defaults={"w": 6},
+    )
+    # post-default rows with explicit NULL w (writer-supplied wins)
+    extra = (
+        tokens_df(spark, 10, seed=7, max_tok=8)
+        .withColumnRenamed("n_tok", "tok_len")
+        .withColumn("doc_id", F.concat(F.lit("d-"), F.col("doc_id")))
+        .withColumn("w", F.lit(None).cast("int"))
+    )
+    write_dataframe(spark, t, extra)
+
     register(spark)
+    ds = spark.read.format("kdi-table").option("path", t.root).load()
+    native = t.snapshot().scan(spark)
+    assert content_fingerprint(ds) == content_fingerprint(native)
+    assert ds.where(F.col("w") == 6).count() == 120   # defaulted old rows
+    assert ds.where(F.col("w").isNull()).count() == 10
+    # logical-name row filter through the where option
+    ds_f = (
+        spark.read.format("kdi-table").option("path", t.root)
+        .option("where", "tok_len >= 4").load()
+    )
+    assert ds_f.count() == native.where(F.col("tok_len") >= 4).count()
+    # arrow writer refuses mapped tables
     with pytest.raises(Exception, match="column-mapped"):
-        spark.read.format("kdi-table").option("path", t.root).load().count()
+        extra.write.format("kdi-table").mode("append").option(
+            "path", t.root
+        ).save()
 
 def test_export_refuses_mapped_or_defaulted_tables(spark, tmp_table_root):
     """External engines read raw parquet: physical names and NULLs where
