@@ -79,13 +79,31 @@ def row_changes(
 
     old = s0.read(spark, [f for f in s0.files if f.path in old_paths])
     new = s1.read(spark, [f for f in s1.files if f.path in new_paths])
-    # additive schema evolution: align the old side to the new schema
-    # (missing columns are NULL, exactly what a schema-pinned scan yields)
-    for name in out_fields:
-        if name not in old.columns:
-            dt = s1.schema[name].dataType
-            old = old.withColumn(name, F.lit(None).cast(dt))
-    old = old.select(*out_fields)
+    # schema evolution alignment. Renamed columns are the SAME column
+    # under a different logical name — identity is the immutable PHYSICAL
+    # name (column mapping, table/format.py): align by physical identity
+    # first, or a rename inside the range would NULL the old side's
+    # pre-images and report a phantom update for every surviving row.
+    # Genuinely new columns fill with NULL, exactly what a schema-pinned
+    # scan yields; dropped columns fall out of the select.
+    phys0 = {
+        s0.column_mapping.get(f.name, f.name): f.name
+        for f in s0.schema.fields
+    }
+    for f in s1.schema.fields:
+        if f.name in old.columns:
+            continue
+        src = phys0.get(s1.column_mapping.get(f.name, f.name))
+        if src is not None and src in old.columns:
+            old = old.withColumnRenamed(src, f.name)
+        else:
+            old = old.withColumn(f.name, F.lit(None).cast(f.dataType))
+    old = old.select(
+        *[
+            F.col(c).cast(s1.schema[c].dataType).alias(c)
+            for c in out_fields
+        ]
+    )
     new = new.select(*out_fields)
 
     if verify:

@@ -335,3 +335,33 @@ def test_inexact_stat_markers_rekey_to_logical_names(spark, tmp_table_root):
     assert fe.num_records > 0
     assert "document_id" in fe.stats.get("inexact", []), fe.stats
     assert "doc_id" not in fe.stats.get("inexact", [])
+
+
+def test_change_feed_aligns_renamed_columns_by_physical_identity(spark, tmp_table_root):
+    """A rename inside the CDF range must not NULL the old side's
+    pre-images: a renamed column is the same column (physical identity),
+    so only genuinely changed rows appear in the changelog."""
+    from kafka_delta_ingest_spark.maintenance.dml import update_where
+    from kafka_delta_ingest_spark.table.changes import row_changes
+
+    t = _mk(spark, tmp_table_root, n_docs=60, n_files=2,
+            partition_by_source=False)
+    v0 = t.latest_version()
+    t.rename_column("n_tok", "tok_len")
+    update_where(
+        spark, t, [("doc_id", "=", f"doc-{5:012d}")],
+        {"tokens": "array(1, 2, 3)"},
+    )
+    ch = row_changes(spark, t, v_from=v0).collect()
+    by_type = {}
+    for r in ch:
+        by_type.setdefault(r["_change_type"], []).append(r)
+    # exactly one updated row — NOT 60 phantom updates from the rename
+    assert set(by_type) == {"update_preimage", "update_postimage"}
+    assert len(by_type["update_preimage"]) == 1
+    pre = by_type["update_preimage"][0]
+    post = by_type["update_postimage"][0]
+    assert pre["doc_id"] == post["doc_id"] == f"doc-{5:012d}"
+    # the pre-image carries the REAL old value under the new name
+    assert pre["tok_len"] is not None
+    assert post["tokens"] == [1, 2, 3]
