@@ -36,6 +36,7 @@ import logging
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from kafka_delta_ingest_spark.operators.spread import spread_small_input
 from kafka_delta_ingest_spark.operators.text import normalize_text
 
 log = logging.getLogger(__name__)
@@ -83,7 +84,12 @@ def char_gram_rows(
     ``_pos`` is the 0-based gram position (used by winnowing); ``_h`` the
     gram hash. Not distinct — min-aggregates don't care, and set consumers
     dedupe via ``collect_set``/``distinct`` where semantics demand it.
+
+    The input is spread to session parallelism BEFORE the explode when it
+    arrives narrow (operators/spread.py): the ~|text|× row amplification
+    otherwise runs on however few splits the source scan produced.
     """
+    df = spread_small_input(df, id_col)
     norm = df.select(F.col(id_col), normalize_text(F.col(text_col)).alias("_norm"))
     idx = F.sequence(F.lit(1), F.greatest(F.length("_norm") - F.lit(n - 1), F.lit(1)))
     return norm.select(
@@ -103,6 +109,7 @@ def word_gram_rows(
     hash_family: str = "xxhash64",
 ) -> DataFrame:
     """One row per word-n-gram OCCURRENCE: (id_col, _pos, _h)."""
+    df = spread_small_input(df, id_col)
     norm = df.select(F.col(id_col), normalize_text(F.col(text_col)).alias("_norm"))
     words = F.split(F.col("_norm"), " ")
     idx = F.sequence(F.lit(1), F.greatest(F.size(words) - F.lit(n - 1), F.lit(1)))
@@ -133,6 +140,7 @@ def token_gram_rows(
     gram text — see the identical key. Like the word version, a document
     shorter than ``n`` contributes its full (short) sequence as one gram,
     so short docs are still checkable."""
+    df = spread_small_input(df, id_col)
     arr = F.col(tokens_col).cast("array<int>")
     idx = F.sequence(F.lit(1), F.greatest(F.size(arr) - F.lit(n - 1), F.lit(1)))
     return df.select(
@@ -313,6 +321,16 @@ def minhash_signatures(
         df, id_col, text_col, shingle_n, hash_family
     )
     if hash_family == "md5":
+        # NOTE (r6): a "digest per DISTINCT gram + join back" variant was
+        # prototyped (sf0.1 vocabulary: 2,041 distinct of 1.47M occurrence
+        # rows, so it cuts the md5/conv work ~700×) and REJECTED: Catalyst
+        # sizes the gram side from the 5000-row scan — it cannot see the
+        # explode amplification — so it BROADCAST the 1.45M exploded gram
+        # rows and streamed the 2,041-row digest table (BuildLeft
+        # inversion, ~100 MB broadcast, 103 s vs 9 s). And at scale the
+        # join shape is wrong anyway: it shuffles every gram OCCURRENCE by
+        # gram hash (Zipf-skewed), where this inline form shuffles only
+        # num_perm longs per doc after map-side combine.
         n_dig = (num_perm + 3) // 4
         ex = ex.select(
             F.col(id_col),
@@ -388,7 +406,11 @@ def minhash_near_dups(
     LSH banding for candidates; exact Jaccard on shingle sets verifies.
     The signature and shingle-set frames are persisted: the band self-join
     and the verify join each read them twice, and without a cache Spark
-    would recompute the shingling pass per branch.
+    would recompute the shingling pass per branch. (An eager-
+    localCheckpoint variant was A/B'd in r6 and was within noise of
+    persist cold — 17.4 vs 19.1 s first-call — while losing both the
+    deterministic unpersist in _finalize and CacheManager plan-fragment
+    reuse across calls in a long session, so persist stays.)
 
     ``max_docs_per_bucket`` is the stop-bucket cutoff (the LSH analog of
     ngram_jaccard's posting-list cutoff): a band bucket holding more than

@@ -565,16 +565,33 @@ def embedding_near_dups_exact(
     all-pairs, so O(n²) dot products — run it on samples or small corpora
     to measure the LSH variant's recall; the LSH path is the scale path.
     One side is broadcast, so the corpus partitioning never shuffles; ties
-    broken by (id_a, id_b) for a fully deterministic result."""
-    l = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    r = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    broken by (id_a, id_b) for a fully deterministic result.
+
+    Two per-task-work notes (guide §1.2 step 2): the stream side is spread
+    to session parallelism first — the broadcast join amplifies each
+    stream row |corpus| times before any exchange, so a one-split scan
+    serialized all O(n²) scoring on one core (measured 24 s → ~2 s at
+    sf0.1/local[32]); and each side's norm is computed once per VECTOR as
+    a column instead of once per pair inside ``cosine_sim`` — same
+    left-folded double arithmetic, so the cosines are bit-identical, but
+    the O(n²) stage drops from 3 array folds per pair to 1."""
+    from kafka_delta_ingest_spark.operators.spread import spread_small_input
+
+    l = spread_small_input(df, id_col).select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).cast("array<double>").alias("_va"),
+    ).withColumn("_na", norm(F.col("_va")))
+    r = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).cast("array<double>").alias("_vb"),
+    ).withColumn("_nb", norm(F.col("_vb")))
     pairs = l.join(F.broadcast(r), F.col("id_a") < F.col("id_b"))
     scored = pairs.select(
         "id_a",
         "id_b",
-        cosine_sim(
-            F.col("_va").cast("array<double>"), F.col("_vb").cast("array<double>")
-        ).alias("cos"),
+        (dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))).alias(
+            "cos"
+        ),
     )
     return scored.orderBy(F.desc("cos"), "id_a", "id_b").limit(k)
 

@@ -1,0 +1,45 @@
+"""Input-width guard for explode- and pair-amplifying operators.
+
+The dedup/similarity operators multiply their input hundreds-to-thousands
+of times before the first exchange (gram explosion: one row per n-gram;
+pair scoring: one row per candidate pair). Spark sizes the FIRST stage by
+the *input* split count, so a narrow source — one parquet file at small
+scale factors, a single-partition upstream, a coalesced filter — serializes
+the whole hash/score pipeline on a handful of cores while the rest of the
+cluster idles: the amplified rows never cross an exchange that could
+re-balance them (guide §2.5 "input skew": repartition immediately after
+the read). Measured at sf0.1/local[32]: the md5 MinHash pipeline ran 68 s
+on the 1-split documents scan and 8.8 s after spreading the 5000 doc rows
+— identical output.
+
+``spread_small_input`` hash-repartitions the *pre-amplification* rows (each
+doc/vector moves ONCE — tiny next to the gram/pair rows it unlocks) to the
+session's parallelism, and ONLY when the input is narrower than that:
+a production scan with hundreds of splits passes through untouched, so at
+100 TB this is a no-op and no full-table shuffle sneaks in. Partitioning
+by the id column (not round-robin) keeps the placement deterministic under
+task retry and lets per-id aggregations downstream (MinHash signatures,
+shingle sets) reuse the exchange instead of adding their own.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def spread_small_input(df: DataFrame, id_col: str) -> DataFrame:
+    """Hash-repartition ``df`` by ``id_col`` up to the session's default
+    parallelism when (and only when) its physical plan yields fewer
+    partitions than that. The explicit partition count pins the width:
+    AQE's coalescer would otherwise fold the few-MB pre-explosion rows
+    back into one partition, which is exactly the state being fixed."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        cur = df.rdd.getNumPartitions()
+    except Exception:  # noqa: BLE001 - planning quirk: leave input alone
+        return df
+    if cur >= target:
+        return df
+    return df.repartition(target, F.col(id_col))

@@ -38,6 +38,19 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalescing is byte-based and blind to per-row compute: with
+        # the default 1 MiB floor it folded the MinHash verify stage
+        # (skinny candidate ids in the exchange, 290-element
+        # array_intersect per row after it) to ONE task — 11.8 s of the
+        # 30 s query on one core while 31 idled (event-log profile, r6).
+        # A 64 KiB floor keeps small-but-expensive shuffles at the
+        # session's parallelism; genuinely large shuffles still coalesce
+        # toward advisoryPartitionSizeInBytes, so at-scale behavior is
+        # unchanged.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("KDI_AQE_MIN_PARTITION_SIZE", "64k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
