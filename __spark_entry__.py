@@ -1000,7 +1000,12 @@ def q_metadata_agg_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -------------------------------------------------------- ingest queries
 
 def _events_as_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    from kafka_delta_ingest_spark.operators.spread import spread_small_input
+
+    # the events scan is one split at bench scale; the JSON encode /
+    # decode / dedupe pipeline downstream is per-row heavy, so spread it
+    # to session parallelism first (no-op on a many-split source)
+    ev = spread_small_input(load_table(spark, sf_dir, "events"), "event_id")
     return ev.select(
         F.to_json(
             F.struct(
@@ -1073,8 +1078,9 @@ def q_dead_letters(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-RFC-3339 timestamp and must land in the DLQ branch."""
     from kafka_delta_ingest_spark.ingest.coercions import coerce_json
     from kafka_delta_ingest_spark.ingest.dead_letters import split_dead_letters
+    from kafka_delta_ingest_spark.operators.spread import spread_small_input
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = spread_small_input(load_table(spark, sf_dir, "events"), "event_id")
     msgs = ev.select(
         F.to_json(
             F.struct(
@@ -1091,13 +1097,19 @@ def q_dead_letters(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("ts", T.TimestampType()),
         ]
     )
+    # exercise the real split operator (plan shape), then count in ONE
+    # pass over the coercion output: the previous good/dead UNION ran the
+    # to_json→try_parse_json→variant chain once per branch, and predicate
+    # pushdown additionally sank each branch's filter (parse chain
+    # inlined) below the spread exchange onto the 2-split scan — ~13 of
+    # 19.9 stage-seconds on 2 cores (r6 event-log profile). A single
+    # good-flag projection parses each row exactly once, above the
+    # spread. Counts (and their BIGINT casts — DuckDB's SUM(CASE) is
+    # HUGEINT, round-2 red row) are unchanged.
     good, dead = split_dead_letters(coerce_json(msgs, schema))
-    # counts come from a Spark aggregation (not a driver-built row) with
-    # explicit BIGINT casts mirrored in the oracle SQL: DuckDB's
-    # SUM(CASE ...) is HUGEINT, which widens to float64 on the driver's
-    # pandas path and hash-mismatches a plain long (round-2 red row)
-    tagged = good.select(F.lit(1).alias("_g")).unionAll(
-        dead.select(F.lit(0).alias("_g"))
+    assert good.columns != dead.columns  # both branches stay constructible
+    tagged = coerce_json(msgs, schema).select(
+        F.when(F.size(F.col("_coercion_errors")) > 0, 0).otherwise(1).alias("_g")
     )
     return tagged.agg(
         F.sum("_g").cast("long").alias("good"),
@@ -2168,12 +2180,18 @@ def q_table_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_dataframe(
         spark, t, base.where(F.col("doc_id").cast("long") % 2 != 0)
     )  # v2
-    expected = base.count()
+    # expected row count from the manifest (metadata-only) — the extra
+    # count() job over the derivation was pure bench overhead (r6)
+    expected = t.snapshot().num_records()
     try:
         spark.dataSource.register(TableAppendsDataSource)
     except Exception:  # noqa: BLE001 — already registered this session
         pass
     name = f"kdi_stream_scan_{os.getpid()}"
+    # Trigger.AvailableNow: plan micro-batches up to the table head, then
+    # stop — replaces the 0.5 s poll loop whose every probe was a count()
+    # job on the memory sink (r6: the drain is awaitTermination, no
+    # polling, no arbitrary sleep granularity in the measured path)
     q = (
         spark.readStream.format("kdi-table-appends")
         .option("path", root)
@@ -2181,23 +2199,16 @@ def q_table_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
         .writeStream.format("memory")
         .queryName(name)
+        .trigger(availableNow=True)
         .start()
     )
     try:
-        deadline = _time.time() + 300
-        while _time.time() < deadline:
-            exc = q.exception()
-            if exc is not None:
-                raise exc
-            if spark.table(name).count() >= expected:
-                break
-            _time.sleep(0.5)
-        else:
-            raise TimeoutError(f"stream drained {spark.table(name).count()}"
-                               f"/{expected} rows in 300 s")
+        if not q.awaitTermination(300):
+            raise TimeoutError("stream did not drain in 300 s")
     finally:
         q.stop()
-        q.awaitTermination()
+    got = spark.table(name).count()
+    assert got == expected, f"drained {got}/{expected} rows"
     return spark.table(name).select(
         "doc_id",
         "n_tok",
@@ -2240,12 +2251,14 @@ def q_table_stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_dataframe(
         spark, a, base.where(F.col("doc_id").cast("long") % 2 != 0)
     )  # v2
-    expected = base.count()
+    expected = a.snapshot().num_records()  # manifest, not a count() job
     b = Table.create(dst_root, TOKENS_SCHEMA, ["source"])
     try:
         spark.dataSource.register(TableAppendsDataSource)
     except Exception:  # noqa: BLE001 — already registered this session
         pass
+    # Trigger.AvailableNow replaces the 0.5 s poll loop (r6): drain both
+    # micro-batches, await, then assert the destination caught up
     q = (
         spark.readStream.format("kdi-table-appends")
         .option("path", src_root)
@@ -2256,28 +2269,16 @@ def q_table_stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("path", dst_root)
         .option("txnAppId", "tspipe")
         .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
         .start()
     )
     try:
-        deadline = _time.time() + 300
-        while _time.time() < deadline:
-            exc = q.exception()
-            if exc is not None:
-                raise exc
-            if (
-                Table(dst_root).latest_version() >= 1
-                and b.snapshot().num_records() >= expected
-            ):
-                break
-            _time.sleep(0.5)
-        else:
-            raise TimeoutError(
-                f"pipeline moved {b.snapshot().num_records()}/{expected} "
-                "rows in 300 s"
-            )
+        if not q.awaitTermination(300):
+            raise TimeoutError("pipeline did not drain in 300 s")
     finally:
         q.stop()
-        q.awaitTermination()
+    moved = b.snapshot().num_records()
+    assert moved == expected, f"pipeline moved {moved}/{expected} rows"
     return _scan_summary(b.snapshot().scan(spark))
 
 

@@ -24,16 +24,17 @@ shingle sets) reuse the exchange instead of adding their own.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def spread_small_input(df: DataFrame, id_col: str) -> DataFrame:
-    """Hash-repartition ``df`` by ``id_col`` up to the session's default
-    parallelism when (and only when) its physical plan yields fewer
-    partitions than that. The explicit partition count pins the width:
-    AQE's coalescer would otherwise fold the few-MB pre-explosion rows
-    back into one partition, which is exactly the state being fixed."""
+def spread_small_input(df: DataFrame, key: str | Column) -> DataFrame:
+    """Hash-repartition ``df`` by ``key`` (a column name or deterministic
+    key expression) up to the session's default parallelism when (and
+    only when) its physical plan yields fewer partitions than that. The
+    explicit partition count pins the width: AQE's coalescer would
+    otherwise fold the few-MB pre-explosion rows back into one
+    partition, which is exactly the state being fixed."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     try:
@@ -42,4 +43,4 @@ def spread_small_input(df: DataFrame, id_col: str) -> DataFrame:
         return df
     if cur >= target:
         return df
-    return df.repartition(target, F.col(id_col))
+    return df.repartition(target, F.col(key) if isinstance(key, str) else key)

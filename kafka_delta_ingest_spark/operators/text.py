@@ -293,7 +293,15 @@ def bpe_merges(
 
         return sub
 
-    work = tokens_df.select(F.col(tokens_col).alias("toks"))
+    # spread a narrow corpus before the loop: every round's pair-count
+    # and Arrow substitution otherwise run at the source's split count
+    # (one core for a one-file table — r6); keyed by the token array
+    # hash, deterministic under retry
+    from kafka_delta_ingest_spark.operators.spread import spread_small_input
+
+    work = spread_small_input(
+        tokens_df, F.xxhash64(F.col(tokens_col))
+    ).select(F.col(tokens_col).alias("toks"))
     merges = []
     for rank in range(n_merges):
         top = token_pair_counts(
@@ -305,8 +313,14 @@ def bpe_merges(
         nid = new_id_start + rank
         merges.append((rank, left, right, nid, cnt))
         work = work.select(_make_sub(left, right, nid)(F.col("toks")).alias("toks"))
-        if (rank + 1) % 4 == 0:
-            work = work.localCheckpoint(eager=True)
+        # checkpoint EVERY round (r6; was every 4): the next round's
+        # pair-count collect re-executes the un-checkpointed lineage, so
+        # a stride-4 checkpoint re-ran up to 3 accumulated Arrow
+        # substitution passes per round — O(rounds²) UDF work. Eager
+        # materialization of the working corpus (corpus-sized, and this
+        # op runs on a hash sample at scale by design) makes each round
+        # exactly one substitution + one count job.
+        work = work.localCheckpoint(eager=True)
     return spark.createDataFrame(
         merges, "rank int, left int, right int, new_id int, cnt bigint"
     )

@@ -137,8 +137,14 @@ class IngestPipeline:
                 v = um["version"]
                 n_rows, n_bytes = um["rows_upserted"], um["bytes_written"]
             else:
+                # rebalance-by-partition-keys: an ingest batch arrives
+                # partitioned by Kafka offsets, orthogonal to the table
+                # layout — without the clustering shuffle every task
+                # writes every partition value (tasks×values small files;
+                # measured 960 ~3 KB files for one sf0.1 batch, 30 after)
                 _, adds = stage_dataframe(
-                    spark, self.table, good, snap.partition_cols, snap.schema
+                    spark, self.table, good, snap.partition_cols, snap.schema,
+                    layout="rebalance",
                 )
                 v = self.table.commit(
                     Transaction(operation="ingest", adds=adds, app_txns=app_txns),
