@@ -450,6 +450,15 @@ def minhash_near_dups(
         )
         .distinct()
     )
+    # explicit width for the verify join: the candidate exchange is a few
+    # MB of ids, so AQE's byte-based coalescer folds it to 1-2 tasks, but
+    # each verify row does a ~|shingles|-element array_intersect — the
+    # stage ran 11.8 s single-task (r6 event-log profile). Width comes
+    # from spark.sql.shuffle.partitions, the session's scale knob.
+    cand = cand.repartition(
+        int(cand.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+        "id_a",
+    )
     sh = _shingle_sets(grams, id_col, hash_family).persist()
     verified = (
         cand.join(
@@ -558,6 +567,11 @@ def minhash_against_index(
         )
         .select("id_a", "id_b")
         .distinct()
+    )
+    # explicit verify width — same AQE-coalesce hazard as minhash_near_dups
+    cand = cand.repartition(
+        int(cand.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+        "id_a",
     )
     bsh = _shingle_sets(
         char_gram_rows(batch, id_col, text_col, shingle_n, hash_family),

@@ -38,18 +38,18 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # AQE coalescing is byte-based and blind to per-row compute: with
-        # the default 1 MiB floor it folded the MinHash verify stage
-        # (skinny candidate ids in the exchange, 290-element
-        # array_intersect per row after it) to ONE task — 11.8 s of the
-        # 30 s query on one core while 31 idled (event-log profile, r6).
-        # A 64 KiB floor keeps small-but-expensive shuffles at the
-        # session's parallelism; genuinely large shuffles still coalesce
-        # toward advisoryPartitionSizeInBytes, so at-scale behavior is
-        # unchanged.
+        # AQE coalescing floor kept at the Spark default (1 MiB): a
+        # session-wide 64 KiB floor was A/B'd in r6 — it widened the
+        # byte-small/compute-heavy dedup verify stages (~8% on that
+        # subset) but multiplied the file fan-out of every partitioned
+        # MERGE/DML write (tasks × partition values; merge_clauses_scan
+        # 2.7 s → 5.8 s). The verify stages get explicit width at the
+        # operator instead (operators/dedup.py candidate repartition),
+        # which is also the only form that survives on a real cluster
+        # where the same exchange is NOT small.
         .config(
             "spark.sql.adaptive.coalescePartitions.minPartitionSize",
-            os.environ.get("KDI_AQE_MIN_PARTITION_SIZE", "64k"),
+            os.environ.get("KDI_AQE_MIN_PARTITION_SIZE", "1m"),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

@@ -107,6 +107,45 @@ class ScanFilePartition(InputPartition):
     # file PREDATES (seq < added_seq, decided at planning) — emitted as
     # constant arrays, mirroring scan.py read_entries
     fill_defaults: dict = field(default_factory=dict)
+    # manifest size (bytes) — split-packing weight only, not shipped
+    # semantics
+    size: int = 0
+
+
+@dataclass
+class ScanFileGroupPartition(InputPartition):
+    """Several small files = one Spark task (guide §6: a Python
+    datasource task has fixed worker/Arrow overhead, and one-task-per-
+    file makes a fragmented table cost O(files) task launches; packing
+    mirrors Spark's own file-split packing for native scans)."""
+
+    files: list = field(default_factory=list)
+
+
+def _pack_file_groups(
+    parts: list[ScanFilePartition],
+    target_bytes: int,
+    open_cost: int,
+) -> list[InputPartition]:
+    """Greedy first-fit pack (size + per-file open cost) into splits of
+    ``target_bytes`` — the same accounting Spark's FilePartition uses.
+    Single-file groups stay bare ScanFilePartitions."""
+    groups: list[list[ScanFilePartition]] = []
+    acc: list[ScanFilePartition] = []
+    acc_bytes = 0
+    for p in sorted(parts, key=lambda x: -(x.size or 0)):
+        w = (p.size or 0) + open_cost
+        if acc and acc_bytes + w > target_bytes:
+            groups.append(acc)
+            acc, acc_bytes = [], 0
+        acc.append(p)
+        acc_bytes += w
+    if acc:
+        groups.append(acc)
+    return [
+        g[0] if len(g) == 1 else ScanFileGroupPartition(files=g)
+        for g in groups
+    ]
 
 
 def to_conjuncts(filters: list[Filter]) -> list[tuple]:
@@ -249,15 +288,41 @@ class KdiTableBatchReader(DataSourceReader):
                         for c, d in snap.defaults.items()
                         if fseq < d["added_seq"]
                     },
+                    size=int(fe.size or 0),
                 )
             )
         if not out:
             # Spark requires >= 1 partition; emit one empty marker task
             out.append(ScanFilePartition(path="", rel_path=""))
-        return out
+            return out
+        # split-pack small files (one python-worker task per FILE made a
+        # fragmented table cost O(files) task launches); split size from
+        # the session's scan knobs, floored so the pack never drops the
+        # scan below ~2 tasks/core on small-but-wide tables
+        target, open_cost, par = 128 * 1024 * 1024, 1024 * 1024, 32
+        try:
+            from pyspark.sql import SparkSession
+
+            s = SparkSession.getActiveSession()
+            if s is not None:
+                target = int(s.conf.get("spark.sql.files.maxPartitionBytes"))
+                open_cost = int(s.conf.get("spark.sql.files.openCostInBytes"))
+                par = s.sparkContext.defaultParallelism
+        except Exception:  # noqa: BLE001 — planning must not die on conf
+            pass
+        total = sum((p.size or 0) + open_cost for p in out)
+        target = max(open_cost, min(target, total // max(2 * par, 1) or 1))
+        return _pack_file_groups(out, target, open_cost)
 
     # ---- executor-side read ---------------------------------------
-    def read(self, partition: ScanFilePartition):
+    def read(self, partition):
+        if isinstance(partition, ScanFileGroupPartition):
+            for fp in partition.files:
+                yield from self._read_file(fp)
+            return
+        yield from self._read_file(partition)
+
+    def _read_file(self, partition: ScanFilePartition):
         import pyarrow as pa
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
