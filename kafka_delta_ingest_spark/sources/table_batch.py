@@ -112,6 +112,26 @@ class ScanFilePartition(InputPartition):
     size: int = 0
 
 
+_SIZE_SUFFIX = {
+    "b": 1, "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20, "mb": 1 << 20,
+    "g": 1 << 30, "gb": 1 << 30, "t": 1 << 40, "tb": 1 << 40,
+}
+
+
+def _parse_bytes(v, default: int) -> int:
+    """Spark size-conf strings come back with unit suffixes
+    ('134217728b', '128MB', '1m'); parse them, falling back on
+    ``default``."""
+    try:
+        s = str(v).strip().lower()
+        for suf in sorted(_SIZE_SUFFIX, key=len, reverse=True):
+            if s.endswith(suf):
+                return int(float(s[: -len(suf)]) * _SIZE_SUFFIX[suf])
+        return int(s)
+    except (TypeError, ValueError):
+        return default
+
+
 @dataclass
 class ScanFileGroupPartition(InputPartition):
     """Several small files = one Spark task (guide §6: a Python
@@ -305,8 +325,12 @@ class KdiTableBatchReader(DataSourceReader):
 
             s = SparkSession.getActiveSession()
             if s is not None:
-                target = int(s.conf.get("spark.sql.files.maxPartitionBytes"))
-                open_cost = int(s.conf.get("spark.sql.files.openCostInBytes"))
+                target = _parse_bytes(
+                    s.conf.get("spark.sql.files.maxPartitionBytes"), target
+                )
+                open_cost = _parse_bytes(
+                    s.conf.get("spark.sql.files.openCostInBytes"), open_cost
+                )
                 par = s.sparkContext.defaultParallelism
         except Exception:  # noqa: BLE001 — planning must not die on conf
             pass

@@ -1,0 +1,135 @@
+"""Focused tests for the r6 optimization internals.
+
+Each test pins the *mechanism* (plan width, file layout, partition
+packing), not timings — the behaviors that, if silently lost, would
+re-introduce the measured regressions without failing any result check.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog near the old winter "
+    "river bank while the birds are singing"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE, "web"),
+        (2, BASE, "web"),
+        (3, BASE.replace("winter", "summer"), "books"),
+        (4, "der hund und die katze sind gute freunde und das ist schön", "web"),
+        (5, "completely different text about quantum computing research", "code"),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string, source string")
+
+
+def test_spread_small_input_widens_narrow_and_passes_wide(spark):
+    from kafka_delta_ingest_spark.operators.spread import spread_small_input
+
+    target = spark.sparkContext.defaultParallelism
+    narrow = spark.range(0, 1000).coalesce(1)
+    assert narrow.rdd.getNumPartitions() == 1
+    out = spread_small_input(narrow, "id")
+    assert out.rdd.getNumPartitions() == target
+    # identical rows, just re-placed
+    assert out.count() == 1000 and out.agg(F.sum("id")).first()[0] == 499500
+
+    wide = spark.range(0, 1000, numPartitions=target + 4)
+    assert spread_small_input(wide, "id") is wide  # untouched, no shuffle
+
+    # Column-expression key (the bpe_merges form)
+    out2 = spread_small_input(narrow, F.xxhash64(F.col("id")))
+    assert out2.rdd.getNumPartitions() == target
+    assert out2.count() == 1000
+
+
+def test_gram_rows_spread_before_explode(spark, docs):
+    """The explode-amplified gram pipeline must start at session
+    parallelism even from a one-partition source (the r6 64 s -> 9 s
+    fix). The repartition exchange must sit BELOW the generate."""
+    from kafka_delta_ingest_spark.operators.dedup import char_gram_rows
+
+    one = docs.coalesce(1)
+    plan = char_gram_rows(one, "doc_id", "text", 5)._jdf.queryExecution().executedPlan().toString()
+    gen = plan.find("Generate")
+    exch = plan.find("REPARTITION_BY_NUM")
+    assert exch != -1, plan
+    assert gen != -1 and exch > gen  # exchange deeper in the tree (below)
+
+
+def test_stage_dataframe_rebalance_layout(spark, tmp_path):
+    """layout='rebalance' collapses the tasks x partition-values file
+    fan-out of a partitioned append (960 -> ~#values in the r6 ingest
+    profile) without changing contents."""
+    from kafka_delta_ingest_spark.table.format import Table, Transaction
+    from kafka_delta_ingest_spark.table.writer import stage_dataframe
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), True),
+            T.StructField("part", T.StringType(), True),
+        ]
+    )
+    root = str(tmp_path / "tbl")
+    t = Table.create(root, schema, ["part"])
+    df = spark.range(0, 4000, numPartitions=16).select(
+        F.col("id").alias("k"), (F.col("id") % 4).cast("string").alias("part")
+    )
+    _, adds_fan = stage_dataframe(spark, t, df, ["part"], schema)
+    _, adds_reb = stage_dataframe(
+        spark, t, df, ["part"], schema, layout="rebalance"
+    )
+    assert len(adds_reb) < len(adds_fan)
+    assert len(adds_reb) <= 8  # ~one file per partition value at this size
+    assert sum(a.num_records for a in adds_reb) == 4000
+    t.commit(Transaction(operation="append", adds=adds_reb))
+    got = t.snapshot().scan(spark).agg(
+        F.count(F.lit(1)), F.sum("k")
+    ).first()
+    assert tuple(got) == (4000, 7998000)
+
+
+def test_batch_datasource_packs_small_files(spark, tmp_path):
+    """partitions() split-packs per-file tasks into size-weighted groups
+    and the grouped read returns every row exactly once."""
+    from kafka_delta_ingest_spark.datagen import make_small_file_table
+    from kafka_delta_ingest_spark.sources import table_batch
+
+    root = str(tmp_path / "frag")
+    t = make_small_file_table(spark, root, n_docs=2000, n_files=24, seed=7)
+    snap = t.snapshot()
+    rdr = table_batch.KdiTableBatchReader(t.root, snap.schema, None)
+    parts = rdr.partitions()
+    assert len(parts) < len(snap.files)
+    table_batch.register(spark)
+    got = (
+        spark.read.format("kdi-table").option("path", t.root).load()
+        .agg(F.count(F.lit(1)), F.countDistinct("doc_id")).first()
+    )
+    assert tuple(got) == (2000, 2000)
+
+
+def test_minhash_verify_stage_has_explicit_width(spark, docs):
+    """The candidate->shingle verify join must not inherit an
+    AQE-coalescible exchange: an explicit REPARTITION_BY_NUM on id_a
+    guards the compute-heavy array_intersect stage (r6: 11.8 s
+    single-task without it)."""
+    from kafka_delta_ingest_spark.operators import dedup as D
+
+    sigs_plan = (
+        D.minhash_near_dups(docs, "doc_id", "text", jaccard_threshold=0.9)
+    )
+    # result identical shape; the guard is structural, asserted on source
+    import inspect
+
+    src = inspect.getsource(D.minhash_near_dups)
+    assert "cand.repartition" in src or "cand = cand.repartition" in src
+    assert {"id_a", "id_b", "jaccard"} <= set(sigs_plan.columns)
