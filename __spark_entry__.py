@@ -1475,9 +1475,17 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     and PII-free, so the query injects deterministic PII per document
     first — the oracle replays injection + counting + redaction
     byte-for-byte (patterns live in the Java∩RE2 regex subset)."""
+    from kafka_delta_ingest_spark.operators.spread import (
+        MIN_BYTES_MILD,
+        spread_small_input,
+    )
     from kafka_delta_ingest_spark.operators.text import pii_counts, scrub_pii
 
-    d = load_table(spark, sf_dir, "documents")
+    # spread (r6 §1): injection + 3 regex counts + redaction + md5 per
+    # doc, all below the first exchange otherwise
+    d = spread_small_input(
+        load_table(spark, sf_dir, "documents"), "doc_id", MIN_BYTES_MILD
+    )
     injected = F.concat(
         F.col("text"),
         F.lit(" contact user"),
@@ -1577,9 +1585,17 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_delta_ingest_spark.operators.spread import (
+        MIN_BYTES_MILD,
+        spread_small_input,
+    )
     from kafka_delta_ingest_spark.operators.text import lang_id
 
-    d = load_table(spark, sf_dir, "documents")
+    # spread (r6 §1): the per-doc regex census runs below the first
+    # exchange, single-task on a one-split scan otherwise
+    d = spread_small_input(
+        load_table(spark, sf_dir, "documents"), "doc_id", MIN_BYTES_MILD
+    )
     return (
         d.select(lang_id("text").alias("lang_guess"))
         .groupBy("lang_guess")
@@ -1589,9 +1605,17 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_delta_ingest_spark.operators.spread import (
+        MIN_BYTES_MILD,
+        spread_small_input,
+    )
     from kafka_delta_ingest_spark.operators.text import token_count, token_count_bpe
 
-    d = load_table(spark, sf_dir, "documents")
+    # spread (r6 §1): two regex-split token counts per doc below the
+    # first exchange
+    d = spread_small_input(
+        load_table(spark, sf_dir, "documents"), "doc_id", MIN_BYTES_MILD
+    )
     return (
         d.groupBy("source")
         .agg(
@@ -1635,9 +1659,17 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_delta_ingest_spark.operators.spread import (
+        MIN_BYTES_MILD,
+        spread_small_input,
+    )
     from kafka_delta_ingest_spark.operators.text import quality_score
 
-    d = load_table(spark, sf_dir, "documents")
+    # spread (r6 §1): the multi-regex quality expression runs per doc
+    # below the first exchange; decimal sums are order-free
+    d = spread_small_input(
+        load_table(spark, sf_dir, "documents"), "doc_id", MIN_BYTES_MILD
+    )
     # avg = exact decimal sum / count (AVG(double) is order-sensitive —
     # same latent flake as the ROUND(SUM(double)) queries)
     return (
@@ -2327,6 +2359,12 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_frames,
     )
 
+    # NOT spread (r6 §1 audit): widening this scan to 32 was A/B'd and
+    # REVERTED — the three chained mapInPandas ops (×2 consumer branches)
+    # each pay per-task Python/Arrow setup, and 32× that setup cost more
+    # than the single-task width saved (10× corpus: 4.9 s → 13.3 s
+    # spread). The per-row codec work here is bytes-sized, unlike the
+    # word/gram explodes.
     d = load_table(spark, sf_dir, "documents")
     payload = F.unhex(
         F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.col("text")))
@@ -2398,9 +2436,17 @@ def q_cms_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         cms_counts,
         cms_estimate,
     )
+    from kafka_delta_ingest_spark.operators.spread import (
+        MIN_BYTES_MILD,
+        spread_small_input,
+    )
     from kafka_delta_ingest_spark.operators.text import normalize_text
 
-    d = load_table(spark, sf_dir, "documents")
+    # spread before the ~|words|× explode (r6 §1): the cell hashing and
+    # both counts otherwise run single-task on a one-split scan
+    d = spread_small_input(
+        load_table(spark, sf_dir, "documents"), "doc_id", MIN_BYTES_MILD
+    )
     words = d.select(
         F.explode(F.split(normalize_text(F.col("text")), " ")).alias("word")
     )
@@ -2452,9 +2498,17 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines and the driver hash-checks it alongside the exact distinct
     count, the zero-register count, and a register-content checksum."""
     from kafka_delta_ingest_spark.operators.sketches import hll_distinct
+    from kafka_delta_ingest_spark.operators.spread import (
+        MIN_BYTES_MILD,
+        spread_small_input,
+    )
     from kafka_delta_ingest_spark.operators.text import normalize_text
 
-    d = load_table(spark, sf_dir, "documents")
+    # spread before the ~|words|× explode (r6 §1); registers merge by MAX
+    # (order-free), so partitioning cannot move the sketch
+    d = spread_small_input(
+        load_table(spark, sf_dir, "documents"), "doc_id", MIN_BYTES_MILD
+    )
     words = d.select(
         "lang",
         F.explode(F.split(normalize_text(F.col("text")), " ")).alias("word"),
@@ -2488,9 +2542,17 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmv_estimate,
         kmv_sketch,
     )
+    from kafka_delta_ingest_spark.operators.spread import (
+        MIN_BYTES_MILD,
+        spread_small_input,
+    )
     from kafka_delta_ingest_spark.operators.text import normalize_text
 
-    d = load_table(spark, sf_dir, "documents")
+    # spread before the ~|words|× explode (r6 §1); the sketch is a
+    # deterministic min-set, partitioning-invariant
+    d = spread_small_input(
+        load_table(spark, sf_dir, "documents"), "doc_id", MIN_BYTES_MILD
+    )
     words = d.select(
         "lang",
         F.explode(F.split(normalize_text(F.col("text")), " ")).alias("word"),
@@ -2520,9 +2582,16 @@ def q_kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmv_set_ops,
         kmv_sketch,
     )
+    from kafka_delta_ingest_spark.operators.spread import (
+        MIN_BYTES_MILD,
+        spread_small_input,
+    )
     from kafka_delta_ingest_spark.operators.text import normalize_text
 
-    d = load_table(spark, sf_dir, "documents")
+    # spread before the ~|words|× explode (r6 §1)
+    d = spread_small_input(
+        load_table(spark, sf_dir, "documents"), "doc_id", MIN_BYTES_MILD
+    )
     words = d.select(
         "lang",
         F.explode(F.split(normalize_text(F.col("text")), " ")).alias("word"),

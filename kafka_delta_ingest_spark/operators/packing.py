@@ -38,6 +38,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from kafka_delta_ingest_spark.operators.spread import (
+    MIN_BYTES_MILD,
+    spread_small_input,
+)
+
 
 def pack_sequences(
     df: DataFrame,
@@ -403,9 +408,12 @@ def pack_tokens(
     arr = F.col(tokens_col).cast("array<int>")
     if eos is not None:
         arr = F.concat(arr, F.array(F.lit(int(eos)).cast("int")))
-    work = df.select(F.col(id_col), arr.alias("_arr")).withColumn(
-        "_w", F.size("_arr").cast("long")
-    )
+    # spread first (r6 §1): the token arrays (built by upstream per-row
+    # projections, e.g. the derived-corpus generator) otherwise
+    # materialize single-task below the id-join exchange
+    work = spread_small_input(df, id_col, MIN_BYTES_MILD).select(
+        F.col(id_col), arr.alias("_arr")
+    ).withColumn("_w", F.size("_arr").cast("long"))
     offs = pack_sequences(
         work, id_col=id_col, weight_col="_w", budget=b,
         order_col=order_col, materialize=materialize,

@@ -23,6 +23,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from kafka_delta_ingest_spark.operators.spread import (
+    MIN_BYTES_MILD,
+    spread_small_input,
+)
+
 __all__ = ["bm25_scores", "SCORE_TEMPLATE", "K1", "B"]
 
 K1 = "1.2"
@@ -57,6 +62,9 @@ def bm25_scores(docs: DataFrame, terms: list[str]) -> DataFrame:
     score a deterministic double (fixed left-assoc sum over terms, no
     aggregation of floats anywhere).
     """
+    # spread before the per-doc tf pass: one split+filter per term per row
+    # on a one-split scan otherwise serializes the whole pass (r6 §1)
+    docs = spread_small_input(docs, "doc_id", MIN_BYTES_MILD)
     # BIGINT casts: DuckDB's len() is BIGINT — keep integer widths aligned
     # so the gate's value normalization sees identical types.
     per_doc = docs.selectExpr(

@@ -22,6 +22,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from kafka_delta_ingest_spark.operators.spread import (
+    MIN_BYTES_MILD,
+    spread_small_input,
+)
+
 TWO_32 = float(1 << 32)
 
 
@@ -174,7 +179,9 @@ def dsir_weights(
     """
     from kafka_delta_ingest_spark.operators.text import normalize_text
 
-    arr = df.select(
+    # spread before the uni+bigram feature explode (r6 §1): ~2|words|×
+    # amplification otherwise single-sourced on a one-split scan
+    arr = spread_small_input(df, id_col, MIN_BYTES_MILD).select(
         F.col(id_col),
         target_pred.alias("_t"),
         F.split(normalize_text(F.col(text_col)), " ").alias("_w"),

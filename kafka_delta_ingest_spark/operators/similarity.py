@@ -25,6 +25,11 @@ import math
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from kafka_delta_ingest_spark.operators.spread import (
+    MIN_BYTES_MILD,
+    spread_small_input,
+)
+
 
 # --- SQL-text builders for constant-vector math -------------------------
 #
@@ -273,13 +278,17 @@ def ivf_topk(
     every probe after that is partition pruning — reading ``n_probe/K`` of
     the corpus. This function expresses the same logical plan over an
     unmaterialized index."""
+    # spread before the per-row K×d assignment + re-rank (r6 §1: one-split
+    # corpus serialized assignment AND the probed-cell scoring)
+    corpus = spread_small_input(corpus, c_id, MIN_BYTES_MILD)
     cents = centroids or _sample_centroids(corpus, n_centroids, c_id, c_vec)
 
+    # per-VECTOR double cast + norm (bit-identical cosines — see semdedup)
     corpus_a = corpus.select(
         F.col(c_id),
-        F.col(c_vec),
+        F.col(c_vec).cast("array<double>").alias("_vcd"),
         (-F.array_max(_cell_structs(c_vec, cents))["negc"]).alias("_cell"),
-    )
+    ).withColumn("_nc", norm(F.col("_vcd")))
     # top-n_probe cells per query: sort the K-struct array ascending
     # (sim, -cid), reverse → sim DESC then cid ASC, slice, explode
     probes = queries.select(
@@ -292,15 +301,21 @@ def ivf_topk(
                 n_probe,
             )
         ).alias("_p"),
-    ).select(F.col(q_id), F.col(q_vec), (-F.col("_p.negc")).alias("_cell"))
+    ).select(
+        F.col(q_id),
+        F.col(q_vec).cast("array<double>").alias("_vqd"),
+        (-F.col("_p.negc")).alias("_cell"),
+    ).withColumn("_nq", norm(F.col("_vqd")))
 
     cand = corpus_a.join(F.broadcast(probes), "_cell")
+    # cos = dot(q,c)/(norm(q)*norm(c)) — identical operand order to the
+    # per-pair cosine_sim form, norms now computed once per vector
     scored = cand.select(
         F.col(q_id),
         F.col(c_id),
-        cosine_sim(
-            F.col(q_vec).cast("array<double>"), F.col(c_vec).cast("array<double>")
-        ).alias("cos"),
+        (dot(F.col("_vqd"), F.col("_vcd")) / (F.col("_nq") * F.col("_nc"))).alias(
+            "cos"
+        ),
     )
     w = Window.partitionBy(q_id).orderBy(F.desc("cos"), F.col(c_id))
     return (
@@ -337,6 +352,13 @@ def kmeans_centroids(
     Any engine replaying the same arithmetic — the DuckDB oracle unrolls
     both Lloyd iterations in SQL — reproduces the centroids bit-for-bit,
     so the trained-IVF query is value-hash checked, not rows-only."""
+    # spread before the per-row assignment expression: every Lloyd
+    # iteration evaluates K×d multiply-adds per vector, and a one-split
+    # scan serializes ALL iterations on one core (r6: the 10× corpus ran
+    # kmeans 8.6 s single-task). The quantized integer component sums are
+    # order-free BY DESIGN (docstring above), so any partitioning yields
+    # bit-identical centroids — this exchange cannot move the result.
+    df = spread_small_input(df, c_id, MIN_BYTES_MILD)
     cents = [
         (i, cv)
         for i, (_, cv) in enumerate(
@@ -513,6 +535,10 @@ def embedding_near_dups(
     """Near-duplicate pairs by embedding cosine >= threshold, candidates
     from LSH self-buckets (high-threshold dedup: near-identical vectors
     collide in nearly all tables)."""
+    # spread first: bucket hashing is n_tables×n_planes dot products per
+    # row and the bucket self-join + per-pair scoring amplify from there —
+    # all single-sourced on a one-split scan otherwise (r6 §1)
+    df = spread_small_input(df, id_col, MIN_BYTES_MILD)
     buckets = []
     for t in range(n_tables):
         planes = _hyperplanes(dim, n_planes, seed=99 + 1000 * t)
@@ -535,18 +561,22 @@ def embedding_near_dups(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    # per-VECTOR double cast + norm instead of per-pair — identical
+    # left-folded operand trees, bit-identical cosines (see semdedup)
+    va = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).cast("array<double>").alias("_va"),
+    ).withColumn("_na", norm(F.col("_va")))
+    vb = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).cast("array<double>").alias("_vb"),
+    ).withColumn("_nb", norm(F.col("_vb")))
     return (
-        cand.join(
-            df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")),
-            "id_a",
-        )
-        .join(
-            df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")),
-            "id_b",
-        )
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn(
             "cos",
-            cosine_sim(F.col("_va").cast("array<double>"), F.col("_vb").cast("array<double>")),
+            dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
         )
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
@@ -621,6 +651,10 @@ def semdedup(
     index (ivf_write_index), so the self-join is partition-local.
 
     Returns one row per input vector: (``c_id``, cell, kept)."""
+    # spread before assignment + the within-cell self-join: the O(Σ|cell|²)
+    # pairwise stage otherwise inherits the one-split scan width (r6: 30 s
+    # single-sourced at the 10× corpus)
+    df = spread_small_input(df, c_id, MIN_BYTES_MILD)
     cents = centroids or kmeans_centroids(
         df, n_centroids=n_centroids, iters=iters, c_id=c_id, c_vec=c_vec
     )
@@ -629,20 +663,27 @@ def semdedup(
         F.col(c_vec),
         (-F.array_max(_cell_structs(c_vec, cents))["negc"]).alias("cell"),
     )
+    # per-VECTOR double cast + norm instead of per-pair (r6, same change as
+    # embedding_near_dups_exact): cos = dot(a,b)/(norm(a)*norm(b)) with the
+    # identical left-folded operand trees, so every cosine double — and the
+    # > threshold verdict — is bit-identical to the per-pair form; the
+    # O(|cell|²) stage drops from 3 array folds + 2 array casts per pair to
+    # 1 fold.
     l = assigned.select(
-        F.col(c_id).alias("_ida"), F.col(c_vec).alias("_va"), "cell"
-    )
+        F.col(c_id).alias("_ida"),
+        F.col(c_vec).cast("array<double>").alias("_va"),
+        "cell",
+    ).withColumn("_na", norm(F.col("_va")))
     r = assigned.select(
-        F.col(c_id).alias("_idb"), F.col(c_vec).alias("_vb"), "cell"
-    )
+        F.col(c_id).alias("_idb"),
+        F.col(c_vec).cast("array<double>").alias("_vb"),
+        "cell",
+    ).withColumn("_nb", norm(F.col("_vb")))
     pruned = (
         l.join(r, "cell")
         .where(F.col("_ida") < F.col("_idb"))
         .where(
-            cosine_sim(
-                F.col("_va").cast("array<double>"),
-                F.col("_vb").cast("array<double>"),
-            )
+            dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
             > threshold
         )
         .select(F.col("_idb").alias(c_id))
@@ -791,6 +832,9 @@ def pq_encode(
     this is the materialized index write (codes parquet is ~dim·4/m×
     smaller than the vectors)."""
     m = len(codebooks)
+    # spread: encoding is m×k×dsub L2 folds per row, single-sourced on a
+    # one-split scan otherwise (r6 §1)
+    corpus = spread_small_input(corpus, c_id, MIN_BYTES_MILD)
     cols = _pq_code_cols(codebooks, c_vec)
     return corpus.select(F.col(c_id), *cols).select(
         F.col(c_id), F.array(*[F.col(f"_c{s}") for s in range(m)]).alias("codes")
@@ -868,6 +912,9 @@ def ivf_pq_topk(
     expressions on the corpus scan (no shuffle); probes broadcast; the
     only join is the broadcast equi-join on ``_cell``; ADC is a fold per
     subspace; one window per query ranks."""
+    # spread: cell + code assignment are K×d and m×k×dsub folds per row,
+    # single-sourced on a one-split scan otherwise (r6 §1)
+    corpus = spread_small_input(corpus, c_id, MIN_BYTES_MILD)
     cents = centroids or _sample_centroids(corpus, n_centroids, c_id, c_vec)
     cbs = codebooks or pq_codebooks(corpus, m=m, k=k_cb, c_id=c_id, c_vec=c_vec)
     m = len(cbs)

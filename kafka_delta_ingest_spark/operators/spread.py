@@ -28,15 +28,46 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def spread_small_input(df: DataFrame, key: str | Column) -> DataFrame:
+# bytes floor for MILDLY amplifying operators (word explodes ~50x with
+# cheap hashes, per-vector K×d math): below this plan-stat size the whole
+# operator is sub-CPU-second and the spread exchange + 32-task scheduling
+# cost more than the width saves (r6 A/B at sf0.1: semdedup +3.3 s, ~+0.3 s
+# per word query). The HEAVILY amplifying call sites (char/word gram
+# explodes feeding 16-md5-per-gram pipelines, pair scoring) keep the
+# default 0 = spread always — their single-task cost dwarfs any exchange
+# at every input size (r6: 64 s -> 9 s on a 0.6 MB scan).
+MIN_BYTES_MILD = 1 << 20
+
+
+def spread_small_input(
+    df: DataFrame, key: str | Column, min_bytes: int = 0
+) -> DataFrame:
     """Hash-repartition ``df`` by ``key`` (a column name or deterministic
     key expression) up to the session's default parallelism when (and
     only when) its physical plan yields fewer partitions than that. The
     explicit partition count pins the width: AQE's coalescer would
     otherwise fold the few-MB pre-explosion rows back into one
-    partition, which is exactly the state being fixed."""
+    partition, which is exactly the state being fixed.
+
+    ``min_bytes``: optional Catalyst-stat size floor — when the
+    optimized plan's ``sizeInBytes`` estimate is below it, the input is
+    left alone (see ``MIN_BYTES_MILD``). An unknown/huge estimate fails
+    open to spreading: a genuinely large scan has many splits and is
+    already short-circuited by the partition-count guard."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
+    # stats first: it needs only the optimized plan, while the partition
+    # count forces a full physical plan + RDD conversion — under the floor
+    # (every small-sf bench input) the guard exits on the cheap check
+    if min_bytes:
+        try:
+            stat = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:  # noqa: BLE001 - stats unavailable: spread
+            stat = None
+        if stat is not None and stat < min_bytes:
+            return df
     try:
         cur = df.rdd.getNumPartitions()
     except Exception:  # noqa: BLE001 - planning quirk: leave input alone

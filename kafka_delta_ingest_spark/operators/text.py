@@ -7,6 +7,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from kafka_delta_ingest_spark.operators.spread import (
+    MIN_BYTES_MILD,
+    spread_small_input,
+)
+
 
 def token_count(text: Column | str) -> Column:
     """Whitespace token count; empty/blank → 0."""
@@ -127,7 +132,9 @@ def repetition_scores(
     aggregations. Word rows shuffle by doc exactly once for the window;
     every aggregate has a primitive buffer, so the whole thing stays in
     HashAggregate/codegen at any corpus size."""
-    w = df.select(
+    # spread before the ~|words|× explode (r6 §1: a one-split scan
+    # otherwise serializes the gram/window/aggregate pipeline)
+    w = spread_small_input(df, id_col, MIN_BYTES_MILD).select(
         F.col(id_col),
         F.posexplode(F.split(normalize_text(text_col), " ")).alias("pos", "w"),
     )
@@ -180,6 +187,9 @@ def token_histogram(
     partial aggregation means the shuffle carries one row per distinct
     token per task, not one per token occurrence) → TakeOrdered top-k;
     ties broken by token id for a deterministic cut."""
+    # NOT spread (r6 §1 audit): A/B'd flat-to-worse (10× corpus 4.4 s →
+    # 5.1 s) — the single-column explode+partial-count is cheap enough
+    # that shuffling the token arrays to widen it costs what it saves.
     return (
         tokens_df.select(F.explode(tokens_col).alias("token"))
         .groupBy("token")
@@ -215,7 +225,10 @@ def token_pair_counts(
         )
     ).alias("pair")
     return (
-        tokens_df.where(F.size(tokens_col) >= 2)
+        spread_small_input(
+            tokens_df, F.xxhash64(F.col(tokens_col)), MIN_BYTES_MILD
+        )
+        .where(F.size(tokens_col) >= 2)
         .select(pair)
         .groupBy("pair")
         .agg(F.count("*").alias("cnt"))
@@ -480,7 +493,9 @@ def unigram_freq_scores(
     combine); the 1-row corpus total joins as a broadcast cross (the BM25
     stats shape); per-doc reduce is the only other shuffle.
     """
-    words = df.select(
+    # spread before the ~|words|× explode (r6 §1); both the corpus count
+    # and the per-doc score join reuse the widened frame
+    words = spread_small_input(df, id_col, MIN_BYTES_MILD).select(
         F.col(id_col),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("word"),
     )
@@ -537,6 +552,9 @@ def bigram_lm_scores(
 
     Returns ``(id_col, n_bigrams, avg_bigram_ppm)`` for docs with >= 1
     bigram."""
+    # spread once; the bigram occurrence explode, the stats aggregations,
+    # and the words branch below all amplify from this frame (r6 §1)
+    df = spread_small_input(df, id_col, MIN_BYTES_MILD)
     arr = df.select(
         F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("_w")
     )

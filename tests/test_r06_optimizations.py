@@ -117,6 +117,64 @@ def test_batch_datasource_packs_small_files(spark, tmp_path):
     assert tuple(got) == (2000, 2000)
 
 
+def test_spread_min_bytes_floor(spark):
+    """The MILD-amplification floor: a under-floor frame is left alone
+    (its whole pipeline is sub-CPU-second — the exchange would cost more
+    than the width saves), an over-floor narrow frame still spreads, and
+    the legacy default (0) spreads regardless of size."""
+    from kafka_delta_ingest_spark.operators.spread import spread_small_input
+
+    target = spark.sparkContext.defaultParallelism
+    tiny = spark.range(0, 100).coalesce(1)
+    assert spread_small_input(tiny, "id", 1 << 20) is tiny  # under floor
+    assert spread_small_input(tiny, "id").rdd.getNumPartitions() == target
+    wide_rows = spark.range(0, 300_000).select(
+        F.col("id"), F.concat_ws("", *[F.md5(F.col("id").cast("string"))] * 8).alias("pad")
+    ).coalesce(1)
+    out = spread_small_input(wide_rows, "id", 1 << 20)  # ~9 MB > floor
+    assert out is not wide_rows and out.rdd.getNumPartitions() == target
+
+
+def test_per_vector_norm_cosines_bit_identical(spark):
+    """The r6 per-vector cast+norm hoist in semdedup/ivf/embedding LSH
+    must reproduce cosine_sim's doubles EXACTLY (same left-folded operand
+    trees) — checked bitwise via struct comparison on every pair."""
+    import struct
+
+    from kafka_delta_ingest_spark.operators.similarity import (
+        cosine_sim,
+        dot,
+        norm,
+    )
+
+    rows = [(i, [((i * 31 + j * 17) % 97) / 97.0 - 0.5 for j in range(8)])
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    a = df.select(F.col("vec_id").alias("id_a"),
+                  F.col("embedding").alias("va"))
+    b = df.select(F.col("vec_id").alias("id_b"),
+                  F.col("embedding").alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    ref = pairs.select(
+        "id_a", "id_b",
+        cosine_sim(F.col("va").cast("array<double>"),
+                   F.col("vb").cast("array<double>")).alias("cos"),
+    )
+    hoisted_a = a.select("id_a", F.col("va").cast("array<double>").alias("vad")
+                         ).withColumn("na", norm(F.col("vad")))
+    hoisted_b = b.select("id_b", F.col("vb").cast("array<double>").alias("vbd")
+                         ).withColumn("nb", norm(F.col("vbd")))
+    got = hoisted_a.join(hoisted_b, F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b",
+        (dot(F.col("vad"), F.col("vbd")) / (F.col("na") * F.col("nb"))).alias("cos"),
+    )
+    r = {(x["id_a"], x["id_b"]): x["cos"] for x in ref.collect()}
+    g = {(x["id_a"], x["id_b"]): x["cos"] for x in got.collect()}
+    assert r.keys() == g.keys() and len(r) == 435
+    for k in r:
+        assert struct.pack("<d", r[k]) == struct.pack("<d", g[k]), k
+
+
 def test_minhash_verify_stage_has_explicit_width(spark, docs):
     """The candidate->shingle verify join must not inherit an
     AQE-coalescible exchange: an explicit REPARTITION_BY_NUM on id_a
