@@ -36,7 +36,10 @@ import logging
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from kafka_delta_ingest_spark.operators.spread import spread_small_input
+from kafka_delta_ingest_spark.operators.spread import (
+    MIN_BYTES_MILD,
+    spread_small_input,
+)
 from kafka_delta_ingest_spark.operators.text import normalize_text
 
 log = logging.getLogger(__name__)
@@ -1023,6 +1026,14 @@ def span_dedup(
     code = (F.col(id_col).cast("long") * F.lit(4294967296).cast("long")
             + F.col("_i").cast("long"))
 
+    # spread first (r6 §1 — this operator explodes words AND hashed
+    # k-gram occurrences straight off the scan; it builds its own grams,
+    # so the phase-1 gram-builder spread never covered it). FLOORED: at
+    # one md5 per gram its single-task cost is mild — A/B'd 3v3 at
+    # sf0.1: spread-always cost +0.9 s there (the join/reassembly
+    # machinery dominates) while the floor keeps the 16.6 -> 11.8 s win
+    # at the 10× dir.
+    df = spread_small_input(df, id_col, MIN_BYTES_MILD)
     norm = df.select(F.col(id_col), normalize_text(F.col(text_col)).alias("_norm"))
     words_arr = F.split(F.col("_norm"), " ")
     base = norm.select(F.col(id_col), words_arr.alias("_w"))
